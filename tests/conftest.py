@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+All tests run on CPU with 8 virtual devices so multi-chip sharding (DP/FSDP/TP) is
+exercised without TPU hardware (SURVEY.md §4: the fake-backend layer the reference
+never had).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
