@@ -1,0 +1,289 @@
+"""Checkpoint conversion and loading.
+
+Maps HF/torch state dicts (safetensors or .bin) onto this framework's param pytrees,
+covering the four reference load modes (llava/model/builder.py:26-173): full
+checkpoint, base + mm_projector.bin adapter, base + LoRA (+ non_lora_trainables),
+and plain LM. Also exports back to the reference key set so checkpoints stay
+interchangeable (SURVEY.md §5 checkpoint/resume).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from .config import LLMConfig, SliMEConfig, VisionConfig
+
+
+def _np(x) -> np.ndarray:
+    """torch tensor / array-like -> float32 numpy (bf16-safe)."""
+    if hasattr(x, "detach"):
+        x = x.detach()
+        if str(x.dtype) in ("torch.bfloat16", "torch.float16"):
+            x = x.float()
+        x = x.cpu().numpy()
+    return np.asarray(x)
+
+
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a .safetensors or torch .bin file into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                try:
+                    out[k] = f.get_tensor(k)
+                except Exception:
+                    # bf16 tensors can't map to numpy directly; go through torch
+                    import torch
+                    from safetensors.torch import load_file
+                    return {k: _np(v) for k, v in load_file(path).items()}
+        return out
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def load_sharded_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Load all weight shards in an HF model directory."""
+    index_files = [f for f in os.listdir(model_dir)
+                   if f.endswith(".index.json")]
+    files: Iterable[str]
+    if index_files:
+        with open(os.path.join(model_dir, index_files[0])) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+    else:
+        files = sorted(f for f in os.listdir(model_dir)
+                       if f.endswith((".safetensors", ".bin"))
+                       and not f.startswith("training_args"))
+    sd: Dict[str, np.ndarray] = {}
+    for fn in files:
+        sd.update(load_state_dict_file(os.path.join(model_dir, fn)))
+    return sd
+
+
+def _strip(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ----------------------------------------------------------------------------------
+# Per-module converters: torch key set -> our pytree layout.
+# ----------------------------------------------------------------------------------
+
+def _lin(sd, key, bias=True):
+    pre = f"{key}." if key else ""
+    p = {"weight": sd[f"{pre}weight"]}
+    if bias and f"{pre}bias" in sd:
+        p["bias"] = sd[f"{pre}bias"]
+    return p
+
+
+def _ln(sd, key):
+    return {"weight": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _mha(sd, key):
+    return {"in_proj_weight": sd[f"{key}.in_proj_weight"],
+            "in_proj_bias": sd[f"{key}.in_proj_bias"],
+            "out_proj": _lin(sd, f"{key}.out_proj")}
+
+
+def convert_resampler(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """Resampler state dict (sampler.py:91-173) -> resampler.init() layout."""
+    sd = _strip(sd, prefix) if prefix else sd
+    p = {
+        "pos_embed": sd["pos_embed"].astype(np.float32),
+        "query": sd["query"],
+        "attn": _mha(sd, "attn"),
+        "ln_q": _ln(sd, "ln_q"),
+        "ln_kv": _ln(sd, "ln_kv"),
+        "ln_post": _ln(sd, "ln_post"),
+    }
+    if "kv_proj.weight" in sd:
+        p["kv_proj"] = _lin(sd, "kv_proj", bias=False)
+    if "proj.weight" in sd:
+        p["proj"] = _lin(sd, "proj")
+    if "self_attn.in_proj_weight" in sd:
+        p["self_attn"] = _mha(sd, "self_attn")
+    return p
+
+
+def convert_projector(sd: Dict[str, np.ndarray], cfg: SliMEConfig,
+                      prefix: str = "") -> Dict:
+    """mm_projector state dict -> projector.init() layout.
+
+    Gated keys (builder.py:38-74): projection.{0,2}.{weight,bias}, attn.*, w_gate, w_noise.
+    """
+    sd = _strip(sd, prefix) if prefix else sd
+    t = cfg.mm_projector_type
+    if t == "linear":
+        return {"proj": _lin(sd, "0") if "0.weight" in sd else _lin(sd, "")}
+    m = re.match(r"^mlp(\d+)x_gelu$", t)
+    if m:
+        depth = int(m.group(1))
+        return {"mlp": {"layers": [_lin(sd, str(2 * i)) for i in range(depth)]}}
+    if t == "qformer":
+        return {"resampler": convert_resampler(sd)}
+    assert t == "gated", t
+    return {
+        "projection": {"layers": [_lin(sd, "projection.0"), _lin(sd, "projection.2")]},
+        "attn": convert_resampler(sd, "attn."),
+        "w_gate": sd["w_gate"].astype(np.float32),
+        "w_noise": sd["w_noise"].astype(np.float32),
+    }
+
+
+def convert_sampler(sd: Dict[str, np.ndarray], cfg: SliMEConfig,
+                    prefix: str = "") -> Dict:
+    """TextGuidedSampler state dict (builder.py:222-281) -> sampler.init() layout."""
+    sd = _strip(sd, prefix) if prefix else sd
+    p: Dict = {"post_qformer": convert_resampler(sd, "post_qformer.")}
+    if cfg.mm_resampler_type == "qformer":
+        sel = _strip(sd, "selector.")
+        p["selector"] = {
+            "query": sel["query"],
+            "self_attn": _mha(sel, "self_attn"),
+            "cross_attn": _mha(sel, "cross_attn"),
+            "ln_q": _ln(sel, "ln_q"),
+            "ln_kv": _ln(sel, "ln_kv"),
+            "ln_post": _ln(sel, "ln_post"),
+            "prob_proj": {"fc1": _lin(sel, "prob_proj.0"),
+                          "fc2": _lin(sel, "prob_proj.2")},
+        }
+    return p
+
+
+def convert_clip_vision(sd: Dict[str, np.ndarray], cfg: VisionConfig,
+                        prefix: str = "vision_model.") -> Dict:
+    """HF CLIPVisionModel state dict -> vit.init() layout.
+
+    The patch-embed conv [E,3,ph,pw] flattens to the matmul weight [E, 3*ph*pw] in
+    the order matching vit.embed_patches' (c, ph, pw) patch flattening.
+    """
+    sd = _strip(sd, prefix) if prefix else sd
+    E = cfg.hidden_size
+    conv = sd["embeddings.patch_embedding.weight"]  # [E, 3, ph, pw]
+    params = {
+        "class_embedding": sd["embeddings.class_embedding"].reshape(E),
+        "patch_embedding": conv.reshape(E, -1),
+        "position_embedding": sd["embeddings.position_embedding.weight"],
+        "pre_layernorm": _ln(sd, "pre_layrnorm"),  # HF's historical typo
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        b = f"encoder.layers.{i}"
+        params["layers"].append({
+            "layer_norm1": _ln(sd, f"{b}.layer_norm1"),
+            "q_proj": _lin(sd, f"{b}.self_attn.q_proj"),
+            "k_proj": _lin(sd, f"{b}.self_attn.k_proj"),
+            "v_proj": _lin(sd, f"{b}.self_attn.v_proj"),
+            "out_proj": _lin(sd, f"{b}.self_attn.out_proj"),
+            "layer_norm2": _ln(sd, f"{b}.layer_norm2"),
+            "fc1": _lin(sd, f"{b}.mlp.fc1"),
+            "fc2": _lin(sd, f"{b}.mlp.fc2"),
+        })
+    return params
+
+
+def convert_llama(sd: Dict[str, np.ndarray], cfg: LLMConfig,
+                  prefix: str = "model.") -> Dict:
+    """HF LlamaForCausalLM state dict -> llama.init() layout."""
+    body = _strip(sd, prefix) if prefix else sd
+    params = {
+        "embed_tokens": body["embed_tokens.weight"],
+        "norm": {"weight": body["norm.weight"]},
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        b = f"layers.{i}"
+        lp = {
+            "input_layernorm": {"weight": body[f"{b}.input_layernorm.weight"]},
+            "q_proj": _lin(body, f"{b}.self_attn.q_proj"),
+            "k_proj": _lin(body, f"{b}.self_attn.k_proj"),
+            "v_proj": _lin(body, f"{b}.self_attn.v_proj"),
+            "o_proj": _lin(body, f"{b}.self_attn.o_proj"),
+            "post_attention_layernorm": {"weight": body[f"{b}.post_attention_layernorm.weight"]},
+        }
+        if cfg.num_experts > 0:
+            lp["gate"] = _lin(body, f"{b}.block_sparse_moe.gate", bias=False)
+            lp["experts"] = {
+                "w1": np.stack([body[f"{b}.block_sparse_moe.experts.{e}.w1.weight"]
+                                for e in range(cfg.num_experts)]),
+                "w2": np.stack([body[f"{b}.block_sparse_moe.experts.{e}.w2.weight"]
+                                for e in range(cfg.num_experts)]),
+                "w3": np.stack([body[f"{b}.block_sparse_moe.experts.{e}.w3.weight"]
+                                for e in range(cfg.num_experts)]),
+            }
+        else:
+            lp["gate_proj"] = _lin(body, f"{b}.mlp.gate_proj")
+            lp["up_proj"] = _lin(body, f"{b}.mlp.up_proj")
+            lp["down_proj"] = _lin(body, f"{b}.mlp.down_proj")
+        params["layers"].append(lp)
+    if "lm_head.weight" in sd:
+        params["lm_head"] = {"weight": sd["lm_head.weight"]}
+    else:  # tied embeddings
+        params["lm_head"] = {"weight": params["embed_tokens"]}
+    return params
+
+
+# ----------------------------------------------------------------------------------
+# Top-level loader: the four reference load modes.
+# ----------------------------------------------------------------------------------
+
+def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
+                    cfg: Optional[SliMEConfig] = None,
+                    vision_path: Optional[str] = None) -> Dict:
+    """Load a SliME checkpoint directory into a full param pytree
+    {vision, projector, sampler, llm}. Mirrors load_pretrained_model
+    (llava/model/builder.py:26-173) minus the GPU-quantization paths.
+    """
+    if cfg is None:
+        cfg = SliMEConfig.load(model_path)
+
+    sd = load_sharded_state_dict(model_path)
+
+    # adapter-only checkpoints (mm_projector.bin / sampler.bin) next to a base model
+    for extra in ("mm_projector.bin", "sampler.bin", "non_lora_trainables.bin"):
+        fp = os.path.join(model_path, extra)
+        if os.path.exists(fp) and not any(k.startswith("model.mm_projector") for k in sd):
+            sd.update(load_state_dict_file(fp))
+
+    if model_base is not None:
+        base = load_sharded_state_dict(model_base)
+        base.update(sd)
+        sd = base
+
+    params: Dict = {}
+    params["llm"] = convert_llama(
+        {k: v for k, v in sd.items()
+         if not k.startswith(("model.vision_tower", "model.mm_projector", "model.sampler"))},
+        cfg.llm)
+    params["projector"] = convert_projector(
+        _strip(sd, "model.mm_projector."), cfg)
+    if cfg.has_sampler:
+        params["sampler"] = convert_sampler(_strip(sd, "model.sampler."), cfg)
+    vt = _strip(sd, "model.vision_tower.vision_tower.")
+    if vt:
+        params["vision"] = convert_clip_vision(vt, cfg.vision)
+    elif vision_path:
+        params["vision"] = convert_clip_vision(
+            load_sharded_state_dict(vision_path), cfg.vision)
+    return params
+
+
+def to_jax(params, dtype=None):
+    """numpy pytree -> jnp arrays (optionally casting floats)."""
+    import jax.numpy as jnp
+
+    def conv(x):
+        a = jnp.asarray(x)
+        if dtype is not None and a.dtype in (jnp.float32, jnp.float64, jnp.float16):
+            a = a.astype(dtype)
+        return a
+
+    import jax
+    return jax.tree_util.tree_map(conv, params)

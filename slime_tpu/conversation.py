@@ -127,8 +127,16 @@ conv_vicuna_v0 = _conv(
     roles=("Human", "Assistant"), sep_style=SeparatorStyle.SINGLE, sep="###")
 
 conv_llama_2 = _conv(
-    system="You are a helpful, respectful and honest assistant. Always answer as helpfully "
-           "as possible, while being safe.",
+    system="""You are a helpful, respectful and honest assistant. Always answer as helpfully as possible, while being safe.  Your answers should not include any harmful, unethical, racist, sexist, toxic, dangerous, or illegal content. Please ensure that your responses are socially unbiased and positive in nature.
+
+If a question does not make any sense, or is not factually coherent, explain why instead of answering something not correct. If you don't know the answer to a question, please don't share false information.""",
+    roles=("USER", "ASSISTANT"), version="llama_v2",
+    sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>")
+
+conv_llava_llama_2 = _conv(
+    system="You are a helpful language and vision assistant. "
+           "You are able to understand the visual content that the user provides, "
+           "and assist the user with a variety of tasks using natural language.",
     roles=("USER", "ASSISTANT"), version="llama_v2",
     sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>")
 
@@ -170,7 +178,7 @@ conv_templates = {
     "v0_plain": conv_plain,
     "llava_v0": conv_vicuna_v0,
     "llava_v1": conv_vicuna_v1,
-    "llava_llama_2": conv_llama_2,
+    "llava_llama_2": conv_llava_llama_2,
     "mpt": conv_mpt,
 }
 

@@ -55,3 +55,18 @@ def load_ref_modules():
 
 def load_ref_conversation():
     return _load("ref_conversation", f"{_REF}/conversation.py")
+
+
+def load_ref_model_modules():
+    """Returns (resampler_sampler, projector_builder, resampler_builder) torch modules."""
+    _stub("llava")
+    _stub("llava.model")
+    _stub("llava.model.multimodal_resampler")
+    _stub("llava.model.multimodal_projector")
+    samp = _load("ref_sampler", f"{_REF}/model/multimodal_resampler/sampler.py")
+    sys.modules["llava.model.multimodal_resampler.sampler"] = samp
+    moe = _load("ref_moe", f"{_REF}/model/multimodal_projector/moe.py")
+    sys.modules["llava.model.multimodal_projector.moe"] = moe
+    proj = _load("ref_projector_builder", f"{_REF}/model/multimodal_projector/builder.py")
+    rsb = _load("ref_resampler_builder", f"{_REF}/model/multimodal_resampler/builder.py")
+    return samp, proj, rsb
