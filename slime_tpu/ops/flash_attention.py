@@ -1,0 +1,375 @@
+"""Pallas flash attention for TPU (forward + backward), with XLA reference fallback.
+
+Replaces the reference's flash-attn CUDA kernels (SURVEY.md §2.9; the reference
+monkey-patches LlamaAttention to call flash_attn_varlen_qkvpacked_func,
+llava/train/llama_flash_attn_monkey_patch.py:16-93). TPU-native design:
+
+- Online-softmax tiling over (block_q, block_k) = (128, 128) tiles that match the
+  MXU; fp32 accumulators, bf16 operand matmuls.
+- Causal masking via block-level skip (`pl.when`) + intra-block iota mask, so the
+  compiler never materializes an S x S mask.
+- GQA without materializing repeated KV: the kv BlockSpec index-maps query-head h
+  to kv-head h // group, so each kv block is DMA'd once per group from HBM.
+- Right-padded batches need no extra masking in the kernel (pad keys sit after
+  every valid query under causal masking; pad queries are loss-masked) — the
+  static-shape consequence of the fusion design in models/slime.py.
+- Backward is the standard two-kernel FlashAttention-2 scheme (dkdv over query
+  tiles, dq over key tiles) using the saved per-row logsumexp.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _zero_tail(x, block_start, seq_len):
+    """Zero rows past seq_len (OOB block padding can be garbage/NaN; 0*NaN != 0)."""
+    rows = block_start + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    return jnp.where(rows < seq_len, x, jnp.zeros_like(x))
+
+
+# ----------------------------------------------------------------------------------
+# Forward kernel
+# ----------------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale: float, causal: bool, block_q: int, block_k: int,
+                seq_len: int):
+    i = pl.program_id(2)   # query tile
+    j = pl.program_id(3)   # key tile
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    run = (not causal) | (j * block_k <= i * block_q + (block_q - 1))
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]                                   # [bq, d]
+        k = k_ref[0, 0]                                   # [bk, d]
+        v = v_ref[0, 0]
+        if seq_len % block_k:
+            k = _zero_tail(k, j * block_k, seq_len)
+            v = _zero_tail(v, j * block_k, seq_len)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kj = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ok = (kj < seq_len) & (qi < seq_len)
+        if causal:
+            ok &= qi >= kj
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_scr[:]                              # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                         # [bq, bk] f32
+        alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        l = l_scr[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(l_safe))[:, 0]
+
+
+def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
+    B, H, S, D = q.shape
+    KVH = k.shape[1]
+    group = H // KVH
+    bq = min(block_q, S)
+    bk = min(block_k, S)
+    grid = (B, H, pl.cdiv(S, bq), pl.cdiv(S, bk))
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                          block_q=bq, block_k=bk, seq_len=S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+# ----------------------------------------------------------------------------------
+# Backward kernels
+# ----------------------------------------------------------------------------------
+
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, dk_scr, dv_scr,
+                     *, scale, causal, block_q, block_k, seq_len):
+    j = pl.program_id(2)   # key tile (outer)
+    i = pl.program_id(3)   # query tile (inner)
+    ni = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = (not causal) | (i * block_q + (block_q - 1) >= j * block_k)
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        if seq_len % block_q:
+            q = _zero_tail(q, i * block_q, seq_len)
+            do = _zero_tail(do, i * block_q, seq_len)
+        lse = lse_ref[0, 0][:, None]                       # [bq, 1]
+        delta = delta_ref[0, 0][:, None]                   # [bq, 1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kj = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ok = (kj < seq_len) & (qi < seq_len)
+        if causal:
+            ok &= qi >= kj
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)        # [bq, bk]
+        dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                         (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale                   # [bq, bk]
+        dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                         (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_scr, *, scale, causal, block_q, block_k, seq_len):
+    i = pl.program_id(2)   # query tile (outer)
+    j = pl.program_id(3)   # key tile (inner)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    run = (not causal) | (j * block_k <= i * block_q + (block_q - 1))
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        if seq_len % block_k:
+            k = _zero_tail(k, j * block_k, seq_len)
+            v = _zero_tail(v, j * block_k, seq_len)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kj = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ok = (kj < seq_len) & (qi < seq_len)
+        if causal:
+            ok &= qi >= kj
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd(scale, causal, block_q, block_k, interpret, res, g):
+    q, k, v, out, lse = res
+    do = g[0] if isinstance(g, (tuple, list)) else g
+    B, H, S, D = q.shape
+    KVH = k.shape[1]
+    group = H // KVH
+    bq = min(block_q, S)
+    bk = min(block_k, S)
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,S]
+
+    # dk/dv at full query-head resolution, then reduced over the GQA group.
+    grid_kv = (B, H, pl.cdiv(S, bk), pl.cdiv(S, bq))
+    dk_full, dv_full = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
+                          block_q=bq, block_k=bk, seq_len=S),
+        grid=grid_kv,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i, g_=group: (b, h // g_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i, g_=group: (b, h // g_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk = dk_full.reshape(B, KVH, group, S, D).sum(axis=2).astype(k.dtype)
+    dv = dv_full.reshape(B, KVH, group, S, D).sum(axis=2).astype(v.dtype)
+
+    grid_q = (B, H, pl.cdiv(S, bq), pl.cdiv(S, bk))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_q=bq, block_k=bk, seq_len=S),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g_=group: (b, h // g_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g_=group: (b, h // g_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    return dq, dk, dv
+
+
+# ----------------------------------------------------------------------------------
+# Public API
+# ----------------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret):
+    out, _ = _fwd(q, k, v, scale=scale, causal=causal,
+                  block_q=block_q, block_k=block_k, interpret=interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, scale=scale, causal=causal,
+                    block_q=block_q, block_k=block_k, interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+_flash.defvjp(_flash_fwd, _bwd)
+
+
+def reference_attention(q, k, v, *, causal=True, scale=None):
+    """XLA attention (GQA-aware) — numerics oracle and CPU fallback."""
+    B, H, S, D = q.shape
+    KVH = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    if KVH != H:
+        k = jnp.repeat(k, H // KVH, axis=1)
+        v = jnp.repeat(v, H // KVH, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((S, S), bool))
+        s = jnp.where(mask[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def flash_attention(q, k, v, *, causal: bool = True, scale: Optional[float] = None,
+                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+                    use_pallas: Optional[bool] = None):
+    """q [B, H, S, D]; k, v [B, KVH, S, D] (KVH divides H). Returns [B, H, S, D].
+
+    use_pallas=None auto-selects: Pallas on TPU backends, XLA reference elsewhere
+    (CPU tests exercise the same math through the oracle; the kernel itself is
+    additionally tested in interpret mode).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return reference_attention(q, k, v, causal=causal, scale=scale)
+    return _flash(q, k, v, scale, causal, block_q, block_k, False)
+
+
+def flash_attention_interpret(q, k, v, *, causal=True, scale=None,
+                              block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    """Interpreter-mode kernel execution (for CPU correctness tests)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash(q, k, v, scale, causal, block_q, block_k, True)
