@@ -1,0 +1,274 @@
+"""Decoder-only LLM (Llama / Vicuna / Mistral / Mixtral) in functional JAX.
+
+Replaces the reference's HF-transformers runtime (SURVEY.md §2.13): RMSNorm, RoPE,
+GQA attention (Pallas flash attention on TPU), SwiGLU MLP, optional Mixtral-style
+MoE, tied configs for Vicuna-7B/13B and Llama-3-8B/70B, plus a KV-cache decode path.
+
+Design notes:
+- One parameterized decoder instead of per-family subclasses
+  (llava/model/language_model/llava_{llama,mistral,mixtral,mpt}.py).
+- Prefill takes *embeddings* (multimodal fusion splices image features before the
+  LLM — llava_arch.py:274-459); token embedding is a separate entry point.
+- The layer stack is a Python loop over per-layer param dicts (XLA unrolls and
+  pipelines it; a lax.scan variant can be swapped in for compile-time if needed).
+- fp32 RoPE tables and fp32 logits (matching HF numerics within bf16 tolerance).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from . import layers as L
+from ..ops.flash_attention import flash_attention, reference_attention
+
+
+# ----------------------------------------------------------------------------------
+# Init
+# ----------------------------------------------------------------------------------
+
+def init(rng, cfg: LLMConfig) -> Dict:
+    keys = jax.random.split(rng, cfg.num_layers + 3)
+    H, HD = cfg.hidden_size, cfg.head_dim
+    params: Dict = {
+        "embed_tokens": jax.random.normal(keys[0], (cfg.vocab_size, H), jnp.float32) * 0.02,
+        "norm": L.rms_norm_init(H),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[2 + i], 8)
+        lp = {
+            "input_layernorm": L.rms_norm_init(H),
+            "q_proj": L.linear_init(k[0], H, cfg.num_heads * HD, bias=cfg.attention_bias),
+            "k_proj": L.linear_init(k[1], H, cfg.num_kv_heads * HD, bias=cfg.attention_bias),
+            "v_proj": L.linear_init(k[2], H, cfg.num_kv_heads * HD, bias=cfg.attention_bias),
+            "o_proj": L.linear_init(k[3], cfg.num_heads * HD, H, bias=False),
+            "post_attention_layernorm": L.rms_norm_init(H),
+        }
+        if cfg.num_experts > 0:
+            lp["gate"] = L.linear_init(k[4], H, cfg.num_experts, bias=False)
+            lp["experts"] = {
+                "w1": jax.random.normal(k[5], (cfg.num_experts, cfg.intermediate_size, H),
+                                        jnp.float32) * 0.02,
+                "w2": jax.random.normal(k[6], (cfg.num_experts, H, cfg.intermediate_size),
+                                        jnp.float32) * 0.02,
+                "w3": jax.random.normal(k[7], (cfg.num_experts, cfg.intermediate_size, H),
+                                        jnp.float32) * 0.02,
+            }
+        else:
+            lp["gate_proj"] = L.linear_init(k[4], H, cfg.intermediate_size, bias=False)
+            lp["up_proj"] = L.linear_init(k[5], H, cfg.intermediate_size, bias=False)
+            lp["down_proj"] = L.linear_init(k[6], cfg.intermediate_size, H, bias=False)
+        params["layers"].append(lp)
+    params["lm_head"] = {"weight": jax.random.normal(keys[1], (cfg.vocab_size, H),
+                                                     jnp.float32) * 0.02}
+    return params
+
+
+# ----------------------------------------------------------------------------------
+# RoPE
+# ----------------------------------------------------------------------------------
+
+def rope_table(cfg: LLMConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) [max_len, head_dim] fp32, HF half-rotation layout."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)                 # [S, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [S, hd]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x, cos, sin):
+    """x [B, S, H, hd]; cos/sin [B, S, hd] or [S, hd]."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :].astype(jnp.float32)
+    sin = sin[:, :, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (xf * cos + rot * sin).astype(x.dtype)
+
+
+# ----------------------------------------------------------------------------------
+# Blocks
+# ----------------------------------------------------------------------------------
+
+def _mlp(lp, x):
+    g = L.linear(lp["gate_proj"], x)
+    u = L.linear(lp["up_proj"], x)
+    return L.linear(lp["down_proj"], jax.nn.silu(g) * u)
+
+
+def _moe(lp, x, cfg: LLMConfig):
+    """Mixtral block-sparse MoE, computed densely over experts and combined with
+    top-k routing weights (correct for any batch; a Pallas grouped-matmul dispatch
+    is the planned optimization for EP at scale)."""
+    B, S, H = x.shape
+    logits = L.linear(lp["gate"], x).astype(jnp.float32)       # [B,S,E]
+    topw, topi = jax.lax.top_k(logits, cfg.num_experts_per_tok)
+    topw = jax.nn.softmax(topw, axis=-1)
+    w_full = jnp.zeros_like(logits).at[
+        jnp.arange(B)[:, None, None], jnp.arange(S)[None, :, None], topi
+    ].set(topw)                                                # [B,S,E]
+    # dense expert compute: y_e = (silu(x@w1_e.T) * (x@w3_e.T)) @ w2_e.T
+    h1 = jnp.einsum("bsh,eih->bsei", x, lp["experts"]["w1"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    h3 = jnp.einsum("bsh,eih->bsei", x, lp["experts"]["w3"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.einsum("bsei,ehi->bseh", jax.nn.silu(h1) * h3, lp["experts"]["w2"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("bseh,bse->bsh", y, w_full.astype(x.dtype))
+
+
+def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool]):
+    B, S, H = x.shape
+    hd = cfg.head_dim
+    q = L.linear(lp["q_proj"], x).reshape(B, S, cfg.num_heads, hd)
+    k = L.linear(lp["k_proj"], x).reshape(B, S, cfg.num_kv_heads, hd)
+    v = L.linear(lp["v_proj"], x).reshape(B, S, cfg.num_kv_heads, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), causal=True,
+                          use_pallas=use_pallas)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, cfg.num_heads * hd)
+    return L.linear(lp["o_proj"], out), (k, v)
+
+
+def _layer_prefill(lp, x, cos, sin, cfg, use_pallas):
+    h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
+    a, kv = _attn_prefill(lp, h, cos, sin, cfg, use_pallas)
+    x = x + a
+    h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
+    h = _moe(lp, h, cfg) if cfg.num_experts > 0 else _mlp(lp, h)
+    return x + h, kv
+
+
+def embed(params, input_ids) -> jnp.ndarray:
+    return params["embed_tokens"][input_ids]
+
+
+def forward(params, embeds, cfg: LLMConfig, *, positions=None,
+            use_pallas: Optional[bool] = None, return_kv: bool = False,
+            compute_dtype=jnp.float32):
+    """Full-sequence forward (training / prefill).
+
+    embeds [B, S, H] (already fused with image features); positions [B, S] or None
+    (arange). Returns (logits fp32 [B, S, V], kv list or None).
+    """
+    B, S, _ = embeds.shape
+    x = embeds.astype(compute_dtype)
+    cos, sin = rope_table(cfg, cfg.max_position_embeddings)
+    if positions is None:
+        cos_s, sin_s = cos[:S], sin[:S]
+    else:
+        cos_s, sin_s = cos[positions], sin[positions]
+
+    kvs = []
+    for lp in params["layers"]:
+        x, kv = _layer_prefill(lp, x, cos_s, sin_s, cfg, use_pallas)
+        if return_kv:
+            kvs.append(kv)
+    x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = jnp.einsum("bsh,vh->bsv", x, params["lm_head"]["weight"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, (kvs if return_kv else None)
+
+
+def forward_hidden(params, embeds, cfg: LLMConfig, *, positions=None,
+                   use_pallas: Optional[bool] = None, compute_dtype=jnp.float32):
+    """Like forward() but returns the final hidden states (no LM head)."""
+    B, S, _ = embeds.shape
+    x = embeds.astype(compute_dtype)
+    cos, sin = rope_table(cfg, cfg.max_position_embeddings)
+    cos_s, sin_s = (cos[:S], sin[:S]) if positions is None else (cos[positions], sin[positions])
+    for lp in params["layers"]:
+        x, _ = _layer_prefill(lp, x, cos_s, sin_s, cfg, use_pallas)
+    return L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+
+
+# ----------------------------------------------------------------------------------
+# KV-cache decode
+# ----------------------------------------------------------------------------------
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.float32):
+    """Per-layer [B, max_len, KVH, hd] caches as a dict pytree."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros((cfg.num_layers,) + shape, dtype),
+            "v": jnp.zeros((cfg.num_layers,) + shape, dtype),
+            "length": jnp.zeros((batch,), jnp.int32)}
+
+
+def prefill_into_cache(cache, kvs, lengths):
+    """Write prefill KV (list of (k [B,S,KVH,hd], v)) into the cache at offset 0."""
+    k_new = jnp.stack([kv[0] for kv in kvs])  # [L, B, S, KVH, hd]
+    v_new = jnp.stack([kv[1] for kv in kvs])
+    S = k_new.shape[2]
+    cache = dict(cache)
+    cache["k"] = cache["k"].at[:, :, :S].set(k_new.astype(cache["k"].dtype))
+    cache["v"] = cache["v"].at[:, :, :S].set(v_new.astype(cache["v"].dtype))
+    cache["length"] = lengths.astype(jnp.int32)
+    return cache
+
+
+def decode_step(params, cache, token_ids, cfg: LLMConfig,
+                compute_dtype=jnp.float32):
+    """One decode step: token_ids [B] -> (logits fp32 [B, V], cache').
+
+    Attention is a masked XLA dot over the cache (bandwidth-bound; one query token,
+    so MXU tiling is irrelevant — HBM streaming of K/V dominates).
+    """
+    B = token_ids.shape[0]
+    hd = cfg.head_dim
+    pos = cache["length"]                               # [B]
+    x = params["embed_tokens"][token_ids][:, None].astype(compute_dtype)  # [B,1,H]
+    cos, sin = rope_table(cfg, cfg.max_position_embeddings)
+    cos_s, sin_s = cos[pos][:, None], sin[pos][:, None]  # [B,1,hd]
+
+    max_len = cache["k"].shape[2]
+    k_cache, v_cache = cache["k"], cache["v"]
+    new_k = []
+    new_v = []
+    for li, lp in enumerate(params["layers"]):
+        h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
+        q = L.linear(lp["q_proj"], h).reshape(B, 1, cfg.num_heads, hd)
+        k = L.linear(lp["k_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
+        v = L.linear(lp["v_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos_s, sin_s)
+        k = apply_rope(k, cos_s, sin_s)
+
+        # insert new kv at position `pos` per batch row
+        bidx = jnp.arange(B)
+        k_li = k_cache[li].at[bidx, pos].set(k[:, 0].astype(k_cache.dtype))
+        v_li = v_cache[li].at[bidx, pos].set(v[:, 0].astype(v_cache.dtype))
+        new_k.append(k_li)
+        new_v.append(v_li)
+
+        group = cfg.num_heads // cfg.num_kv_heads
+        kk = jnp.repeat(k_li.astype(compute_dtype), group, axis=2)  # [B,T,H,hd]
+        vv = jnp.repeat(v_li.astype(compute_dtype), group, axis=2)
+        s = jnp.einsum("bohd,bthd->bhot", q, kk,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        t_idx = jnp.arange(max_len)[None, None, None, :]
+        s = jnp.where(t_idx <= pos[:, None, None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhot,bthd->bohd", p.astype(compute_dtype), vv,
+                       preferred_element_type=jnp.float32).astype(compute_dtype)
+        o = o.reshape(B, 1, cfg.num_heads * hd)
+        x = x + L.linear(lp["o_proj"], o)
+        h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
+        h = _moe(lp, h, cfg) if cfg.num_experts > 0 else _mlp(lp, h)
+        x = x + h
+
+    x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = jnp.einsum("boh,vh->bov", x, params["lm_head"]["weight"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)[:, 0]
+    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v), "length": pos + 1}
+    return logits, cache
