@@ -148,6 +148,16 @@ class SliMEConfig:
         return self.llm.hidden_size
 
     @property
+    def mm_num_heads(self) -> int:
+        # reference derives heads as mm_hidden_size // 128 (builder.py:46); floor at 1
+        # so tiny test configs stay valid
+        return max(1, self.mm_hidden_size // 128)
+
+    @property
+    def llm_num_heads_128(self) -> int:
+        return max(1, self.hidden_size // 128)
+
+    @property
     def has_sampler(self) -> bool:
         # reference: llava_arch.py:38-39
         return self.mm_resampler_type not in (None, "identity", "spatial")

@@ -56,7 +56,7 @@ def init(rng, cfg: SliMEConfig) -> Dict:
     if ptype == "qformer":
         return {"resampler": resampler.init(
                     k1, grid_size=24, embed_dim=cfg.mm_hidden_size,
-                    num_heads=cfg.mm_hidden_size // 128, kv_dim=cfg.mm_hidden_size,
+                    num_heads=cfg.mm_num_heads, kv_dim=cfg.mm_hidden_size,
                     llm_hidden_size=cfg.hidden_size)}
     if ptype == "gated":
         return {
@@ -65,7 +65,7 @@ def init(rng, cfg: SliMEConfig) -> Dict:
             # expert 1: attention adapter (Resampler at grid 24, builder.py:43-50)
             "attn": resampler.init(
                 k2, grid_size=24, embed_dim=cfg.mm_hidden_size,
-                num_heads=cfg.mm_hidden_size // 128, kv_dim=cfg.mm_hidden_size,
+                num_heads=cfg.mm_num_heads, kv_dim=cfg.mm_hidden_size,
                 llm_hidden_size=cfg.hidden_size, use_post_proj=False),
             "w_gate": jnp.zeros((cfg.mm_hidden_size, 2), jnp.float32),
             "w_noise": jnp.zeros((cfg.mm_hidden_size, 2), jnp.float32),
@@ -118,7 +118,7 @@ def apply(params, x, *, cfg: SliMEConfig, training: bool = False,
         return _mlp_apply(params["mlp"], x)
     if t == "qformer":
         return resampler.apply(params["resampler"], x,
-                               num_heads=cfg.mm_hidden_size // 128)
+                               num_heads=cfg.mm_num_heads)
     assert t == "gated"
     if x.shape[1] != 576:
         return _mlp_apply(params["projection"], x)
@@ -126,7 +126,7 @@ def apply(params, x, *, cfg: SliMEConfig, training: bool = False,
     learnable = cfg.mm_learnable_gated
     if learnable == 0:
         return _mlp_apply(params["projection"], x)
-    att = resampler.apply(params["attn"], x, num_heads=cfg.mm_hidden_size // 128)
+    att = resampler.apply(params["attn"], x, num_heads=cfg.mm_num_heads)
     expert1 = _mlp_apply(params["projection"], att)
     if learnable == 1:
         return expert1

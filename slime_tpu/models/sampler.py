@@ -33,7 +33,7 @@ def init(rng, cfg: SliMEConfig) -> Dict:
     params: Dict = {
         "post_qformer": resampler.init(
             k1, grid_size=grid, embed_dim=cfg.mm_hidden_size,
-            num_heads=cfg.mm_hidden_size // 128, kv_dim=cfg.mm_hidden_size,
+            num_heads=cfg.mm_num_heads, kv_dim=cfg.mm_hidden_size,
             llm_hidden_size=cfg.hidden_size),
     }
     if cfg.mm_resampler_type == "qformer":
@@ -57,7 +57,7 @@ def init(rng, cfg: SliMEConfig) -> Dict:
 def compress(params, crop_feats, *, cfg: SliMEConfig) -> jnp.ndarray:
     """[N, 576, mm_hidden] ViT features -> [N, mm_resampler_dim, mm_hidden]."""
     return resampler.apply(params["post_qformer"], crop_feats,
-                           num_heads=cfg.mm_hidden_size // 128)
+                           num_heads=cfg.mm_num_heads)
 
 
 def _cosine_scores(local_f, text_emb, text_mask) -> jnp.ndarray:
@@ -105,7 +105,7 @@ def select(params, local_f, text_emb, text_mask, token_valid, *, cfg: SliMEConfi
         scores = _cosine_scores(local_f, text_emb, text_mask)
     else:
         scores = _qformer_scores(params["selector"], local_f, text_emb, text_mask,
-                                 num_heads=cfg.hidden_size // 128,
+                                 num_heads=cfg.llm_num_heads_128,
                                  temp=cfg.mm_resampler_temp)
     if training and rng is not None:
         scores = scores + jax.random.normal(rng, scores.shape) * 0.1

@@ -1,0 +1,243 @@
+"""SliME multimodal fusion model: ViT -> gated projector / local compression ->
+text-guided selection -> static-shape token splice -> LLM.
+
+Rebuilds the reference fusion core (llava/model/llava_arch.py:212-459) without its
+per-sample Python loops:
+
+- ``encode_images``: the global view runs the full gated-MoE projector; local crops
+  run the compression layer (post_qformer 576->144) then the projector's MLP expert;
+  text-guided top-p keeps a subset of local tokens (llava_arch.py:212-269). All of it
+  batched over [B * MAX_CROPS] with crop masks — no ragged lists.
+- ``splice``: the reference splits each sample at IMAGE_TOKEN_INDEX (-200), embeds
+  text, concatenates image features, pads to batch max (llava_arch.py:274-459). Here
+  the expanded sequence [text-before | image-block | text-after] is built by a
+  vectorized gather, invalid slots (unselected local tokens, the sentinel, padding)
+  are dropped by a cumsum-compaction scatter, and the result is truncated to the
+  static ``tokenizer_model_max_length``. One XLA program, any batch.
+
+Token budget: T_img = 576 (global) + 1 (separator) + max_local_crops * 144 (local).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SliMEConfig
+from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from . import llama, projector, sampler, vit
+
+
+class FusedBatch(NamedTuple):
+    embeds: jnp.ndarray      # [B, L, H]
+    attn_mask: jnp.ndarray   # [B, L] bool (right-aligned contiguous)
+    positions: jnp.ndarray   # [B, L] int32
+    labels: jnp.ndarray      # [B, L] int32 (IGNORE_INDEX on image/pad slots)
+    lengths: jnp.ndarray     # [B] int32 valid lengths
+
+
+def init(rng, cfg: SliMEConfig) -> Dict:
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    params = {
+        "vision": vit.init(k1, cfg.vision),
+        "projector": projector.init(k2, cfg),
+        "llm": llama.init(k4, cfg.llm),
+    }
+    if cfg.has_sampler:
+        params["sampler"] = sampler.init(k3, cfg)
+    return params
+
+
+def image_token_budget(cfg: SliMEConfig) -> int:
+    n_global = cfg.vision.num_patches
+    return n_global + 1 + cfg.max_local_crops * cfg.mm_resampler_dim
+
+
+def _text_embeds_for_selector(params, input_ids, attention_mask):
+    """Embeddings/mask of the text with the image sentinel masked out.
+
+    The reference physically removes the sentinel and re-pads
+    (get_pure_text_embedding, llava_arch.py:162-210); both selector variants are
+    permutation-invariant over masked keys, so masking is equivalent.
+    """
+    is_img = input_ids == IMAGE_TOKEN_INDEX
+    safe_ids = jnp.where(is_img, 0, input_ids)
+    emb = llama.embed(params["llm"], safe_ids)
+    mask = attention_mask.astype(bool) & ~is_img
+    return emb, mask
+
+
+def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
+                  input_ids, attention_mask, *, training: bool = False,
+                  rng: Optional[jax.Array] = None,
+                  compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (img_embeds [B, T_img, H], img_valid [B, T_img]).
+
+    pixel_values [B, MC, 3, t, t]; crop_mask [B, MC] (slot 0 = global view).
+    """
+    B, MC = pixel_values.shape[:2]
+    n_local_crops = MC - 1
+    P = cfg.vision.num_patches
+    dim = cfg.mm_resampler_dim
+
+    feats = vit.apply(params["vision"],
+                      pixel_values.reshape(B * MC, *pixel_values.shape[2:])
+                      .astype(compute_dtype),
+                      cfg.vision)                     # [B*MC, P, mm]
+    feats = feats.reshape(B, MC, P, -1)
+
+    # Global path: full gated projector (llava_arch.py:224)
+    global_f = projector.apply(params["projector"], feats[:, 0], cfg=cfg,
+                               training=training, rng=rng)          # [B, P, H]
+
+    # Local path: compression 576->dim, then projector (MLP expert)
+    local = feats[:, 1:].reshape(B * n_local_crops, P, -1)
+    local_c = sampler.compress(params["sampler"], local, cfg=cfg)   # [B*nc, dim, mm]
+    local_p = projector.apply(params["projector"], local_c, cfg=cfg,
+                              training=training, rng=rng)           # [B*nc, dim, H]
+    local_p = local_p.reshape(B, n_local_crops * dim, -1)
+    token_valid = jnp.repeat(crop_mask[:, 1:].astype(bool), dim, axis=1)  # [B, nc*dim]
+
+    # Text-guided top-p selection per sample (llava_arch.py:248)
+    text_emb, text_mask = _text_embeds_for_selector(params, input_ids, attention_mask)
+    sel_rngs = (jax.random.split(rng, B) if (training and rng is not None)
+                else jnp.zeros((B, 2), jnp.uint32))
+
+    def _sel(lf, te, tm, tv, r):
+        keep, _ = sampler.select(params["sampler"], lf, te, tm, tv, cfg=cfg,
+                                 training=training,
+                                 rng=r if training and rng is not None else None)
+        return keep
+
+    keep = jax.vmap(_sel)(local_p, text_emb, text_mask, token_valid, sel_rngs)
+
+    sep = llama.embed(params["llm"], jnp.full((B, 1), cfg.seperator, jnp.int32))
+    img_embeds = jnp.concatenate(
+        [global_f.astype(compute_dtype), sep.astype(compute_dtype),
+         local_p.astype(compute_dtype)], axis=1)      # [B, T_img, H]
+
+    ones = jnp.ones((B, 1), bool)
+    if cfg.use_global_only:
+        img_valid = jnp.concatenate(
+            [jnp.ones((B, P), bool), jnp.zeros((B, 1), bool),
+             jnp.zeros_like(keep)], axis=1)
+    elif cfg.use_local_only:
+        img_valid = jnp.concatenate(
+            [jnp.zeros((B, P), bool), jnp.zeros((B, 1), bool), keep], axis=1)
+    else:
+        img_valid = jnp.concatenate([jnp.ones((B, P), bool), ones, keep], axis=1)
+    return img_embeds, img_valid
+
+
+def _splice_one(text_emb, text_valid, text_labels, img_emb, img_valid, img_pos,
+                *, max_len: int):
+    """Single-sample splice + compaction (vmapped over batch).
+
+    text_emb [S, H]; img_emb [T, H]; img_pos scalar (index of sentinel, or S).
+    Output length max_len; right-padded.
+    """
+    S, H = text_emb.shape
+    T = img_emb.shape[0]
+    E = S + T
+
+    e = jnp.arange(E)
+    in_img = (e >= img_pos) & (e < img_pos + T)
+    after = e >= img_pos + T
+    # gather source index into concat([text, img]) of length S+T
+    src = jnp.where(in_img, S + (e - img_pos),
+                    jnp.where(after, e - T, e))
+    src = jnp.clip(src, 0, E - 1)
+
+    full_emb = jnp.concatenate([text_emb, img_emb], axis=0)        # [E, H]
+    full_valid = jnp.concatenate([text_valid, img_valid], axis=0)
+    full_labels = jnp.concatenate(
+        [text_labels, jnp.full((T,), IGNORE_INDEX, text_labels.dtype)], axis=0)
+
+    emb_ext = full_emb[src]
+    valid_ext = full_valid[src]
+    lab_ext = full_labels[src]
+
+    # compact: valid slots move to prefix positions, preserving order
+    tgt = jnp.cumsum(valid_ext) - 1
+    tgt = jnp.where(valid_ext, tgt, max_len)  # dropped (also catches overflow > max_len)
+    tgt = jnp.where(tgt >= max_len, max_len, tgt)
+
+    out_emb = jnp.zeros((max_len + 1, H), emb_ext.dtype).at[tgt].set(emb_ext)[:max_len]
+    out_lab = jnp.full((max_len + 1,), IGNORE_INDEX, lab_ext.dtype).at[tgt].set(lab_ext)[:max_len]
+    length = jnp.minimum(jnp.sum(valid_ext), max_len)
+    mask = jnp.arange(max_len) < length
+    out_lab = jnp.where(mask, out_lab, IGNORE_INDEX)
+    positions = jnp.arange(max_len, dtype=jnp.int32)
+    return out_emb, mask, positions, out_lab, length.astype(jnp.int32)
+
+
+def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
+                       pixel_values, crop_mask, labels=None, *,
+                       training: bool = False, rng: Optional[jax.Array] = None,
+                       max_len: Optional[int] = None,
+                       compute_dtype=jnp.float32) -> FusedBatch:
+    """Full fusion: encode images + splice into the token stream.
+
+    input_ids [B, S] with IMAGE_TOKEN_INDEX sentinels; labels [B, S] or None.
+    """
+    B, S = input_ids.shape
+    if max_len is None:
+        max_len = cfg.tokenizer_model_max_length
+
+    img_embeds, img_valid = encode_images(
+        params, cfg, pixel_values, crop_mask, input_ids, attention_mask,
+        training=training, rng=rng, compute_dtype=compute_dtype)
+
+    is_img = input_ids == IMAGE_TOKEN_INDEX
+    safe_ids = jnp.where(is_img, 0, input_ids)
+    text_emb = llama.embed(params["llm"], safe_ids).astype(compute_dtype)
+    text_valid = attention_mask.astype(bool) & ~is_img
+    if labels is None:
+        labels = jnp.full_like(input_ids, IGNORE_INDEX)
+    text_labels = jnp.where(is_img, IGNORE_INDEX, labels)
+
+    has_img = jnp.any(is_img, axis=1)
+    first_img = jnp.argmax(is_img, axis=1)
+    img_pos = jnp.where(has_img, first_img, S)
+    # samples without an image keep a zero image block that compacts away
+    img_valid = img_valid & has_img[:, None]
+
+    out = jax.vmap(functools.partial(_splice_one, max_len=max_len))(
+        text_emb, text_valid, text_labels, img_embeds, img_valid, img_pos)
+    return FusedBatch(*out)
+
+
+def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
+            crop_mask, labels=None, *, training: bool = False,
+            rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
+            compute_dtype=jnp.float32):
+    """End-to-end forward. Returns (logits [B, L, V] fp32, FusedBatch)."""
+    fused = prepare_multimodal(params, cfg, input_ids, attention_mask,
+                               pixel_values, crop_mask, labels,
+                               training=training, rng=rng,
+                               compute_dtype=compute_dtype)
+    logits, _ = llama.forward(params["llm"], fused.embeds, cfg.llm,
+                              positions=fused.positions, use_pallas=use_pallas,
+                              compute_dtype=compute_dtype)
+    return logits, fused
+
+
+def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
+            rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
+            compute_dtype=jnp.float32):
+    """Next-token cross entropy with IGNORE_INDEX masking (HF shift semantics)."""
+    logits, fused = forward(params, cfg, batch["input_ids"], batch["attention_mask"],
+                            batch["pixel_values"], batch["crop_mask"],
+                            batch.get("labels"), training=training, rng=rng,
+                            use_pallas=use_pallas, compute_dtype=compute_dtype)
+    shift_logits = logits[:, :-1]
+    shift_labels = fused.labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, nll, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count, {"n_target_tokens": count}
