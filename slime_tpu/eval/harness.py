@@ -1,0 +1,133 @@
+"""Evaluation generation driver: chunked question files -> answers jsonl.
+
+Rebuilds the reference per-benchmark drivers (llava/eval/model_vqa_loader.py and
+variants, SURVEY.md §2.29): dataset chunking for embarrassingly-parallel eval
+(``--num-chunks/--chunk-idx``, model_vqa_loader.py:19-27), conversation-template
+prompting, anyres preprocessing, greedy generation, and the unchanged answers-jsonl
+format so the reference's converters/scorers consume our outputs directly.
+
+TPU twist: questions are batched (the reference runs bs=1) — prompts are padded into
+fixed-shape batches so one compiled program serves the whole run.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from .. import conversation as conv_lib
+from ..config import SliMEConfig
+from ..constants import DEFAULT_IMAGE_TOKEN
+from ..data.image_ops import process_anyres_image_host
+from ..data.tokenization import tokenizer_image_token
+
+
+def split_list(lst: List, n: int) -> List[List]:
+    """Split into n roughly-equal chunks (ceil-sized, reference semantics)."""
+    size = math.ceil(len(lst) / n)
+    return [lst[i:i + size] for i in range(0, len(lst), size)]
+
+
+def get_chunk(lst: List, n: int, k: int) -> List:
+    return split_list(lst, n)[k]
+
+
+def load_questions(path: str) -> List[Dict]:
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_prompt(question: str, conv_mode: str, *, mm_use_im_start_end: bool = False,
+                 single_pred_prompt: bool = False) -> str:
+    qs = question
+    if DEFAULT_IMAGE_TOKEN not in qs:
+        qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+    if mm_use_im_start_end:
+        qs = qs.replace(DEFAULT_IMAGE_TOKEN,
+                        "<im_start>" + DEFAULT_IMAGE_TOKEN + "<im_end>")
+    if single_pred_prompt:
+        qs += "\nAnswer the question using a single word or phrase."
+    conv = conv_lib.conv_templates[conv_mode].copy()
+    conv.append_message(conv.roles[0], qs)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()
+
+
+def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
+             image_folder: str, answers_file: str, conv_mode: str,
+             model_id: str = "slime-tpu", batch_size: int = 4,
+             max_new_tokens: int = 128, temperature: float = 0.0,
+             seq_len: int = 256, question_key: str = "text",
+             single_pred_prompt: bool = False,
+             compute_dtype=None, progress: bool = True) -> str:
+    """Generate answers for a question chunk; returns the answers file path."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..generate import generate, trim_at_eos
+
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+    MC = 1 + cfg.max_local_crops
+    t_sz = cfg.vision.image_size
+
+    with open(answers_file, "w") as out:
+        for s in range(0, len(questions), batch_size):
+            chunk = questions[s:s + batch_size]
+            B = len(chunk)
+            ids_list, pix, cmask = [], [], []
+            for q in chunk:
+                prompt = build_prompt(q[question_key], conv_mode,
+                                      single_pred_prompt=single_pred_prompt)
+                ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
+                ids_list.append(ids[:seq_len])
+                img = Image.open(os.path.join(image_folder, q["image"])).convert("RGB")
+                crops, m, _ = process_anyres_image_host(img, tile=t_sz, max_crops=MC)
+                pix.append(crops)
+                cmask.append(m)
+
+            S = max(len(i) for i in ids_list)
+            input_ids = np.zeros((B, S), np.int32)
+            attn = np.zeros((B, S), bool)
+            for b, ids in enumerate(ids_list):
+                input_ids[b, :len(ids)] = ids
+                attn[b, :len(ids)] = True
+
+            toks = generate(params, cfg, jnp.asarray(input_ids), jnp.asarray(attn),
+                            jnp.asarray(np.stack(pix)), jnp.asarray(np.stack(cmask)),
+                            max_new_tokens=max_new_tokens, temperature=temperature,
+                            compute_dtype=compute_dtype)
+            for b, q in enumerate(chunk):
+                ids = trim_at_eos(np.asarray(toks)[b:b + 1], cfg.eos_token_id)[0]
+                text = tokenizer.decode(ids, skip_special_tokens=True).strip()
+                out.write(json.dumps({
+                    "question_id": q.get("question_id", q.get("id", s + b)),
+                    "prompt": q[question_key],
+                    "text": text,
+                    "answer_id": uuid.uuid4().hex[:22],
+                    "model_id": model_id,
+                    "metadata": {},
+                }) + "\n")
+            if progress:
+                print(f"[eval] {min(s + B, len(questions))}/{len(questions)}",
+                      flush=True)
+    return answers_file
+
+
+def merge_chunks(chunk_files: Iterable[str], merged_file: str) -> str:
+    """Concatenate per-chunk answer files (the reference's `cat` step,
+    scripts/llama/eval/textvqa.sh:31-40)."""
+    with open(merged_file, "w") as out:
+        for cf in chunk_files:
+            with open(cf) as f:
+                out.write(f.read())
+    return merged_file
