@@ -55,6 +55,8 @@ def main():
     img = jnp.asarray(np.random.default_rng(0).integers(0, 255, (H, W, 3), np.uint8))
 
     # warmup / compile
+    import sys
+    print("compiling...", file=sys.stderr, flush=True)
     out = fn(img)
     jax.block_until_ready(out)
     n_real_crops = MC  # full stack encoded each call (padded slots included)

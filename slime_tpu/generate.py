@@ -120,6 +120,85 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
     return tokens
 
 
+def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_mask,
+                    pixel_values=None, crop_mask=None, *,
+                    max_new_tokens: int = 256, temperature: float = 0.0,
+                    top_p: float = 1.0, rng: Optional[jax.Array] = None,
+                    stop_strings=(), chunk: int = 16,
+                    compute_dtype=jnp.float32):
+    """Streaming generation for serving: decode in jitted chunks, yield the text so
+    far after each chunk (TextIteratorStreamer semantics without per-token host
+    syncs). Single-sample (B == 1). Stops on EOS or any stop string.
+    """
+    from .data.tokenization import StopStringMatcher
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    eos_id = cfg.eos_token_id
+    matcher = StopStringMatcher(stop_strings, tokenizer) if stop_strings else None
+
+    if pixel_values is not None:
+        fused = slime.prepare_multimodal(
+            params, cfg, input_ids, attention_mask, pixel_values, crop_mask,
+            training=False, compute_dtype=compute_dtype)
+        embeds, positions, lengths = fused.embeds, fused.positions, fused.lengths
+    else:
+        embeds = llama.embed(params["llm"], jnp.where(input_ids < 0, 0, input_ids)
+                             ).astype(compute_dtype)
+        lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+        positions = None
+
+    logits, kvs = llama.forward(params["llm"], embeds, cfg.llm,
+                                positions=positions, return_kv=True,
+                                compute_dtype=compute_dtype)
+    cache = llama.init_kv_cache(cfg.llm, embeds.shape[0],
+                                embeds.shape[1] + max_new_tokens + 1,
+                                dtype=compute_dtype)
+    cache = llama.prefill_into_cache(cache, kvs, lengths)
+    idx = jnp.maximum(lengths - 1, 0)
+    last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    rng, sub = jax.random.split(rng)
+    cur = sample_token(sub, last_logits, temperature=temperature, top_p=top_p)
+
+    # _decode_loop emits its first_token at index 0 and feeds it to the model as it
+    # samples the rest; the chunk's last token is sampled but not yet consumed, so
+    # it seeds the next chunk (and is skipped on re-emission).
+    generated = []
+    done = False
+    first_chunk = True
+    while len(generated) < max_new_tokens and not done:
+        n = min(chunk, max_new_tokens - len(generated)) + (0 if first_chunk else 1)
+        toks, cache = _decode_loop(params["llm"], cache, cur, rng,
+                                   jnp.asarray(eos_id, jnp.int32), cfg=cfg,
+                                   max_new_tokens=n, temperature=temperature,
+                                   top_p=top_p, compute_dtype=compute_dtype)
+        rng, _ = jax.random.split(rng)
+        row = np.asarray(toks)[0].tolist()
+        if not first_chunk:
+            row = row[1:]
+        first_chunk = False
+        for t in row:
+            if t == eos_id:
+                done = True
+                break
+            generated.append(int(t))
+            if len(generated) >= max_new_tokens:
+                break
+        if not generated:
+            break
+        cur = jnp.asarray([generated[-1]], jnp.int32)
+        text = tokenizer.decode(generated, skip_special_tokens=True)
+        if matcher is not None and matcher(generated):
+            text = matcher.trim(text)
+            done = True
+        yield text
+        if done:
+            break
+
+
+import numpy as np  # noqa: E402  (used by generate_stream host loop)
+
+
 def trim_at_eos(tokens, eos_id: int):
     """[B, T] numpy -> list of python lists cut before the first EOS."""
     import numpy as np

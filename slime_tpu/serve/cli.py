@@ -1,0 +1,89 @@
+"""Interactive CLI chat (llava/serve/cli.py:27-127 rebuild): load checkpoint, infer
+the conversation mode from the model name, stream tokens to stdout."""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from .. import checkpoint as ckpt
+    from ..config import SliMEConfig
+    from ..conversation import conv_mode_from_model_name, conv_templates
+    from ..constants import DEFAULT_IMAGE_TOKEN
+    from ..data.image_ops import process_anyres_image_host
+    from ..data.tokenization import get_model_name_from_path, tokenizer_image_token
+    from ..generate import generate_stream
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--model-base", default=None)
+    ap.add_argument("--image-file", default=None)
+    ap.add_argument("--conv-mode", default=None)
+    ap.add_argument("--temperature", type=float, default=0.2)
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--debug", action="store_true")
+    args = ap.parse_args()
+
+    from transformers import AutoTokenizer
+    cfg = SliMEConfig.load(args.model_path)
+    params = ckpt.to_jax(ckpt.load_pretrained(args.model_path,
+                                              model_base=args.model_base, cfg=cfg),
+                         dtype=jnp.bfloat16)
+    tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
+
+    model_name = get_model_name_from_path(args.model_path)
+    conv_mode = args.conv_mode or conv_mode_from_model_name(model_name)
+    conv = conv_templates[conv_mode].copy()
+
+    pix = cmask = None
+    image_pending = args.image_file is not None
+    if image_pending:
+        img = Image.open(args.image_file).convert("RGB")
+        crops, mask, _ = process_anyres_image_host(
+            img, tile=cfg.vision.image_size, max_crops=1 + cfg.max_local_crops)
+        pix = jnp.asarray(crops[None])
+        cmask = jnp.asarray(mask[None])
+
+    while True:
+        try:
+            inp = input(f"{conv.roles[0]}: ")
+        except EOFError:
+            break
+        if not inp:
+            break
+        if image_pending:
+            inp = DEFAULT_IMAGE_TOKEN + "\n" + inp
+            image_pending = False
+        conv.append_message(conv.roles[0], inp)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+
+        ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
+        input_ids = jnp.asarray(ids[None])
+        attn = jnp.ones((1, len(ids)), bool)
+
+        print(f"{conv.roles[1]}: ", end="", flush=True)
+        out_text = ""
+        stop = conv.sep2 if conv.sep2 else conv.sep
+        for text in generate_stream(params, cfg, tokenizer, input_ids, attn,
+                                    pix, cmask,
+                                    max_new_tokens=args.max_new_tokens,
+                                    temperature=args.temperature,
+                                    stop_strings=[stop] if stop else [],
+                                    compute_dtype=jnp.bfloat16):
+            print(text[len(out_text):], end="", flush=True)
+            out_text = text
+        print()
+        conv.messages[-1][1] = out_text
+        if args.debug:
+            print({"prompt": prompt, "outputs": out_text})
+
+
+if __name__ == "__main__":
+    main()
