@@ -1,0 +1,138 @@
+"""LoRA: low-rank adapters as explicit factored params in the pytree.
+
+Replaces PEFT (SURVEY.md §2.12; reference wires LoRA at train.py:1036-1052 with
+r/alpha/dropout/target auto-discovery, and merges at load via PEFT,
+model/builder.py:52-91). JAX-native design: adapters live in a separate
+``lora`` subtree {path -> {"A": [r, in], "B": [out, r]}}; the base weight stays
+frozen and the effective weight is W + (alpha/r) * B @ A, applied functionally so
+the same forward code runs with or without adapters.
+
+Checkpoint compatibility: export/import of PEFT-style key names
+(base_model.model.<path>.lora_A.weight / lora_B.weight) plus the reference's
+``non_lora_trainables.bin`` split (train.py:1185-1196).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_TARGETS = (r"llm/layers/\d+/(q|k|v|o)_proj$",
+                   r"llm/layers/\d+/(gate|up|down)_proj$")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def find_linear_targets(params, patterns: Sequence[str] = DEFAULT_TARGETS) -> List[str]:
+    """Paths of linear param dicts matching the target patterns (the reference's
+    find_all_linear_names walks Linear modules; here: dicts with a 2-D 'weight')."""
+    out = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "weight" in node and np.ndim(node["weight"]) == 2:
+                s = "/".join(path)
+                if any(re.search(p, s) for p in patterns):
+                    out.append(s)
+            for k, v in node.items():
+                walk(v, path + [str(k)])
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + [str(i)])
+
+    walk(params, [])
+    return sorted(out)
+
+
+def init_lora(rng, params, *, r: int = 128, alpha: int = 256,
+              targets: Sequence[str] = DEFAULT_TARGETS) -> Dict:
+    """{"rank": r, "alpha": alpha, "adapters": {path: {"A", "B"}}}."""
+    paths = find_linear_targets(params, targets)
+    adapters = {}
+    for i, p in enumerate(paths):
+        w = _get(params, p)["weight"]
+        out_dim, in_dim = w.shape
+        k = jax.random.fold_in(rng, i)
+        adapters[p] = {
+            "A": jax.random.normal(k, (r, in_dim), jnp.float32) * (1.0 / r),
+            "B": jnp.zeros((out_dim, r), jnp.float32),
+        }
+    return {"rank": r, "alpha": alpha, "adapters": adapters}
+
+
+def _get(params, path: str):
+    node = params
+    for part in path.split("/"):
+        node = node[int(part)] if isinstance(node, (list, tuple)) else node[part]
+    return node
+
+
+def _set_weight(params, path: str, w):
+    node = _get(params, path)
+    node["weight"] = w
+
+
+def merge(params, lora_state: Dict):
+    """Return a deep-copied param tree with W <- W + (alpha/r) B@A
+    (the reference's merge_and_unload, scripts/merge_lora_weights.py)."""
+    import copy
+    scale = lora_state["alpha"] / lora_state["rank"]
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-copy leaves
+    out = copy.deepcopy(jax.tree_util.tree_map(np.asarray, out))
+    out = jax.tree_util.tree_map(jnp.asarray, out)
+    for path, ab in lora_state["adapters"].items():
+        w = _get(out, path)["weight"]
+        delta = (ab["B"].astype(jnp.float32) @ ab["A"].astype(jnp.float32)) * scale
+        _set_weight(out, path, (w.astype(jnp.float32) + delta).astype(w.dtype))
+    return out
+
+
+def apply_to_params(params, lora_state: Optional[Dict]):
+    """Functional merge for the forward pass: returns a tree where target weights
+    are W + scale*B@A computed on the fly (differentiable w.r.t. A and B)."""
+    if lora_state is None:
+        return params
+    scale = lora_state["alpha"] / lora_state["rank"]
+
+    # rebuild the tree, swapping target weights
+    def rebuild(node, path):
+        if isinstance(node, dict):
+            s = "/".join(path)
+            if s in lora_state["adapters"] and "weight" in node:
+                ab = lora_state["adapters"][s]
+                delta = (ab["B"] @ ab["A"]) * scale
+                new = dict(node)
+                new["weight"] = node["weight"] + delta.astype(node["weight"].dtype)
+                return new
+            return {k: rebuild(v, path + [str(k)]) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rebuild(v, path + [str(i)]) for i, v in enumerate(node)]
+        return node
+
+    return rebuild(params, [])
+
+
+def export_peft(lora_state: Dict) -> Dict[str, np.ndarray]:
+    """PEFT-style state dict for interchange with reference checkpoints."""
+    out = {}
+    for path, ab in lora_state["adapters"].items():
+        key = "base_model.model." + path.replace("/", ".")
+        out[f"{key}.lora_A.weight"] = np.asarray(ab["A"])
+        out[f"{key}.lora_B.weight"] = np.asarray(ab["B"])
+    return out
+
+
+def import_peft(sd: Dict[str, np.ndarray], *, r: int, alpha: int) -> Dict:
+    adapters: Dict = {}
+    for k, v in sd.items():
+        m = re.match(r"base_model\.model\.(.+)\.lora_([AB])\.weight", k)
+        if not m:
+            continue
+        path = m.group(1).replace(".", "/")
+        adapters.setdefault(path, {})[m.group(2)] = jnp.asarray(v)
+    return {"rank": r, "alpha": alpha, "adapters": adapters}
