@@ -43,15 +43,18 @@ def main():
 
     MC = 1 + cfg.max_local_crops
 
-    def encode(img_u8):
+    def encode(vp, pp, sp, img_u8):
         crops, mask = pre(img_u8)                        # [MC, 3, 336, 336]
-        feats = vit.apply(vparams, crops.astype(jnp.bfloat16), cfg.vision)
-        g = proj_mod.apply(pparams, feats[:1], cfg=cfg)  # gated MoE on global view
-        lc = samp_mod.compress(sparams, feats[1:], cfg=cfg)
-        lp = proj_mod.apply(pparams, lc, cfg=cfg)
+        feats = vit.apply(vp, crops.astype(jnp.bfloat16), cfg.vision)
+        g = proj_mod.apply(pp, feats[:1], cfg=cfg)       # gated MoE on global view
+        lc = samp_mod.compress(sp, feats[1:], cfg=cfg)
+        lp = proj_mod.apply(pp, lc, cfg=cfg)
         return g.sum() + lp.sum(), mask.sum()
 
-    fn = jax.jit(encode)
+    # params passed as jit arguments (NOT closure constants — closures would embed
+    # the weights as XLA literals and stall compilation)
+    enc = jax.jit(encode)
+    fn = lambda img: enc(vparams, pparams, sparams, img)
     img = jnp.asarray(np.random.default_rng(0).integers(0, 255, (H, W, 3), np.uint8))
 
     # warmup / compile

@@ -275,6 +275,183 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
     return params
 
 
+# ----------------------------------------------------------------------------------
+# Export: our pytrees -> reference-compatible state dicts / files.
+# ----------------------------------------------------------------------------------
+
+def _flat(prefix: str, p: Dict, out: Dict[str, np.ndarray]) -> None:
+    for k, v in p.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            _flat(key, v, out)
+        elif isinstance(v, (list, tuple)):
+            for i, vi in enumerate(v):
+                if isinstance(vi, dict):
+                    _flat(f"{key}.{i}", vi, out)
+                else:
+                    out[f"{key}.{i}"] = np.asarray(vi)
+        else:
+            out[key] = np.asarray(v)
+
+
+def export_resampler(p: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    out[f"{prefix}pos_embed"] = np.asarray(p["pos_embed"])
+    out[f"{prefix}query"] = np.asarray(p["query"])
+    for name in ("attn", "self_attn"):
+        if name in p:
+            out[f"{prefix}{name}.in_proj_weight"] = np.asarray(p[name]["in_proj_weight"])
+            out[f"{prefix}{name}.in_proj_bias"] = np.asarray(p[name]["in_proj_bias"])
+            out[f"{prefix}{name}.out_proj.weight"] = np.asarray(p[name]["out_proj"]["weight"])
+            out[f"{prefix}{name}.out_proj.bias"] = np.asarray(p[name]["out_proj"]["bias"])
+    for ln in ("ln_q", "ln_kv", "ln_post"):
+        out[f"{prefix}{ln}.weight"] = np.asarray(p[ln]["weight"])
+        out[f"{prefix}{ln}.bias"] = np.asarray(p[ln]["bias"])
+    if "kv_proj" in p:
+        out[f"{prefix}kv_proj.weight"] = np.asarray(p["kv_proj"]["weight"])
+    if "proj" in p:
+        out[f"{prefix}proj.weight"] = np.asarray(p["proj"]["weight"])
+        out[f"{prefix}proj.bias"] = np.asarray(p["proj"]["bias"])
+    return out
+
+
+def export_projector(p: Dict, cfg: SliMEConfig,
+                     prefix: str = "model.mm_projector.") -> Dict[str, np.ndarray]:
+    t = cfg.mm_projector_type
+    out: Dict[str, np.ndarray] = {}
+    if t == "linear":
+        out[f"{prefix}weight"] = np.asarray(p["proj"]["weight"])
+        out[f"{prefix}bias"] = np.asarray(p["proj"]["bias"])
+        return out
+    m = re.match(r"^mlp(\d+)x_gelu$", t)
+    if m:
+        for i, lp in enumerate(p["mlp"]["layers"]):
+            out[f"{prefix}{2 * i}.weight"] = np.asarray(lp["weight"])
+            out[f"{prefix}{2 * i}.bias"] = np.asarray(lp["bias"])
+        return out
+    if t == "qformer":
+        return export_resampler(p["resampler"], prefix)
+    assert t == "gated"
+    for i, lp in enumerate(p["projection"]["layers"]):
+        out[f"{prefix}projection.{2 * i}.weight"] = np.asarray(lp["weight"])
+        out[f"{prefix}projection.{2 * i}.bias"] = np.asarray(lp["bias"])
+    out.update(export_resampler(p["attn"], f"{prefix}attn."))
+    out[f"{prefix}w_gate"] = np.asarray(p["w_gate"])
+    out[f"{prefix}w_noise"] = np.asarray(p["w_noise"])
+    return out
+
+
+def export_sampler(p: Dict, cfg: SliMEConfig,
+                   prefix: str = "model.sampler.") -> Dict[str, np.ndarray]:
+    out = export_resampler(p["post_qformer"], f"{prefix}post_qformer.")
+    if "selector" in p:
+        sel = p["selector"]
+        sp = f"{prefix}selector."
+        out[f"{sp}query"] = np.asarray(sel["query"])
+        for name in ("self_attn", "cross_attn"):
+            out[f"{sp}{name}.in_proj_weight"] = np.asarray(sel[name]["in_proj_weight"])
+            out[f"{sp}{name}.in_proj_bias"] = np.asarray(sel[name]["in_proj_bias"])
+            out[f"{sp}{name}.out_proj.weight"] = np.asarray(sel[name]["out_proj"]["weight"])
+            out[f"{sp}{name}.out_proj.bias"] = np.asarray(sel[name]["out_proj"]["bias"])
+        for ln in ("ln_q", "ln_kv", "ln_post"):
+            out[f"{sp}{ln}.weight"] = np.asarray(sel[ln]["weight"])
+            out[f"{sp}{ln}.bias"] = np.asarray(sel[ln]["bias"])
+        out[f"{sp}prob_proj.0.weight"] = np.asarray(sel["prob_proj"]["fc1"]["weight"])
+        out[f"{sp}prob_proj.0.bias"] = np.asarray(sel["prob_proj"]["fc1"]["bias"])
+        out[f"{sp}prob_proj.2.weight"] = np.asarray(sel["prob_proj"]["fc2"]["weight"])
+        out[f"{sp}prob_proj.2.bias"] = np.asarray(sel["prob_proj"]["fc2"]["bias"])
+    return out
+
+
+def export_llama(p: Dict, cfg: LLMConfig, prefix: str = "model.") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    out[f"{prefix}embed_tokens.weight"] = np.asarray(p["embed_tokens"])
+    out[f"{prefix}norm.weight"] = np.asarray(p["norm"]["weight"])
+    for i, lp in enumerate(p["layers"]):
+        b = f"{prefix}layers.{i}"
+        out[f"{b}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"]["weight"])
+        out[f"{b}.post_attention_layernorm.weight"] = np.asarray(
+            lp["post_attention_layernorm"]["weight"])
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            out[f"{b}.self_attn.{nm}.weight"] = np.asarray(lp[nm]["weight"])
+            if "bias" in lp[nm]:
+                out[f"{b}.self_attn.{nm}.bias"] = np.asarray(lp[nm]["bias"])
+        if cfg.num_experts > 0:
+            out[f"{b}.block_sparse_moe.gate.weight"] = np.asarray(lp["gate"]["weight"])
+            for e in range(cfg.num_experts):
+                for wn in ("w1", "w2", "w3"):
+                    out[f"{b}.block_sparse_moe.experts.{e}.{wn}.weight"] = \
+                        np.asarray(lp["experts"][wn][e])
+        else:
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                out[f"{b}.mlp.{nm}.weight"] = np.asarray(lp[nm]["weight"])
+    out["lm_head.weight"] = np.asarray(p["lm_head"]["weight"])
+    return out
+
+
+def export_state_dict(params: Dict, cfg: SliMEConfig) -> Dict[str, np.ndarray]:
+    """Full model -> reference-compatible flat state dict (llava key names)."""
+    sd = export_llama(params["llm"], cfg.llm)
+    sd.update(export_projector(params["projector"], cfg))
+    if "sampler" in params and cfg.has_sampler:
+        sd.update(export_sampler(params["sampler"], cfg))
+    if "vision" in params:
+        v = params["vision"]
+        vp = "model.vision_tower.vision_tower.vision_model."
+        sd[f"{vp}embeddings.class_embedding"] = np.asarray(v["class_embedding"])
+        E = cfg.vision.hidden_size
+        ps = cfg.vision.patch_size
+        sd[f"{vp}embeddings.patch_embedding.weight"] = \
+            np.asarray(v["patch_embedding"]).reshape(E, 3, ps, ps)
+        sd[f"{vp}embeddings.position_embedding.weight"] = \
+            np.asarray(v["position_embedding"])
+        sd[f"{vp}pre_layrnorm.weight"] = np.asarray(v["pre_layernorm"]["weight"])
+        sd[f"{vp}pre_layrnorm.bias"] = np.asarray(v["pre_layernorm"]["bias"])
+        for i, lp in enumerate(v["layers"]):
+            b = f"{vp}encoder.layers.{i}"
+            for nm, ours in (("layer_norm1", "layer_norm1"),
+                             ("layer_norm2", "layer_norm2")):
+                sd[f"{b}.{nm}.weight"] = np.asarray(lp[ours]["weight"])
+                sd[f"{b}.{nm}.bias"] = np.asarray(lp[ours]["bias"])
+            for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[f"{b}.self_attn.{nm}.weight"] = np.asarray(lp[nm]["weight"])
+                sd[f"{b}.self_attn.{nm}.bias"] = np.asarray(lp[nm]["bias"])
+            for nm in ("fc1", "fc2"):
+                sd[f"{b}.mlp.{nm}.weight"] = np.asarray(lp[nm]["weight"])
+                sd[f"{b}.mlp.{nm}.bias"] = np.asarray(lp[nm]["bias"])
+    return sd
+
+
+def save_checkpoint(path: str, params: Dict, cfg: SliMEConfig,
+                    *, adapters_only: bool = False) -> None:
+    """Write a checkpoint directory: config.json + weights.
+
+    adapters_only reproduces the reference's staged-pretrain saves
+    (mm_projector.bin + sampler.bin, llava_trainer.py:248-276) in torch format so
+    the reference can load them unchanged.
+    """
+    os.makedirs(path, exist_ok=True)
+    cfg.save(path)
+    import torch
+
+    def to_torch(sd):
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+    if adapters_only:
+        torch.save(to_torch(export_projector(params["projector"], cfg)),
+                   os.path.join(path, "mm_projector.bin"))
+        if "sampler" in params and cfg.has_sampler:
+            torch.save(to_torch(export_sampler(params["sampler"], cfg)),
+                       os.path.join(path, "sampler.bin"))
+        return
+    sd = export_state_dict(params, cfg)
+    try:
+        from safetensors.torch import save_file
+        save_file(to_torch(sd), os.path.join(path, "model.safetensors"))
+    except ImportError:
+        torch.save(to_torch(sd), os.path.join(path, "pytorch_model.bin"))
+
+
 def to_jax(params, dtype=None):
     """numpy pytree -> jnp arrays (optionally casting floats)."""
     import jax.numpy as jnp

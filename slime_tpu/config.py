@@ -178,6 +178,13 @@ class SliMEConfig:
             "mm_hidden_size": self.mm_hidden_size,
             "mm_vision_select_layer": self.vision.select_layer,
             "mm_vision_select_feature": self.vision.select_feature,
+            "mm_vision_tower": "openai/clip-vit-large-patch14-336",
+            # extra keys (ignored by the reference) so configs are self-contained
+            "mm_vision_image_size": self.vision.image_size,
+            "mm_vision_patch_size": self.vision.patch_size,
+            "mm_vision_num_layers": self.vision.num_layers,
+            "mm_vision_intermediate_size": self.vision.intermediate_size,
+            "mm_vision_num_heads": self.vision.num_heads,
             "use_local_only": self.use_local_only,
             "use_global_only": self.use_global_only,
             "image_aspect_ratio": self.image_aspect_ratio,
@@ -218,6 +225,12 @@ class SliMEConfig:
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
         )
         vision = VisionConfig(
+            image_size=d.get("mm_vision_image_size", 336),
+            patch_size=d.get("mm_vision_patch_size", 14),
+            hidden_size=d.get("mm_hidden_size", 1024),
+            intermediate_size=d.get("mm_vision_intermediate_size", 4096),
+            num_layers=d.get("mm_vision_num_layers", 24),
+            num_heads=d.get("mm_vision_num_heads", 16),
             select_layer=d.get("mm_vision_select_layer", -2),
             select_feature=d.get("mm_vision_select_feature", "patch"),
         )

@@ -1,0 +1,114 @@
+"""Training orchestration: staged SliME training end-to-end.
+
+Rebuilds train() (llava/train/train.py:943-1199) + LLaVATrainer
+(llava_trainer.py:151-303) as one explicit loop:
+
+- model family from config (one parameterized decoder covers llama/vicuna/mistral/
+  mixtral);
+- staged freezing flags identical to the 3-stage pipeline
+  (scripts/llama/llama3_8b_pt.sh / llama3_8b_sft.sh): stage 1 `tune_mm_mlp_adapter
+  + use_global_only + mm_learnable_gated=0`, stage 2 `mm_learnable_gated=1`,
+  stage 3 `use_local_only`, SFT un-frozen under ZeRO-equivalent sharding;
+- separate projector/sampler LR group (mm_projector_lr);
+- periodic checkpointing: full save, or adapter-only (mm_projector.bin +
+  sampler.bin) during staged pretrain, plus LoRA split saves;
+- metrics logging (loss/grad-norm/step-time/tokens-per-sec) to stdout + jsonl.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from .. import checkpoint as ckpt_lib
+from ..config import SliMEConfig
+from ..parallel import mesh as mesh_lib
+from .optim import TrainConfig
+from .step import init_train_state, make_train_step
+
+
+@dataclasses.dataclass
+class RunConfig:
+    output_dir: str = "./out"
+    save_steps: int = 1000
+    log_steps: int = 10
+    max_steps: Optional[int] = None
+    seed: int = 3407                      # reference fixed seed (train.py:1202-1213)
+    adapters_only_save: bool = False      # staged pretrain: mm_projector/sampler only
+    resume_from: Optional[str] = None
+
+
+class Trainer:
+    def __init__(self, params, cfg: SliMEConfig, tc: TrainConfig, rc: RunConfig,
+                 *, mesh=None, compute_dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.tc = tc
+        self.rc = rc
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype or jnp.bfloat16
+        self.state, self.tx = init_train_state(params, tc, mesh=mesh)
+        self.step_fn = make_train_step(cfg, tc, self.tx,
+                                       compute_dtype=self.compute_dtype)
+        self.rng = jax.random.PRNGKey(rc.seed)
+        self.metrics_file = os.path.join(rc.output_dir, "metrics.jsonl")
+        os.makedirs(rc.output_dir, exist_ok=True)
+
+    def train(self, batches: Iterable[Dict]) -> Dict:
+        import jax
+
+        last_log = time.perf_counter()
+        tokens_since = 0
+        step0 = int(self.state["step"])
+        m = {}
+        for batch in batches:
+            step = int(self.state["step"])
+            if self.rc.max_steps is not None and step >= self.rc.max_steps:
+                break
+            if self.mesh is not None:
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+            else:
+                import jax.numpy as jnp
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, m = self.step_fn(self.state, batch, sub)
+            tokens_since += int(np.prod(batch["input_ids"].shape))
+
+            step = int(self.state["step"])
+            if step % self.rc.log_steps == 0:
+                dt = time.perf_counter() - last_log
+                rec = {"step": step, "loss": float(m["loss"]),
+                       "grad_norm": float(m["grad_norm"]),
+                       "tokens_per_sec": tokens_since / max(dt, 1e-9),
+                       "target_tokens": int(m["n_target_tokens"])}
+                print(f"[train] {json.dumps(rec)}", flush=True)
+                with open(self.metrics_file, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                last_log = time.perf_counter()
+                tokens_since = 0
+            if self.rc.save_steps and step % self.rc.save_steps == 0:
+                self.save(os.path.join(self.rc.output_dir, f"checkpoint-{step}"))
+        return {k: float(v) for k, v in m.items()}
+
+    def save(self, path: str) -> None:
+        params = self.params_host()
+        ckpt_lib.save_checkpoint(path, params, self.cfg,
+                                 adapters_only=self.rc.adapters_only_save)
+
+    def params_host(self):
+        import jax
+        return jax.tree_util.tree_map(np.asarray, self.state["params"])
+
+
+def run_stage(params, cfg: SliMEConfig, tc: TrainConfig, rc: RunConfig,
+              batches: Iterable[Dict], *, mesh=None):
+    """Run one training stage and return (final_params, final_metrics)."""
+    tr = Trainer(params, cfg, tc, rc, mesh=mesh)
+    metrics = tr.train(batches)
+    return tr.params_host(), metrics
