@@ -32,7 +32,8 @@ class SupervisedDataset:
     def __init__(self, data_paths: Sequence[str], tokenizer, *,
                  image_folder: str = "", image_aspect_ratio: str = "anyres",
                  conv_version: str = "v1", max_crops: int = MAX_CROPS,
-                 is_multimodal: bool = True, seed: int = 3407):
+                 is_multimodal: bool = True, seed: int = 3407,
+                 use_native_preprocess: bool = True):
         if isinstance(data_paths, str):
             data_paths = [data_paths]
         self.tokenizer = tokenizer
@@ -41,6 +42,7 @@ class SupervisedDataset:
         self.conv_version = conv_version
         self.max_crops = max_crops
         self.is_multimodal = is_multimodal
+        self.use_native_preprocess = use_native_preprocess
 
         datasets = []
         for p in data_paths:
@@ -95,7 +97,9 @@ class SupervisedDataset:
             from PIL import Image
             img = Image.open(os.path.join(self.image_folder, r["image"])).convert("RGB")
             if self.image_aspect_ratio in ("anyres", "any_res"):
-                crops, mask, _ = process_anyres_image_host(img, max_crops=self.max_crops)
+                crops, mask, _ = process_anyres_image_host(
+                    img, max_crops=self.max_crops,
+                    use_native=self.use_native_preprocess)
             else:
                 one = process_pad_image_host(img)
                 crops = np.zeros((self.max_crops,) + one.shape, np.float32)

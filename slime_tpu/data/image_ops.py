@@ -65,14 +65,20 @@ def _resize_pil(img, size: Tuple[int, int], resample=None):
 
 
 def process_anyres_image_host(img, *, tile: int = IMAGE_WIDTH,
-                              max_crops: int = MAX_CROPS
+                              max_crops: int = MAX_CROPS, use_native: bool = False
                               ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
     """PIL image -> (crops [max_crops,3,336,336] float32, crop_mask [max_crops] bool,
     grid (cols, rows)).
 
     crops[0] is the global 336x336 view; crops[1:1+cols*rows] are the local tiles of the
     resize-and-padded image, row-major; the rest are zero-padded with mask False.
+    use_native routes through the C++ library (native/slime_preprocess.cpp) when built.
     """
+    if use_native:
+        from . import native
+        if native.available():
+            arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            return native.anyres_preprocess_native(arr, tile=tile, max_crops=max_crops)
     img = img.convert("RGB")
     best = anyres.select_best_resolution_uhd(img.size, (tile, tile))
     (nw, nh), (px, py) = anyres.resize_and_pad_geometry(img.size, best)
