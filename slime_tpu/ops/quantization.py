@@ -1,0 +1,99 @@
+"""Weight-only quantization: int8 / int4 with per-channel scales.
+
+Replaces bitsandbytes' 4/8-bit quantized load (SURVEY.md §2.12; reference wires it
+at llava/train/train.py:956-972 and model/builder.py:32-41). TPU-native design:
+weights stored as int8 (or int4 packed in int8 pairs) with fp32 per-output-channel
+scales; the matmul dequantizes inline — XLA fuses the scale multiply into the
+dot's epilogue, so HBM traffic drops 2-4x while the MXU still sees bf16 operands.
+
+NF4-style nonuniform quantization is approximated by symmetric int4 + absmax
+scaling (documented deviation; the reference's load path is also lossy).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_weight(w: jnp.ndarray, bits: int = 8) -> Dict:
+    """w [out, in] fp -> {"q": int8 [out, in(/2 for int4)], "scale": [out, 1], "bits"}."""
+    assert bits in (4, 8)
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        # pack two nibbles per int8: even columns in low nibble
+        lo = q[:, 0::2] & 0xF
+        hi = (q[:, 1::2] & 0xF) << 4
+        q = (lo | hi).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32), "bits": bits}
+
+
+def dequantize_weight(qw: Dict) -> jnp.ndarray:
+    q = qw["q"]
+    if qw["bits"] == 4:
+        lo = (q & 0xF).astype(jnp.int8)
+        lo = jnp.where(lo >= 8, lo - 16, lo)
+        hi = ((q >> 4) & 0xF).astype(jnp.int8)
+        hi = jnp.where(hi >= 8, hi - 16, hi)
+        out = jnp.stack([lo, hi], axis=-1).reshape(q.shape[0], -1)
+    else:
+        out = q
+    return out.astype(jnp.float32) * qw["scale"]
+
+
+def quantized_linear(qw: Dict, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """x [..., in] @ dequant(W).T — dequant fused into the matmul epilogue."""
+    w = dequantize_weight(qw).astype(compute_dtype)
+    y = jnp.einsum("...i,oi->...o", x.astype(compute_dtype), w,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def quantize_params(params, bits: int = 8, *, min_size: int = 1 << 16):
+    """Quantize every 2-D weight leaf larger than min_size elements; other leaves
+    pass through. Returns a tree where such leaves become quant dicts."""
+
+    def conv(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim == 2
+                and leaf.size >= min_size
+                and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)):
+            return quantize_weight(jnp.asarray(leaf), bits)
+        return leaf
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return conv(node)
+
+    return walk(params)
+
+
+def dequantize_params(params):
+    """Inverse of quantize_params (for running the standard fp forward)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "q" in node and "scale" in node and "bits" in node:
+                return dequantize_weight(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def quantization_error(w, bits: int = 8) -> float:
+    qw = quantize_weight(jnp.asarray(w), bits)
+    return float(jnp.mean(jnp.abs(dequantize_weight(qw) - jnp.asarray(w, jnp.float32))))

@@ -1,0 +1,57 @@
+"""Weight-only quantization: round-trip error bounds, int4 packing, quantized
+matmul accuracy, whole-tree quantize/dequantize."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slime_tpu.ops import quantization as q
+
+
+def test_int8_roundtrip_error(rng):
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32)) * 0.02
+    err = q.quantization_error(w, bits=8)
+    assert err < 2e-4
+
+
+def test_int4_roundtrip_error(rng):
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32)) * 0.02
+    err = q.quantization_error(w, bits=4)
+    assert err < 5e-3
+
+
+def test_int4_packing_shapes(rng):
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    qw = q.quantize_weight(w, bits=4)
+    assert qw["q"].shape == (64, 64)
+    deq = q.dequantize_weight(qw)
+    assert deq.shape == (64, 128)
+    # column order preserved
+    corr = np.corrcoef(np.asarray(deq).ravel(), np.asarray(w).ravel())[0, 1]
+    assert corr > 0.98
+
+
+def test_quantized_linear_close(rng):
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32)) * 0.05
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    ref = x @ w.T
+    out8 = q.quantized_linear(q.quantize_weight(w, 8), x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref), atol=2e-2)
+    out4 = q.quantized_linear(q.quantize_weight(w, 4), x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref), atol=0.3)
+
+
+def test_tree_quantization(rng):
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.models import slime
+
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    qp = q.quantize_params(params, bits=8, min_size=1024)
+    # embed_tokens (512x128) should be quantized
+    assert "q" in qp["llm"]["embed_tokens"] or hasattr(qp["llm"]["embed_tokens"], "ndim")
+    deq = q.dequantize_params(qp)
+    a = np.asarray(deq["llm"]["layers"][0]["q_proj"]["weight"])
+    b = np.asarray(params["llm"]["layers"][0]["q_proj"]["weight"])
+    assert np.abs(a - b).mean() < 1e-3
