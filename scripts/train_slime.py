@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Training entrypoint CLI.
+
+Rebuilds the argument surface of the reference's ModelArguments / DataArguments /
+TrainingArguments (llava/train/train.py:56-166) + train() orchestration
+(train.py:943-1199) for the TPU stack. One process drives the whole mesh (SPMD);
+there is no per-GPU launcher — the deepspeed CLI's role is played by
+jax.distributed + the (data, fsdp, model) mesh.
+
+Example (stage 1, global-only MLP expert):
+  python scripts/train_slime.py \
+    --model-path ./init_ckpt --data-path pretrain.json --image-folder ./images \
+    --output-dir ./out/stage1 --tune-mm-mlp-adapter --use-global-only \
+    --mm-learnable-gated 0 --learning-rate 1e-3 --version plain
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    # model args (reference ModelArguments)
+    ap.add_argument("--model-path", required=True,
+                    help="checkpoint dir (config.json + weights) or config-only dir")
+    ap.add_argument("--model-base", default=None)
+    ap.add_argument("--version", default="v1",
+                    help="conversation template: plain|v1|llama3|mpt")
+    ap.add_argument("--tune-mm-mlp-adapter", action="store_true")
+    ap.add_argument("--freeze-mm-mlp-adapter", action="store_true")
+    ap.add_argument("--freeze-backbone", action="store_true")
+    ap.add_argument("--mm-learnable-gated", type=int, default=-1)
+    ap.add_argument("--use-global-only", action="store_true")
+    ap.add_argument("--use-local-only", action="store_true")
+    ap.add_argument("--pretrain-mm-mlp-adapter", default=None)
+    ap.add_argument("--pretrain-mm-re-sampler", default=None)
+    # data args
+    ap.add_argument("--data-path", nargs="+", required=True)
+    ap.add_argument("--image-folder", default="")
+    ap.add_argument("--image-aspect-ratio", default="anyres")
+    ap.add_argument("--group-by-modality-length", action="store_true")
+    # training args
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--per-device-batch-size", type=int, default=8)
+    ap.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    ap.add_argument("--num-train-epochs", type=int, default=1)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--learning-rate", type=float, default=2e-5)
+    ap.add_argument("--mm-projector-lr", type=float, default=None)
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--warmup-ratio", type=float, default=0.03)
+    ap.add_argument("--lr-scheduler-type", default="cosine")
+    ap.add_argument("--model-max-length", type=int, default=2048)
+    ap.add_argument("--save-steps", type=int, default=1000)
+    ap.add_argument("--logging-steps", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=3407)
+    # LoRA
+    ap.add_argument("--lora-enable", action="store_true")
+    ap.add_argument("--lora-r", type=int, default=128)
+    ap.add_argument("--lora-alpha", type=int, default=256)
+    # mesh
+    ap.add_argument("--mesh-data", type=int, default=1)
+    ap.add_argument("--mesh-fsdp", type=int, default=None)
+    ap.add_argument("--mesh-model", type=int, default=1)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from slime_tpu import checkpoint as ckpt
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.data.dataset import SupervisedDataset, data_loader
+    from slime_tpu.models import slime
+    from slime_tpu.parallel import mesh as mesh_lib
+    from slime_tpu.train.optim import TrainConfig
+    from slime_tpu.train.trainer import RunConfig, Trainer
+
+    cfg = SliMEConfig.load(args.model_path)
+    cfg = SliMEConfig(**{**cfg.__dict__,
+                         "use_global_only": args.use_global_only,
+                         "use_local_only": args.use_local_only,
+                         "mm_learnable_gated": args.mm_learnable_gated,
+                         "image_aspect_ratio": args.image_aspect_ratio,
+                         "tokenizer_model_max_length": args.model_max_length})
+
+    # weights: full checkpoint, or random-init fresh modules around a base LLM
+    has_weights = any(f.endswith((".safetensors", ".bin"))
+                      for f in os.listdir(args.model_path))
+    if has_weights:
+        params = ckpt.to_jax(ckpt.load_pretrained(
+            args.model_path, model_base=args.model_base, cfg=cfg))
+    else:
+        params = slime.init(jax.random.PRNGKey(args.seed), cfg)
+    # staged adapter warm-starts (reference initialize_vision_modules,
+    # llava_arch.py:107-119)
+    for pre, key, conv in (
+            (args.pretrain_mm_mlp_adapter, "projector",
+             lambda sd: ckpt.convert_projector(
+                 ckpt._strip(sd, "model.mm_projector."), cfg)),
+            (args.pretrain_mm_re_sampler, "sampler",
+             lambda sd: ckpt.convert_sampler(
+                 ckpt._strip(sd, "model.sampler."), cfg))):
+        if pre:
+            sd = ckpt.load_state_dict_file(pre)
+            params[key] = ckpt.to_jax(conv(sd))
+
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
+    tokenizer.model_max_length = args.model_max_length
+
+    ds = SupervisedDataset(args.data_path, tokenizer,
+                           image_folder=args.image_folder,
+                           image_aspect_ratio=args.image_aspect_ratio,
+                           conv_version=args.version,
+                           max_crops=1 + cfg.max_local_crops)
+
+    n_batches = len(ds) // args.per_device_batch_size * args.num_train_epochs
+    total_steps = args.max_steps or n_batches
+    tc = TrainConfig(
+        learning_rate=args.learning_rate, mm_projector_lr=args.mm_projector_lr,
+        weight_decay=args.weight_decay, warmup_ratio=args.warmup_ratio,
+        total_steps=total_steps, lr_schedule=args.lr_scheduler_type,
+        tune_mm_mlp_adapter=args.tune_mm_mlp_adapter,
+        freeze_mm_mlp_adapter=args.freeze_mm_mlp_adapter,
+        freeze_backbone=args.freeze_backbone,
+        mm_learnable_gated=args.mm_learnable_gated,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
+    rc = RunConfig(output_dir=args.output_dir, save_steps=args.save_steps,
+                   log_steps=args.logging_steps, max_steps=total_steps,
+                   seed=args.seed,
+                   adapters_only_save=args.tune_mm_mlp_adapter)
+
+    mesh = mesh_lib.make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_model) \
+        if len(jax.devices()) > 1 else None
+
+    trainer = Trainer(params, cfg, tc, rc, mesh=mesh,
+                      compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    def batches():
+        for epoch in range(args.num_train_epochs):
+            yield from data_loader(
+                ds, batch_size=args.per_device_batch_size,
+                seq_len=args.model_max_length,
+                pad_token_id=tokenizer.pad_token_id or 0,
+                seed=args.seed + epoch,
+                group_by_modality_length=args.group_by_modality_length,
+                num_workers=8)
+
+    trainer.train(batches())
+    trainer.save(args.output_dir)
+    print(f"done -> {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()
