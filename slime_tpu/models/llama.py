@@ -251,15 +251,18 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
         new_k.append(k_li)
         new_v.append(v_li)
 
+        # GQA without repeating KV: fold the group into the query head dim so the
+        # cache streams from HBM once (decode is bandwidth-bound).
         group = cfg.num_heads // cfg.num_kv_heads
-        kk = jnp.repeat(k_li.astype(compute_dtype), group, axis=2)  # [B,T,H,hd]
-        vv = jnp.repeat(v_li.astype(compute_dtype), group, axis=2)
-        s = jnp.einsum("bohd,bthd->bhot", q, kk,
+        qg = q[:, 0].reshape(B, cfg.num_kv_heads, group, hd)        # [B,KVH,g,hd]
+        kk = k_li.astype(compute_dtype)                              # [B,T,KVH,hd]
+        vv = v_li.astype(compute_dtype)
+        s = jnp.einsum("bkgd,btkd->bkgt", qg, kk,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
         t_idx = jnp.arange(max_len)[None, None, None, :]
         s = jnp.where(t_idx <= pos[:, None, None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bhot,bthd->bohd", p.astype(compute_dtype), vv,
+        o = jnp.einsum("bkgt,btkd->bkgd", p.astype(compute_dtype), vv,
                        preferred_element_type=jnp.float32).astype(compute_dtype)
         o = o.reshape(B, 1, cfg.num_heads * hd)
         x = x + L.linear(lp["o_proj"], o)

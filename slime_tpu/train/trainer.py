@@ -27,6 +27,7 @@ import numpy as np
 from .. import checkpoint as ckpt_lib
 from ..config import SliMEConfig
 from ..parallel import mesh as mesh_lib
+from . import state_ckpt
 from .optim import TrainConfig
 from .step import init_train_state, make_train_step
 
@@ -54,6 +55,11 @@ class Trainer:
         self.mesh = mesh
         self.compute_dtype = compute_dtype or jnp.bfloat16
         self.state, self.tx = init_train_state(params, tc, mesh=mesh)
+        resume = rc.resume_from or state_ckpt.latest_checkpoint(rc.output_dir)
+        if resume:
+            self.state = state_ckpt.restore_train_state(resume, target=self.state)
+            print(f"[train] resumed from {resume} at step {int(self.state['step'])}",
+                  flush=True)
         self.step_fn = make_train_step(cfg, tc, self.tx,
                                        compute_dtype=self.compute_dtype)
         self.rng = jax.random.PRNGKey(rc.seed)
@@ -94,6 +100,9 @@ class Trainer:
                 tokens_since = 0
             if self.rc.save_steps and step % self.rc.save_steps == 0:
                 self.save(os.path.join(self.rc.output_dir, f"checkpoint-{step}"))
+                state_ckpt.save_train_state(
+                    os.path.join(self.rc.output_dir, f"state-{step}"), self.state,
+                    extra={"step": step})
         return {k: float(v) for k, v in m.items()}
 
     def save(self, path: str) -> None:

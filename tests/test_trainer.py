@@ -119,3 +119,26 @@ def test_adapter_only_checkpoint(tiny, tmp_path):
     assert os.path.exists(os.path.join(path, "sampler.bin"))
     sd = torch.load(os.path.join(path, "mm_projector.bin"), weights_only=True)
     assert "model.mm_projector.projection.0.weight" in sd
+
+
+def test_resume_from_state_checkpoint(tiny, tmp_path):
+    """Interrupt-and-resume: optimizer state and step counter round-trip."""
+    cfg, params = tiny
+    tc = TrainConfig(total_steps=8, learning_rate=1e-3)
+    rc = RunConfig(output_dir=str(tmp_path / "run"), save_steps=2, log_steps=100,
+                   max_steps=4)
+    tr = Trainer(params, cfg, tc, rc, compute_dtype=jnp.float32)
+    tr.train(_batches(cfg, 4))
+    assert int(tr.state["step"]) == 4
+
+    # new trainer in the same output dir picks up state-4
+    tr2 = Trainer(params, cfg, tc,
+                  RunConfig(output_dir=str(tmp_path / "run"), save_steps=0,
+                            log_steps=100, max_steps=6),
+                  compute_dtype=jnp.float32)
+    assert int(tr2.state["step"]) == 4
+    np.testing.assert_allclose(
+        np.asarray(tr2.state["params"]["llm"]["embed_tokens"]),
+        np.asarray(tr.state["params"]["llm"]["embed_tokens"]), atol=1e-6)
+    tr2.train(_batches(cfg, 2))
+    assert int(tr2.state["step"]) == 6
