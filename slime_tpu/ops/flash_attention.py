@@ -45,6 +45,7 @@ def _zero_tail(x, block_start, seq_len):
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, scale: float, causal: bool, block_q: int, block_k: int,
                 seq_len: int):
+    h = pl.program_id(1)   # query head
     i = pl.program_id(2)   # query tile
     j = pl.program_id(3)   # key tile
     nj = pl.num_programs(3)
@@ -90,7 +91,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l = l_scr[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scr[:] + jnp.log(l_safe))[:, 0]
+        # lse laid out [B, S, H] so the (bq, H) block satisfies TPU tiling
+        lse_ref[0, :, h] = (m_scr[:] + jnp.log(l_safe))[:, 0]
 
 
 def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
@@ -116,12 +118,12 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i),
+            pl.BlockSpec((1, bq, H), lambda b, h, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -140,6 +142,7 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
 def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                      dk_ref, dv_ref, dk_scr, dv_scr,
                      *, scale, causal, block_q, block_k, seq_len):
+    h = pl.program_id(1)
     j = pl.program_id(2)   # key tile (outer)
     i = pl.program_id(3)   # query tile (inner)
     ni = pl.num_programs(3)
@@ -160,8 +163,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         if seq_len % block_q:
             q = _zero_tail(q, i * block_q, seq_len)
             do = _zero_tail(do, i * block_q, seq_len)
-        lse = lse_ref[0, 0][:, None]                       # [bq, 1]
-        delta = delta_ref[0, 0][:, None]                   # [bq, 1]
+        lse = lse_ref[0, :, h][:, None]                    # [bq, 1]
+        delta = delta_ref[0, :, h][:, None]                # [bq, 1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -189,6 +192,7 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_scr, *, scale, causal, block_q, block_k, seq_len):
+    h = pl.program_id(1)
     i = pl.program_id(2)   # query tile (outer)
     j = pl.program_id(3)   # key tile (inner)
     nj = pl.num_programs(3)
@@ -208,8 +212,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         if seq_len % block_k:
             k = _zero_tail(k, j * block_k, seq_len)
             v = _zero_tail(v, j * block_k, seq_len)
-        lse = lse_ref[0, 0][:, None]
-        delta = delta_ref[0, 0][:, None]
+        lse = lse_ref[0, :, h][:, None]
+        delta = delta_ref[0, :, h][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -240,7 +244,8 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
     bq = min(block_q, S)
     bk = min(block_k, S)
 
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,S]
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).transpose(0, 2, 1)  # [B, S, H]
 
     # dk/dv at full query-head resolution, then reduced over the GQA group.
     grid_kv = (B, H, pl.cdiv(S, bk), pl.cdiv(S, bq))
@@ -257,9 +262,9 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i),
+            pl.BlockSpec((1, bq, H), lambda b, h, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i),
+            pl.BlockSpec((1, bq, H), lambda b, h, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -296,9 +301,9 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i),
+            pl.BlockSpec((1, bq, H), lambda b, h, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i),
+            pl.BlockSpec((1, bq, H), lambda b, h, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
