@@ -1,0 +1,230 @@
+"""Benchmark-specific drivers and submission converters.
+
+Covers the reference's per-benchmark drivers beyond the generic loader
+(SURVEY.md §2.29/§2.33): MMBench TSV with option permutation
+(llava/eval/model_vqa_mmbench.py), ScienceQA with CoT/option prompts
+(model_vqa_science.py), and the submission converters
+(scripts/convert_{gqa,vqav2,mmvet,seed,vizwiz}_for_*.py).
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .. import conversation as conv_lib
+from ..config import SliMEConfig
+from ..constants import DEFAULT_IMAGE_TOKEN
+from ..data.image_ops import process_anyres_image_host
+from ..data.tokenization import tokenizer_image_token
+
+ALL_OPTIONS = ["A", "B", "C", "D"]
+
+
+# ----------------------------------------------------------------------------------
+# MMBench (TSV rows with base64 images and up to 4 options; circular evaluation
+# permutes options per round — model_vqa_mmbench.py semantics)
+# ----------------------------------------------------------------------------------
+
+def load_mmbench_tsv(path: str) -> List[Dict]:
+    import csv
+    rows = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            rows.append(row)
+    return rows
+
+
+def get_options(row: Dict, options: Sequence[str] = ALL_OPTIONS) -> List[str]:
+    out = []
+    for o in options:
+        v = row.get(o)
+        if v is None or v != v or v == "nan" or v == "":
+            break
+        out.append(v)
+    return out
+
+
+def mmbench_prompt(question: str, options: List[str], *, hint: Optional[str],
+                   conv_mode: str, single_pred: bool = True,
+                   lang: str = "en") -> str:
+    if hint and hint == hint and str(hint) != "nan":
+        question = hint + "\n" + question
+    for i, opt in enumerate(options):
+        question += f"\n{ALL_OPTIONS[i]}. {opt}"
+    qs = DEFAULT_IMAGE_TOKEN + "\n" + question
+    if single_pred:
+        qs += ("\n请直接回答选项字母。" if lang == "cn"
+               else "\nAnswer with the option's letter from the given choices directly.")
+    conv = conv_lib.conv_templates[conv_mode].copy()
+    conv.append_message(conv.roles[0], qs)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()
+
+
+def run_mmbench(params, cfg: SliMEConfig, tokenizer, tsv_path: str, *,
+                answers_file: str, conv_mode: str, all_rounds: bool = False,
+                max_new_tokens: int = 16, lang: str = "en",
+                compute_dtype=None, batch_limit: Optional[int] = None) -> str:
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..generate import generate, trim_at_eos
+
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+    rows = load_mmbench_tsv(tsv_path)
+    if batch_limit:
+        rows = rows[:batch_limit]
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+    MC = 1 + cfg.max_local_crops
+    with open(answers_file, "w") as out:
+        for row in rows:
+            options = get_options(row)
+            n_rounds = len(options) if all_rounds else 1
+            cur = list(options)
+            img = Image.open(io.BytesIO(base64.b64decode(row["image"])))
+            crops, mask, _ = process_anyres_image_host(
+                img, tile=cfg.vision.image_size, max_crops=MC)
+            for r in range(n_rounds):
+                prompt = mmbench_prompt(row["question"], cur,
+                                        hint=row.get("hint"),
+                                        conv_mode=conv_mode, lang=lang)
+                ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
+                toks = generate(params, cfg, jnp.asarray(ids[None]),
+                                jnp.ones((1, len(ids)), bool),
+                                jnp.asarray(crops[None]), jnp.asarray(mask[None]),
+                                max_new_tokens=max_new_tokens, temperature=0.0,
+                                compute_dtype=compute_dtype)
+                t = trim_at_eos(np.asarray(toks), cfg.eos_token_id)[0]
+                out.write(json.dumps({
+                    "question_id": row.get("index"),
+                    "round_id": r,
+                    "prompt": row["question"],
+                    "text": tokenizer.decode(t, skip_special_tokens=True).strip(),
+                    "options": cur,
+                    "option_char": ALL_OPTIONS[:len(cur)],
+                    "answer_id": "",
+                    "model_id": "slime-tpu",
+                    "metadata": {},
+                }) + "\n")
+                cur = cur[1:] + cur[:1]  # rotate options for circular eval
+    return answers_file
+
+
+# ----------------------------------------------------------------------------------
+# ScienceQA prompt construction (model_vqa_science.py + convert_sqa_to_llava
+# base-prompt semantics, condensed: context + choices + answer request)
+# ----------------------------------------------------------------------------------
+
+def scienceqa_prompt(problem: Dict, *, conv_mode: str,
+                     single_pred: bool = True) -> str:
+    ctx = ""
+    if problem.get("hint"):
+        ctx = f"Context: {problem['hint']}\n"
+    choices = problem.get("choices", [])
+    opts = "".join(f"({ALL_OPTIONS[i] if i < 4 else chr(65 + i)}) {c} "
+                   for i, c in enumerate(choices))
+    qs = f"{ctx}Question: {problem['question']}\nOptions: {opts}"
+    if problem.get("image"):
+        qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+    if single_pred:
+        qs += "\nAnswer with the option's letter from the given choices directly."
+    conv = conv_lib.conv_templates[conv_mode].copy()
+    conv.append_message(conv.roles[0], qs)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()
+
+
+# ----------------------------------------------------------------------------------
+# Submission converters (scripts/convert_*.py semantics)
+# ----------------------------------------------------------------------------------
+
+def convert_gqa(answers_file: str, dst: str) -> str:
+    """answers jsonl -> GQA testdev 'predictions' json
+    (scripts/convert_gqa_for_eval.py)."""
+    preds = []
+    for line in open(answers_file):
+        r = json.loads(line)
+        preds.append({"questionId": str(r["question_id"]),
+                      "prediction": r["text"].strip().lower()})
+    with open(dst, "w") as f:
+        json.dump(preds, f)
+    return dst
+
+
+def convert_vqav2(answers_file: str, dst: str) -> str:
+    """answers jsonl -> VQAv2 server submission json
+    (scripts/convert_vqav2_for_submission.py)."""
+    out = []
+    for line in open(answers_file):
+        r = json.loads(line)
+        out.append({"question_id": int(r["question_id"]),
+                    "answer": r["text"].strip()})
+    with open(dst, "w") as f:
+        json.dump(out, f)
+    return dst
+
+
+def convert_mmvet(answers_file: str, dst: str) -> str:
+    """answers jsonl -> MM-Vet {qid: answer} json (scripts/convert_mmvet_for_eval.py)."""
+    out = {}
+    for line in open(answers_file):
+        r = json.loads(line)
+        out[f"v1_{r['question_id']}"] = r["text"].strip()
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=2)
+    return dst
+
+
+def convert_vizwiz(answers_file: str, annotation_file: str, dst: str) -> str:
+    """answers jsonl + test annotation -> VizWiz submission
+    (scripts/convert_vizwiz_for_submission.py)."""
+    with open(annotation_file) as f:
+        ann = json.load(f)
+    answers = {json.loads(l)["question_id"]: json.loads(l)["text"]
+               for l in open(answers_file)}
+    out = []
+    for q in ann:
+        qid = q.get("question_id", q.get("image"))
+        out.append({"image": q["image"], "answer": answers.get(qid, "").strip()})
+    with open(dst, "w") as f:
+        json.dump(out, f)
+    return dst
+
+
+def convert_seed(answers_file: str, dst: str) -> str:
+    """answers jsonl -> SEED-Bench submission (scripts/convert_seed_for_submission.py)."""
+    out = []
+    for line in open(answers_file):
+        r = json.loads(line)
+        out.append({"question_id": r["question_id"],
+                    "prediction": r["text"].strip()})
+    with open(dst, "w") as f:
+        json.dump(out, f)
+    return dst
+
+
+def mmbench_to_submission(answers_file: str, tsv_path: str, dst_xlsx_or_json: str) -> str:
+    """Map predicted letters back onto the MMBench sheet
+    (scripts/convert_mmbench_for_submission.py). Emits json (openpyxl-free)."""
+    from .scorers import parse_multichoice
+    rows = load_mmbench_tsv(tsv_path)
+    preds: Dict[str, str] = {}
+    for line in open(answers_file):
+        r = json.loads(line)
+        if r.get("round_id", 0) == 0:
+            letter = parse_multichoice(r["text"]) or ""
+            preds[str(r["question_id"])] = letter
+    out = []
+    for row in rows:
+        out.append({"index": row.get("index"), "question": row.get("question"),
+                    "A": row.get("A"), "B": row.get("B"), "C": row.get("C"),
+                    "D": row.get("D"), "prediction": preds.get(str(row.get("index")), "")})
+    with open(dst_xlsx_or_json, "w") as f:
+        json.dump(out, f)
+    return dst_xlsx_or_json

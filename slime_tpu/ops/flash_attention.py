@@ -91,8 +91,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l = l_scr[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        # lse laid out [B, S, H] so the (bq, H) block satisfies TPU tiling
-        lse_ref[0, :, h] = (m_scr[:] + jnp.log(l_safe))[:, 0]
+        # lse laid out [B, S, H] so the (bq, H) block satisfies TPU tiling; Mosaic
+        # has no dynamic-column store, so write via a masked full-block update
+        lse_vec = (m_scr[:] + jnp.log(l_safe))  # [bq, 1]
+        col = jax.lax.broadcasted_iota(jnp.int32, lse_ref[0].shape, 1)
+        lse_ref[0] = jnp.where(col == h, lse_vec, lse_ref[0])
 
 
 def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
@@ -163,8 +166,12 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         if seq_len % block_q:
             q = _zero_tail(q, i * block_q, seq_len)
             do = _zero_tail(do, i * block_q, seq_len)
-        lse = lse_ref[0, :, h][:, None]                    # [bq, 1]
-        delta = delta_ref[0, :, h][:, None]                # [bq, 1]
+        lse = jnp.sum(jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, lse_ref[0].shape, 1) == h,
+            lse_ref[0], 0.0), axis=1, keepdims=True)      # [bq, 1]
+        delta = jnp.sum(jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, delta_ref[0].shape, 1) == h,
+            delta_ref[0], 0.0), axis=1, keepdims=True)    # [bq, 1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -212,8 +219,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         if seq_len % block_k:
             k = _zero_tail(k, j * block_k, seq_len)
             v = _zero_tail(v, j * block_k, seq_len)
-        lse = lse_ref[0, :, h][:, None]
-        delta = delta_ref[0, :, h][:, None]
+        lse = jnp.sum(jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, lse_ref[0].shape, 1) == h,
+            lse_ref[0], 0.0), axis=1, keepdims=True)      # [bq, 1]
+        delta = jnp.sum(jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, delta_ref[0].shape, 1) == h,
+            delta_ref[0], 0.0), axis=1, keepdims=True)    # [bq, 1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
