@@ -1,0 +1,227 @@
+"""Continuous-batching decode engine (the reference's SGLang-worker role,
+SURVEY.md §2.15: "batched TPU decode server with continuous batching").
+
+Design: a fixed number of decode *slots* share one sharded KV cache
+[layers, slots, cache_len, KVH, hd]. Each request is prefilled individually
+(multimodal fusion included), its KV written into a free slot, and every engine
+tick advances ALL active slots with one jitted batched decode step — new requests
+join between ticks without recompiling (static shapes throughout). Finished slots
+(EOS / budget / stop string) retire immediately and free capacity.
+
+Compared to the per-request HTTP worker, this amortizes the decode step's weight
+streaming over all concurrent requests — the dominant cost of LLM serving on
+bandwidth-bound hardware.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import SliMEConfig
+from ..models import llama, slime
+
+
+@dataclass
+class Request:
+    input_ids: np.ndarray                  # [S]
+    pixel_values: Optional[np.ndarray] = None   # [MC, 3, t, t]
+    crop_mask: Optional[np.ndarray] = None
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
+    # outputs
+    out_queue: "queue.Queue" = field(default_factory=queue.Queue)
+
+    def stream(self):
+        """Yield generated token-id lists until completion."""
+        while True:
+            item = self.out_queue.get()
+            if item is None:
+                return
+            yield item
+
+
+class _Slot:
+    __slots__ = ("req", "generated", "budget")
+
+    def __init__(self, req: Request):
+        self.req = req
+        self.generated: List[int] = []
+        self.budget = req.max_new_tokens
+
+
+class BatchDecodeEngine:
+    def __init__(self, params, cfg: SliMEConfig, *, max_slots: int = 8,
+                 cache_len: int = 2048, compute_dtype=None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.jax = jax
+        self.jnp = jnp
+        self.params = params
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype or jnp.float32
+        self.max_slots = max_slots
+        self.cache_len = cache_len
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.cache = llama.init_kv_cache(cfg.llm, max_slots, cache_len,
+                                         dtype=self.compute_dtype)
+        self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        self.slots: List[Optional[_Slot]] = [None] * max_slots
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        # jitted single prefill (per request) and batched decode step
+        def _prefill(params, embeds, positions):
+            logits, kvs = llama.forward(params["llm"], embeds, cfg.llm,
+                                        positions=positions, return_kv=True,
+                                        compute_dtype=self.compute_dtype)
+            k = jnp.stack([kv[0] for kv in kvs])[:, 0]  # [L, S, KVH, hd]
+            v = jnp.stack([kv[1] for kv in kvs])[:, 0]
+            return logits[0], k, v
+
+        self._prefill = jax.jit(_prefill)
+
+        def _insert(cache, k, v, slot, length, token):
+            S = k.shape[1]
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k[:, None].astype(cache["k"].dtype), (0, slot, 0, 0, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v[:, None].astype(cache["v"].dtype), (0, slot, 0, 0, 0))
+            cache["length"] = cache["length"].at[slot].set(length)
+            return cache
+
+        self._insert = jax.jit(_insert, donate_argnums=(0,))
+
+        def _step(params, cache, tokens, rng, temperature, active):
+            old_len = cache["length"]
+            logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
+                                              compute_dtype=self.compute_dtype)
+            # inactive slots must not advance (their slot may be re-admitted later)
+            cache["length"] = jnp.where(active, cache["length"], old_len)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            sampled = jax.random.categorical(rng, logits / jnp.maximum(temperature, 1e-6),
+                                             axis=-1).astype(jnp.int32)
+            nxt = jnp.where(temperature > 0, sampled, greedy)
+            return nxt, cache
+
+        self._step = jax.jit(_step, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def submit(self, req: Request) -> Request:
+        self.pending.put(req)
+        return req
+
+    def _free_slot(self) -> Optional[int]:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                return i
+        return None
+
+    def _admit(self, req: Request, slot_idx: int) -> None:
+        jnp = self.jnp
+        ids = np.asarray(req.input_ids)[None]
+        attn = np.ones_like(ids, bool)
+        if req.pixel_values is not None:
+            fused = slime.prepare_multimodal(
+                self.params, self.cfg, jnp.asarray(ids), jnp.asarray(attn),
+                jnp.asarray(req.pixel_values[None]), jnp.asarray(req.crop_mask[None]),
+                training=False, compute_dtype=self.compute_dtype,
+                max_len=self.cache_len - req.max_new_tokens - 1)
+            embeds, positions = fused.embeds, fused.positions
+            length = int(fused.lengths[0])
+        else:
+            embeds = llama.embed(self.params["llm"],
+                                 jnp.asarray(ids)).astype(self.compute_dtype)
+            positions = None
+            length = ids.shape[1]
+
+        logits, k, v = self._prefill(self.params, embeds, positions)
+        first = int(np.argmax(np.asarray(logits)[length - 1]))
+        self.cache = self._insert(self.cache, k, v, slot_idx, length,
+                                  self.jnp.asarray(first))
+        self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
+        slot = _Slot(req)
+        slot.generated.append(first)
+        slot.budget -= 1          # the prefill-sampled token counts toward the budget
+        self.slots[slot_idx] = slot
+        req.out_queue.put([first])
+        if slot.budget <= 0:
+            self._retire(slot_idx)
+
+    def _retire(self, idx: int) -> None:
+        slot = self.slots[idx]
+        if slot is not None:
+            slot.req.out_queue.put(None)
+        self.slots[idx] = None
+
+    def tick(self) -> int:
+        """Admit pending requests, run one decode step for all active slots.
+        Returns the number of active slots after the step."""
+        while not self.pending.empty():
+            idx = self._free_slot()
+            if idx is None:
+                break
+            self._admit(self.pending.get(), idx)
+
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return 0
+
+        # finished-by-first-token check (EOS as the very first sample)
+        eos = self.cfg.eos_token_id
+        for i in list(active):
+            s = self.slots[i]
+            if s.generated and s.generated[-1] == eos:
+                s.generated.pop()
+                self._retire(i)
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return 0
+
+        self.rng, sub = self.jax.random.split(self.rng)
+        temp = max((self.slots[i].req.temperature for i in active), default=0.0)
+        active_mask = np.zeros((self.max_slots,), bool)
+        active_mask[active] = True
+        nxt, self.cache = self._step(self.params, self.cache, self.cur_tokens,
+                                     sub, self.jnp.asarray(temp, self.jnp.float32),
+                                     self.jnp.asarray(active_mask))
+        self.cur_tokens = nxt
+        nxt_np = np.asarray(nxt)
+        for i in active:
+            s = self.slots[i]
+            t = int(nxt_np[i])
+            if t == eos:
+                self._retire(i)
+                continue
+            s.generated.append(t)
+            s.req.out_queue.put([t])
+            s.budget -= 1
+            if s.budget <= 0 or int(self.cache["length"][i]) >= self.cache_len - 1:
+                self._retire(i)
+        return sum(s is not None for s in self.slots)
+
+    # ------------------------------------------------------------------
+    def run_forever(self, idle_sleep: float = 0.005) -> None:
+        import time
+        while not self._stop.is_set():
+            n = self.tick()
+            if n == 0 and self.pending.empty():
+                time.sleep(idle_sleep)
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.run_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

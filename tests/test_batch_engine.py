@@ -1,0 +1,88 @@
+"""Continuous-batching engine: outputs match single-request greedy generation;
+slots retire and get reused; multimodal requests mix with text requests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slime_tpu.config import SliMEConfig
+from slime_tpu.constants import IMAGE_TOKEN_INDEX
+from slime_tpu.generate import generate
+from slime_tpu.models import slime
+from slime_tpu.serve.batch_engine import BatchDecodeEngine, Request
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    eng = BatchDecodeEngine(params, cfg, max_slots=4, cache_len=128)
+    return cfg, params, eng
+
+
+def _drain(req):
+    toks = []
+    for chunk in req.stream():
+        toks.extend(chunk)
+    return toks
+
+
+def test_batched_matches_single(setup):
+    cfg, params, eng = setup
+    rng = np.random.default_rng(0)
+    reqs = []
+    refs = []
+    for i in range(3):
+        S = 5 + i * 2
+        ids = rng.integers(5, cfg.llm.vocab_size, (S,)).astype(np.int32)
+        reqs.append(Request(input_ids=ids, max_new_tokens=6))
+        ref = generate(params, cfg, jnp.asarray(ids[None]),
+                       jnp.ones((1, S), bool), max_new_tokens=6, eos_id=-1)
+        refs.append(np.asarray(ref)[0].tolist())
+    for r in reqs:
+        eng.submit(r)
+    # drive ticks synchronously
+    for _ in range(30):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    for r, ref in zip(reqs, refs):
+        got = _drain(r)
+        # engine stops at eos; compare the prefix it generated
+        assert got == ref[:len(got)] and len(got) >= 1
+        # greedy: must match exactly unless eos hit
+        if cfg.eos_token_id not in ref[:6]:
+            assert got == ref
+
+
+def test_slot_reuse(setup):
+    cfg, params, eng = setup
+    rng = np.random.default_rng(1)
+    # 6 requests through 4 slots
+    reqs = [Request(input_ids=rng.integers(5, cfg.llm.vocab_size, (6,)).astype(np.int32),
+                    max_new_tokens=3) for _ in range(6)]
+    for r in reqs:
+        eng.submit(r)
+    for _ in range(60):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    for r in reqs:
+        assert len(_drain(r)) >= 1
+
+
+def test_multimodal_request(setup):
+    cfg, params, eng = setup
+    rng = np.random.default_rng(2)
+    t = cfg.vision.image_size
+    MC = 1 + cfg.max_local_crops
+    ids = rng.integers(5, cfg.llm.vocab_size, (8,)).astype(np.int32)
+    ids[2] = IMAGE_TOKEN_INDEX
+    pix = rng.standard_normal((MC, 3, t, t)).astype(np.float32)
+    cmask = np.ones((MC,), bool)
+    req = Request(input_ids=ids, pixel_values=pix, crop_mask=cmask,
+                  max_new_tokens=4)
+    eng.submit(req)
+    for _ in range(20):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    assert len(_drain(req)) >= 1
