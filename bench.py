@@ -1,19 +1,22 @@
 """Headline benchmark: anyres crops/sec/chip through the full SliME vision path.
 
 Measures the hot path of BASELINE.json config #1: device-side anyres preprocessing
-(resize + pad + tile + normalize of a 672x672 image) fused with CLIP-L/336 encoding
+(resize + pad + tile + normalize of 672x672 images) fused with CLIP-L/336 encoding
 of [global + crops], the gated projector, and the 576->144 local compression —
 everything between raw image bytes and LLM-ready tokens, in bf16 on one chip.
+Images are processed in batches of 8 (the eval-server working regime), 64 crop
+encodes per device call.
 
 vs_baseline: the PyTorch reference has no published microbenchmarks (BASELINE.md);
 the comparison point is an optimistic analytic estimate of the reference pipeline on
 one A100-80G — CLIP-L/336 encode at 50% fp16 MFU (312 TFLOPs peak) plus measured-
-typical PIL/CPU anyres preprocessing of ~25 ms/image amortized across 8 dataloader
-workers — yielding ~560 crops/sec. Numbers > 1.0 beat that estimate per chip.
+typical PIL/CPU anyres preprocessing amortized across dataloader workers — roughly
+560 crops/sec. Numbers > 1.0 beat that estimate per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -38,45 +41,45 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
     vparams, pparams, sparams = map(to_bf16, (vparams, pparams, sparams))
 
-    H = W = 672                      # BASELINE config #1: one 672x672 image
+    H = W = 672                     # BASELINE config #1 geometry (1 global + 4 local)
+    IMGS_PER_CALL = 8
     pre = make_device_anyres_fn((H, W))
-
     MC = 1 + cfg.max_local_crops
 
-    def encode(vp, pp, sp, img_u8):
-        crops, mask = pre(img_u8)                        # [MC, 3, 336, 336]
-        feats = vit.apply(vp, crops.astype(jnp.bfloat16), cfg.vision)
-        g = proj_mod.apply(pp, feats[:1], cfg=cfg)       # gated MoE on global view
-        lc = samp_mod.compress(sp, feats[1:], cfg=cfg)
+    def encode(vp, pp, sp, imgs_u8):
+        # imgs_u8 [N, H, W, 3] -> anyres stacks -> [N*MC, 3, 336, 336]
+        crops, masks = jax.vmap(lambda im: pre(im))(imgs_u8)
+        flat = crops.reshape(-1, 3, cfg.vision.image_size, cfg.vision.image_size)
+        feats = vit.apply(vp, flat.astype(jnp.bfloat16), cfg.vision)
+        feats = feats.reshape(imgs_u8.shape[0], MC, *feats.shape[1:])
+        g = proj_mod.apply(pp, feats[:, 0], cfg=cfg)      # gated MoE, global views
+        lc = samp_mod.compress(
+            sp, feats[:, 1:].reshape(-1, *feats.shape[2:]), cfg=cfg)
         lp = proj_mod.apply(pp, lc, cfg=cfg)
-        return g.sum() + lp.sum(), mask.sum()
+        return g.sum() + lp.sum(), masks.sum()
 
-    # params passed as jit arguments (NOT closure constants — closures would embed
-    # the weights as XLA literals and stall compilation)
+    # params as jit ARGUMENTS (closure constants would stall compilation)
     enc = jax.jit(encode)
-    fn = lambda img: enc(vparams, pparams, sparams, img)
-    img = jnp.asarray(np.random.default_rng(0).integers(0, 255, (H, W, 3), np.uint8))
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (IMGS_PER_CALL, H, W, 3), np.uint8))
 
-    # warmup / compile
-    import sys
     print("compiling...", file=sys.stderr, flush=True)
-    out = fn(img)
+    out = enc(vparams, pparams, sparams, imgs)
     jax.block_until_ready(out)
-    n_real_crops = MC  # full stack encoded each call (padded slots included)
 
-    iters = 30
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(img)
+        out = enc(vparams, pparams, sparams, imgs)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    crops_per_sec = iters * n_real_crops / dt
+    crops_per_sec = iters * IMGS_PER_CALL * MC / dt
     baseline_est = 560.0  # reference A100 estimate (see module docstring)
     print(json.dumps({
         "metric": "anyres_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 2),
-        "unit": "crops/s (672x672 anyres slice + CLIP-L/336 encode + gated projector + 576->144 compression, bf16)",
+        "unit": "crops/s (672x672 anyres slice + CLIP-L/336 encode + gated projector + 576->144 compression, bf16, 8-image batches)",
         "vs_baseline": round(crops_per_sec / baseline_est, 3),
     }))
 
