@@ -158,6 +158,8 @@ def make_device_anyres_fn(src_hw: Tuple[int, int], *, tile: int = IMAGE_WIDTH,
     import jax
     import jax.numpy as jnp
 
+    from ..models.layers import pil_resize_matrix
+
     h, w = src_hw
     best = anyres.select_best_resolution_uhd((w, h), (tile, tile))
     (nw, nh), (px, py) = anyres.resize_and_pad_geometry((w, h), best)
@@ -167,12 +169,23 @@ def make_device_anyres_fn(src_hw: Tuple[int, int], *, tile: int = IMAGE_WIDTH,
     mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=jnp.float32).reshape(3, 1, 1)
     std = jnp.asarray(CLIP_IMAGE_STD, dtype=jnp.float32).reshape(3, 1, 1)
 
+    # Resize expressed as two PIL-exact weight matmuls (MXU work, no gathers)
+    gy = jnp.asarray(pil_resize_matrix(h, tile))
+    gx = jnp.asarray(pil_resize_matrix(w, tile))
+    fy = jnp.asarray(pil_resize_matrix(h, nh))
+    fx = jnp.asarray(pil_resize_matrix(w, nw))
+
+    def _resize(x, wy, wx):
+        # x [H,W,3]; out [h', w', 3]
+        t = jnp.einsum("oh,hwc->owc", wy, x, preferred_element_type=jnp.float32)
+        return jnp.einsum("pw,owc->opc", wx, t, preferred_element_type=jnp.float32)
+
     def fn(img_hwc: "jax.Array") -> Tuple["jax.Array", "jax.Array"]:
         x = img_hwc.astype(jnp.float32) / 255.0  # [H,W,3]
         # Global view
-        g = jax.image.resize(x, (tile, tile, 3), method="bicubic")
+        g = _resize(x, gy, gx)
         # Fit-resize + center pad into the best-resolution canvas
-        r = jax.image.resize(x, (nh, nw, 3), method="bicubic")
+        r = _resize(x, fy, fx)
         canvas = jnp.zeros((best[1], best[0], 3), dtype=jnp.float32)
         canvas = jax.lax.dynamic_update_slice(canvas, r, (py, px, 0))
         # Tile into (rows*cols) local crops: [rows, tile, cols, tile, 3]

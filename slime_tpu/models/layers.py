@@ -155,6 +155,26 @@ def bicubic_weight_matrix(src: int, dst: int, a: float = -0.75) -> np.ndarray:
     return W.astype(np.float32)
 
 
+def pil_resize_matrix(src: int, dst: int, a: float = -0.5) -> np.ndarray:
+    """[dst, src] dense weights reproducing PIL's bicubic resize (support scaled by
+    the downscale ratio = antialiasing, normalized taps). Lets a 2-D image resize
+    run as two matmuls on the MXU instead of gather ops."""
+    W = np.zeros((dst, src), dtype=np.float64)
+    scale = src / dst
+    fscale = max(scale, 1.0)
+    support = 2.0 * fscale
+    for i in range(dst):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), src)
+        d = (np.arange(xmin, xmax) - center + 0.5) / fscale
+        w = _cubic_kernel(d, a)
+        s = w.sum()
+        if s != 0:
+            W[i, xmin:xmax] = w / s
+    return W.astype(np.float32)
+
+
 def interp_pos_embed(pos: jnp.ndarray, tgt: Tuple[int, int]) -> jnp.ndarray:
     """Bicubic-resample a [S*S, C] position table to a [th*tw, C] grid with
     torch-compatible weights (reference get_abs_pos, sampler.py:27-36)."""

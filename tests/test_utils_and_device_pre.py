@@ -55,11 +55,9 @@ def test_device_anyres_matches_host(rng):
     crops_h, mask_h, grid = process_anyres_image_host(Image.fromarray(img))
     np.testing.assert_array_equal(mask_d, mask_h)
     n = int(mask_h.sum())
-    # device resize is jax.image bicubic (a=-0.5, no antialias) vs PIL antialias:
-    # tolerate kernel differences, require strong agreement
-    corr = np.corrcoef(crops_d[:n].ravel(), crops_h[:n].ravel())[0, 1]
-    assert corr > 0.97, corr
-    assert np.abs(crops_d[:n] - crops_h[:n]).mean() < 0.2
+    # device resize now uses the same PIL-style weights as the host path;
+    # remaining delta is uint8 rounding in PIL's pipeline
+    assert np.abs(crops_d[:n] - crops_h[:n]).mean() < 0.02
 
 
 def test_device_anyres_grid_selection():
