@@ -236,7 +236,8 @@ def convert_llama(sd: Dict[str, np.ndarray], cfg: LLMConfig,
 
 def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
                     cfg: Optional[SliMEConfig] = None,
-                    vision_path: Optional[str] = None) -> Dict:
+                    vision_path: Optional[str] = None,
+                    load_bits: Optional[int] = None) -> Dict:
     """Load a SliME checkpoint directory into a full param pytree
     {vision, projector, sampler, llm}. Mirrors load_pretrained_model
     (llava/model/builder.py:26-173) minus the GPU-quantization paths.
@@ -272,6 +273,11 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
     elif vision_path:
         params["vision"] = convert_clip_vision(
             load_sharded_state_dict(vision_path), cfg.vision)
+    if load_bits in (4, 8):
+        # bitsandbytes-equivalent quantized load (model/builder.py:32-41): the LLM
+        # body is weight-only quantized; adapters/vision stay fp.
+        from .ops.quantization import quantize_params
+        params["llm"] = quantize_params(params["llm"], bits=load_bits)
     return params
 
 

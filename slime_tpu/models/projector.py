@@ -58,6 +58,12 @@ def init(rng, cfg: SliMEConfig) -> Dict:
                     k1, grid_size=24, embed_dim=cfg.mm_hidden_size,
                     num_heads=cfg.mm_num_heads, kv_dim=cfg.mm_hidden_size,
                     llm_hidden_size=cfg.hidden_size)}
+    if ptype == "qformer_text":
+        # text-conditioned resampler (ResamplerWithText, builder.py:227-237)
+        return {"resampler": resampler.init(
+                    k1, grid_size=24, embed_dim=cfg.mm_hidden_size,
+                    num_heads=cfg.mm_num_heads, llm_hidden_size=cfg.hidden_size,
+                    with_text=True)}
     if ptype == "gated":
         return {
             # expert 0: 2-layer MLP projection (builder.py:53-57)
@@ -102,7 +108,8 @@ def load_balance_loss(gates) -> jnp.ndarray:
 
 
 def apply(params, x, *, cfg: SliMEConfig, training: bool = False,
-          rng: Optional[jax.Array] = None) -> jnp.ndarray:
+          rng: Optional[jax.Array] = None, text_embedding=None,
+          text_mask=None) -> jnp.ndarray:
     """x [N, L, mm_hidden] -> [N, L_out, llm_hidden].
 
     For the gated type with L != 576 the reference falls back to the plain MLP
@@ -119,6 +126,10 @@ def apply(params, x, *, cfg: SliMEConfig, training: bool = False,
     if t == "qformer":
         return resampler.apply(params["resampler"], x,
                                num_heads=cfg.mm_num_heads)
+    if t == "qformer_text":
+        assert text_embedding is not None and text_mask is not None
+        return resampler.apply_with_text(params["resampler"], x, text_embedding,
+                                         text_mask, num_heads=cfg.mm_num_heads)
     assert t == "gated"
     if x.shape[1] != 576:
         return _mlp_apply(params["projection"], x)

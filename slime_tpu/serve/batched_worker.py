@@ -1,0 +1,160 @@
+"""High-throughput HTTP worker backed by the continuous-batching engine.
+
+The SGLang-worker equivalent (reference llava/serve/sglang_worker.py:43-244):
+speaks the exact same controller/worker protocol as model_worker, but requests
+share one batched decode loop instead of running serially — concurrency comes from
+slot multiplexing, not a semaphore.
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import threading
+import time
+import uuid
+from typing import Optional
+
+import numpy as np
+
+from ..config import SliMEConfig
+from ..constants import WORKER_HEART_BEAT_INTERVAL
+from ..data.image_ops import process_anyres_image_host
+from ..data.tokenization import StopStringMatcher, tokenizer_image_token
+from .batch_engine import BatchDecodeEngine, Request
+from .protocol import ErrorCode, SERVER_ERROR_MSG, JsonHTTPServer
+
+
+class BatchedWorker:
+    def __init__(self, *, controller_addr: Optional[str], worker_addr: str,
+                 model_name: str, params, cfg: SliMEConfig, tokenizer,
+                 max_slots: int = 8, cache_len: int = 2048,
+                 compute_dtype=None, register: bool = True):
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.model_name = model_name
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.engine = BatchDecodeEngine(params, cfg, max_slots=max_slots,
+                                        cache_len=cache_len,
+                                        compute_dtype=compute_dtype)
+        self.engine.start()
+        if register and controller_addr:
+            self.register_to_controller()
+            threading.Thread(target=self._heartbeat_loop, daemon=True).start()
+
+    def register_to_controller(self) -> None:
+        import requests
+        requests.post(self.controller_addr + "/register_worker", json={
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.get_status(),
+        }, timeout=10)
+
+    def _heartbeat_loop(self) -> None:
+        import requests
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            try:
+                r = requests.post(self.controller_addr + "/receive_heart_beat", json={
+                    "worker_name": self.worker_addr,
+                    "queue_length": self.queue_length,
+                }, timeout=5)
+                if not r.json().get("exist", False):
+                    self.register_to_controller()
+            except Exception:
+                pass
+
+    @property
+    def queue_length(self) -> int:
+        return sum(s is not None for s in self.engine.slots) \
+            + self.engine.pending.qsize()
+
+    def get_status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.queue_length}
+
+    def generate_stream(self, p: dict):
+        try:
+            prompt = p["prompt"]
+            images = p.get("images") or []
+            pix = cmask = None
+            if images:
+                from PIL import Image
+                if prompt.count("<image>") != len(images):
+                    yield {"text": "image count mismatch",
+                           "error_code": ErrorCode["SERVER_ERROR"]}
+                    return
+                img = Image.open(io.BytesIO(base64.b64decode(images[0]))).convert("RGB")
+                pix, cmask, _ = process_anyres_image_host(
+                    img, tile=self.cfg.vision.image_size,
+                    max_crops=1 + self.cfg.max_local_crops)
+
+            ids = np.asarray(tokenizer_image_token(prompt, self.tokenizer,
+                                                   return_tensors="np"))
+            stop = p.get("stop")
+            matcher = (StopStringMatcher([stop], self.tokenizer)
+                       if isinstance(stop, str) and stop else None)
+            req = Request(input_ids=ids, pixel_values=pix, crop_mask=cmask,
+                          max_new_tokens=min(int(p.get("max_new_tokens", 256)), 1024),
+                          temperature=float(p.get("temperature", 0.0)))
+            self.engine.submit(req)
+            generated = []
+            for chunk in req.stream():
+                generated.extend(chunk)
+                text = self.tokenizer.decode(generated, skip_special_tokens=True)
+                if matcher is not None and matcher(generated):
+                    yield {"text": matcher.trim(text), "error_code": 0}
+                    return
+                yield {"text": text, "error_code": 0}
+        except Exception as e:  # noqa: BLE001
+            yield {"text": f"{SERVER_ERROR_MSG} ({e})",
+                   "error_code": ErrorCode["SERVER_ERROR"]}
+
+
+def build_server(worker: BatchedWorker, host: str, port: int) -> JsonHTTPServer:
+    srv = JsonHTTPServer(host, port)
+    srv.stream_route("/worker_generate_stream", worker.generate_stream)
+    srv.route("/worker_get_status", lambda b: worker.get_status())
+    return srv
+
+
+def main():
+    from transformers import AutoTokenizer
+
+    from .. import checkpoint as ckpt
+    from ..data.tokenization import get_model_name_from_path
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="localhost")
+    ap.add_argument("--port", type=int, default=21003)
+    ap.add_argument("--controller-address", default="http://localhost:21001")
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--model-base", default=None)
+    ap.add_argument("--model-name", default=None)
+    ap.add_argument("--max-slots", type=int, default=8)
+    ap.add_argument("--cache-len", type=int, default=2048)
+    ap.add_argument("--no-register", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    cfg = SliMEConfig.load(args.model_path)
+    params = ckpt.to_jax(ckpt.load_pretrained(args.model_path,
+                                              model_base=args.model_base, cfg=cfg),
+                         dtype=jnp.bfloat16)
+    tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
+    name = args.model_name or get_model_name_from_path(args.model_path)
+    addr = f"http://{args.host}:{args.port}"
+    worker = BatchedWorker(controller_addr=args.controller_address,
+                           worker_addr=addr, model_name=name, params=params,
+                           cfg=cfg, tokenizer=tokenizer,
+                           max_slots=args.max_slots, cache_len=args.cache_len,
+                           compute_dtype=jnp.bfloat16,
+                           register=not args.no_register)
+    srv = build_server(worker, args.host, args.port)
+    print(f"batched worker {name} on {args.host}:{srv.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,3 +86,36 @@ def test_multimodal_request(setup):
         if eng.tick() == 0 and eng.pending.empty():
             break
     assert len(_drain(req)) >= 1
+
+
+def test_batched_worker_http(setup):
+    """BatchedWorker speaks the worker protocol over real HTTP."""
+    import threading
+    import requests as rq
+
+    from slime_tpu.serve.batched_worker import BatchedWorker, build_server
+    from slime_tpu.serve.protocol import iter_stream_response
+    from .toy_tokenizer import ToyTokenizer
+
+    cfg, params, _ = setup
+    tok = ToyTokenizer()
+    tok("hello world this is a longer seed sentence for vocab")
+    worker = BatchedWorker(controller_addr=None, worker_addr="x",
+                           model_name="slime-tiny-batched", params=params,
+                           cfg=cfg, tokenizer=tok, max_slots=2, cache_len=96,
+                           register=False)
+    srv = build_server(worker, "localhost", 0)
+    port = srv.port
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rs = []
+        for i in range(3):
+            rs.append(rq.post(f"http://localhost:{port}/worker_generate_stream",
+                              json={"prompt": f"hello world this is {i}",
+                                    "max_new_tokens": 4}, stream=True, timeout=120))
+        for r in rs:
+            chunks = list(iter_stream_response(r))
+            assert chunks and chunks[-1]["error_code"] == 0
+    finally:
+        worker.engine.stop()
+        srv.shutdown()
