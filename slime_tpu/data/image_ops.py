@@ -116,6 +116,46 @@ def process_pad_image_host(img, *, tile: int = IMAGE_WIDTH) -> np.ndarray:
     return clip_normalize(_pil_to_chw(_resize_pil(sq, (tile, tile))))
 
 
+def process_naive_image_host(img, *, tile: int = IMAGE_WIDTH, stride: int = 308,
+                             resize_width: int = 1024,
+                             max_crops: int = MAX_CROPS
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """'pad_then_devide' mode (reference process_image_naive,
+    llava/process_image.py:204-214): expand to square, resize to a fixed width,
+    slide a tile-sized window with the given stride; global square view first."""
+    fill = tuple(int(x * 255) for x in CLIP_IMAGE_MEAN)
+    sq = Image.fromarray(expand2square_np(_pil_to_chw(img), fill).transpose(1, 2, 0))
+    out = np.zeros((max_crops, 3, tile, tile), dtype=np.float32)
+    mask = np.zeros((max_crops,), dtype=bool)
+    out[0] = clip_normalize(_pil_to_chw(_resize_pil(sq, (tile, tile))))
+    mask[0] = True
+    scale = resize_width / sq.size[0]
+    resized = _resize_pil(sq, (resize_width, int(sq.size[1] * scale)))
+    arr = _pil_to_chw(resized)
+    k = 1
+    for y in range(0, arr.shape[1] - tile + 1, stride):
+        for x in range(0, arr.shape[2] - tile + 1, stride):
+            if k >= max_crops:
+                break
+            out[k] = clip_normalize(arr[:, y:y + tile, x:x + tile])
+            mask[k] = True
+            k += 1
+    return out, mask
+
+
+def spatial_local_perm(cols: int, rows: int, grid: int,
+                       max_local_tokens: int) -> np.ndarray:
+    """Token permutation turning per-crop-major local tokens into row-major spatial
+    order (reference 'spatial' merge, llava_arch.py:235-244: view
+    [rows, cols, g, g, H] -> permute -> flatten). Identity on padded tail."""
+    n = cols * rows * grid * grid
+    idx = np.arange(n).reshape(rows, cols, grid, grid)
+    idx = idx.transpose(0, 2, 1, 3).reshape(-1)
+    out = np.arange(max_local_tokens, dtype=np.int32)
+    out[:n] = idx
+    return out
+
+
 def process_images_host(images: List, mode: str = "anyres", *,
                         max_crops: int = MAX_CROPS):
     """Dispatcher over preprocessing modes (reference ``process_images``).
@@ -125,7 +165,14 @@ def process_images_host(images: List, mode: str = "anyres", *,
       - pad/square: [B, 3, 336, 336], None, [(w,h)]*B
     """
     sizes = [im.size for im in images]
-    if mode in ("anyres", "any_res", "pad_then_devide"):
+    if mode == "pad_then_devide":
+        crops, masks = [], []
+        for im in images:
+            c, m = process_naive_image_host(im, max_crops=max_crops)
+            crops.append(c)
+            masks.append(m)
+        return np.stack(crops), np.stack(masks), sizes
+    if mode in ("anyres", "any_res"):
         crops, masks = [], []
         for im in images:
             c, m, _ = process_anyres_image_host(im, max_crops=max_crops)

@@ -71,7 +71,7 @@ def _text_embeds_for_selector(params, input_ids, attention_mask):
 
 def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
                   input_ids, attention_mask, *, training: bool = False,
-                  rng: Optional[jax.Array] = None,
+                  rng: Optional[jax.Array] = None, local_token_perm=None,
                   compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (img_embeds [B, T_img, H], img_valid [B, T_img]).
 
@@ -99,6 +99,13 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
                               training=training, rng=rng)           # [B*nc, dim, H]
     local_p = local_p.reshape(B, n_local_crops * dim, -1)
     token_valid = jnp.repeat(crop_mask[:, 1:].astype(bool), dim, axis=1)  # [B, nc*dim]
+
+    # 'spatial' patch merge: reorder per-crop-major tokens into row-major spatial
+    # order with a host-computed permutation (llava_arch.py:235-244); the grid is
+    # per-sample, so the permutation arrives as data, keeping shapes static.
+    if local_token_perm is not None:
+        local_p = jnp.take_along_axis(local_p, local_token_perm[..., None], axis=1)
+        token_valid = jnp.take_along_axis(token_valid, local_token_perm, axis=1)
 
     # Text-guided top-p selection per sample (llava_arch.py:248)
     text_emb, text_mask = _text_embeds_for_selector(params, input_ids, attention_mask)

@@ -156,3 +156,23 @@ def test_global_local_only_modes(tiny):
             assert iv[:, :P].all() and not iv[:, P:].any()
         else:
             assert not iv[:, :P + 1].any()
+
+
+def test_spatial_local_perm():
+    from slime_tpu.data.image_ops import spatial_local_perm
+    # 2x1 grid (cols=2, rows=1), resampler grid 2 -> 8 tokens
+    perm = spatial_local_perm(2, 1, 2, 12)
+    # crop-major order: crop0=[0,1,2,3] (2x2), crop1=[4,5,6,7]
+    # spatial row-major: row0 = crop0 row0 (0,1), crop1 row0 (4,5), then row1
+    assert perm[:8].tolist() == [0, 1, 4, 5, 2, 3, 6, 7]
+    assert perm[8:].tolist() == list(range(8, 12))
+
+
+def test_naive_pad_then_devide_mode():
+    from PIL import Image
+    from slime_tpu.data.image_ops import process_naive_image_host
+    img = Image.new("RGB", (800, 600), (120, 60, 30))
+    crops, mask = process_naive_image_host(img)
+    assert crops.shape[0] == mask.shape[0]
+    assert mask[0] and mask.sum() > 1
+    assert np.isfinite(crops[mask]).all()
