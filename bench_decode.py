@@ -46,20 +46,20 @@ def main():
 
     print("compiling...", file=sys.stderr, flush=True)
     tok, cache = jp(params, ids)
-    jax.block_until_ready(tok)
+    int(tok[0])          # host transfer = true fence (tunnel caveat)
     tok, cache = js(params, cache, tok)
-    jax.block_until_ready(tok)
+    int(tok[0])
 
     # TTFT (prefill + first token)
     t0 = time.perf_counter()
     tok, cache = jp(params, ids)
-    jax.block_until_ready(tok)
+    int(tok[0])
     ttft_ms = (time.perf_counter() - t0) * 1000
 
     t0 = time.perf_counter()
     for _ in range(NEW):
         tok, cache = js(params, cache, tok)
-    jax.block_until_ready(tok)
+    int(tok[0])
     dt = time.perf_counter() - t0
 
     print(json.dumps({

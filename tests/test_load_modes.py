@@ -1,0 +1,69 @@
+"""Checkpoint load modes: base + adapter-only artifacts, model_base overlay,
+quantized load, LM-only (no vision) load."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slime_tpu import checkpoint as ckpt
+from slime_tpu.config import SliMEConfig
+from slime_tpu.models import slime
+
+
+@pytest.fixture(scope="module")
+def saved(tmp_path_factory):
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    base = str(tmp_path_factory.mktemp("base"))
+    ckpt.save_checkpoint(base, params, cfg)
+    return cfg, params, base
+
+
+def test_adapter_over_base(saved, tmp_path):
+    """Reference mode 2 (model/builder.py:93-115): base LLM + mm_projector.bin +
+    sampler.bin staged artifacts."""
+    cfg, params, base = saved
+    # different adapter weights saved separately
+    params2 = slime.init(jax.random.PRNGKey(9), cfg)
+    adir = str(tmp_path / "adapters")
+    ckpt.save_checkpoint(adir, params2, cfg, adapters_only=True)
+    cfg.save(adir)
+
+    loaded = ckpt.load_pretrained(adir, model_base=base, cfg=cfg)
+    # projector comes from the adapter file, llm from the base
+    np.testing.assert_allclose(
+        np.asarray(loaded["projector"]["w_gate"]),
+        np.asarray(params2["projector"]["w_gate"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loaded["llm"]["embed_tokens"]),
+        np.asarray(params["llm"]["embed_tokens"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loaded["sampler"]["post_qformer"]["query"]),
+        np.asarray(params2["sampler"]["post_qformer"]["query"]), atol=1e-6)
+
+
+def test_quantized_load(saved):
+    cfg, params, base = saved
+    loaded = ckpt.load_pretrained(base, cfg=cfg, load_bits=8)
+    q = loaded["llm"]["embed_tokens"]
+    assert isinstance(q, dict) and q["bits"] == 8
+    from slime_tpu.ops.quantization import dequantize_weight
+    deq = np.asarray(dequantize_weight(q))
+    ref = np.asarray(params["llm"]["embed_tokens"])
+    assert np.abs(deq - ref).mean() < 1e-3
+
+
+def test_forward_from_loaded_matches(saved):
+    cfg, params, base = saved
+    loaded = ckpt.to_jax(ckpt.load_pretrained(base, cfg=cfg))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, cfg.llm.vocab_size, (1, 8)).astype(np.int32)
+    from slime_tpu.models import llama
+    l1, _ = llama.forward(params["llm"], llama.embed(params["llm"], jnp.asarray(ids)),
+                          cfg.llm)
+    l2, _ = llama.forward(loaded["llm"], llama.embed(loaded["llm"], jnp.asarray(ids)),
+                          cfg.llm)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
