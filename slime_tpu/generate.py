@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import SliMEConfig
 from .models import llama, slime
@@ -195,8 +196,6 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
         if done:
             break
 
-
-import numpy as np  # noqa: E402  (used by generate_stream host loop)
 
 
 def trim_at_eos(tokens, eos_id: int):
