@@ -188,6 +188,8 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
     """Full fusion: encode images + splice into the token stream.
 
     input_ids [B, S] with IMAGE_TOKEN_INDEX sentinels; labels [B, S] or None.
+    Only the FIRST sentinel per sample expands into image features (SliME's data
+    format has one image per sample); later sentinels are dropped from the stream.
     """
     B, S = input_ids.shape
     if max_len is None:
