@@ -15,6 +15,7 @@ Design notes:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -157,11 +158,14 @@ def embed(params, input_ids) -> jnp.ndarray:
 
 def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             use_pallas: Optional[bool] = None, return_kv: bool = False,
-            compute_dtype=jnp.float32):
+            compute_dtype=jnp.float32, remat: bool = False):
     """Full-sequence forward (training / prefill).
 
     embeds [B, S, H] (already fused with image features); positions [B, S] or None
     (arange). Returns (logits fp32 [B, S, V], kv list or None).
+    remat=True rematerializes each block on the backward pass (jax.checkpoint) —
+    the TPU equivalent of the reference's gradient_checkpointing flag
+    (train.py:1028-1034), trading ~1/3 more FLOPs for O(sqrt) activation memory.
     """
     B, S, _ = embeds.shape
     x = embeds.astype(compute_dtype)
@@ -171,9 +175,17 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
     else:
         cos_s, sin_s = cos[positions], sin[positions]
 
+    layer_fn = _layer_prefill
+    if remat:
+        layer_fn = jax.checkpoint(
+            functools.partial(_layer_prefill, cfg=cfg, use_pallas=use_pallas),
+            static_argnums=())
     kvs = []
     for lp in params["layers"]:
-        x, kv = _layer_prefill(lp, x, cos_s, sin_s, cfg, use_pallas)
+        if remat:
+            x, kv = layer_fn(lp, x, cos_s, sin_s)
+        else:
+            x, kv = layer_fn(lp, x, cos_s, sin_s, cfg, use_pallas)
         if return_kv:
             kvs.append(kv)
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)

@@ -221,7 +221,7 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
 def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
             crop_mask, labels=None, *, training: bool = False,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
-            compute_dtype=jnp.float32):
+            compute_dtype=jnp.float32, remat: bool = False):
     """End-to-end forward. Returns (logits [B, L, V] fp32, FusedBatch)."""
     fused = prepare_multimodal(params, cfg, input_ids, attention_mask,
                                pixel_values, crop_mask, labels,
@@ -229,18 +229,19 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
                                compute_dtype=compute_dtype)
     logits, _ = llama.forward(params["llm"], fused.embeds, cfg.llm,
                               positions=fused.positions, use_pallas=use_pallas,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, remat=remat)
     return logits, fused
 
 
 def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
-            compute_dtype=jnp.float32):
+            compute_dtype=jnp.float32, remat: bool = False):
     """Next-token cross entropy with IGNORE_INDEX masking (HF shift semantics)."""
     logits, fused = forward(params, cfg, batch["input_ids"], batch["attention_mask"],
                             batch["pixel_values"], batch["crop_mask"],
                             batch.get("labels"), training=training, rng=rng,
-                            use_pallas=use_pallas, compute_dtype=compute_dtype)
+                            use_pallas=use_pallas, compute_dtype=compute_dtype,
+                            remat=remat)
     shift_logits = logits[:, :-1]
     shift_labels = fused.labels[:, 1:]
     valid = shift_labels != IGNORE_INDEX

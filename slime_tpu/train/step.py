@@ -25,12 +25,13 @@ from .optim import TrainConfig, make_optimizer
 
 def make_train_step(cfg: SliMEConfig, tc: TrainConfig, tx,
                     use_pallas: Optional[bool] = None,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, remat: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics); jitted, state donated."""
 
     def loss(params, batch, rng):
         return slime.loss_fn(params, cfg, batch, training=True, rng=rng,
-                             use_pallas=use_pallas, compute_dtype=compute_dtype)
+                             use_pallas=use_pallas, compute_dtype=compute_dtype,
+                             remat=remat)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):

@@ -102,3 +102,20 @@ def test_learnable_gated_pinning(tiny_setup):
                                              mm_learnable_gated=1))
     assert all(v == "frozen" for v in jax.tree_util.tree_leaves(labels1["projector"]["projection"]))
     assert all(v != "frozen" for v in jax.tree_util.tree_leaves(labels1["projector"]["attn"]))
+
+
+def test_remat_matches_no_remat(tiny_setup):
+    """jax.checkpoint path produces identical loss/grads (up to fp tolerance)."""
+    cfg, params = tiny_setup
+    batch = _batch(cfg, B=2)
+
+    def loss(p, remat):
+        return slime.loss_fn(p, cfg, batch, training=False, remat=remat)[0]
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(g0)
+    b = jax.tree_util.tree_leaves(g1)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
