@@ -274,10 +274,13 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
         params["vision"] = convert_clip_vision(
             load_sharded_state_dict(vision_path), cfg.vision)
     if load_bits in (4, 8):
-        # bitsandbytes-equivalent quantized load (model/builder.py:32-41): the LLM
-        # body is weight-only quantized; adapters/vision stay fp.
+        # bitsandbytes-equivalent quantized load (model/builder.py:32-41): layer
+        # matmul weights are quantized (dequant fuses into the matmul epilogue,
+        # see models/layers.linear); embeddings/lm_head/norms stay fp so gathers
+        # and the final projection keep full precision.
         from .ops.quantization import quantize_params
-        params["llm"] = quantize_params(params["llm"], bits=load_bits)
+        params["llm"]["layers"] = quantize_params(params["llm"]["layers"],
+                                                  bits=load_bits, min_size=1024)
     return params
 
 

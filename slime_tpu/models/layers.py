@@ -29,8 +29,15 @@ def linear_init(rng, in_dim: int, out_dim: int, *, bias: bool = True, std: float
 
 
 def linear(p, x):
-    """x [..., in] @ W.T [in, out] (+ b). Torch layout: weight [out, in]."""
-    y = jnp.einsum("...i,oi->...o", x, p["weight"],
+    """x [..., in] @ W.T [in, out] (+ b). Torch layout: weight [out, in].
+
+    Quant-aware: if the weight leaf is an int8/int4 quant dict (ops.quantization),
+    dequantization fuses into the matmul epilogue."""
+    w = p["weight"]
+    if isinstance(w, dict) and "q" in w:
+        from ..ops.quantization import dequantize_weight
+        w = dequantize_weight(w)
+    y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
