@@ -376,14 +376,18 @@ def flash_attention(q, k, v, *, causal: bool = True, scale: Optional[float] = No
                     use_pallas: Optional[bool] = None):
     """q [B, H, S, D]; k, v [B, KVH, S, D] (KVH divides H). Returns [B, H, S, D].
 
-    use_pallas=None auto-selects: Pallas on TPU backends, XLA reference elsewhere
-    (CPU tests exercise the same math through the oracle; the kernel itself is
-    additionally tested in interpret mode).
+    use_pallas=None auto-selects. Measured on v5e (S=2048, 32 q-heads, 8 kv-heads):
+    XLA's fused attention currently beats this kernel by ~18% fwd and bwd, so the
+    default is the XLA path; set SLIME_USE_PALLAS_ATTN=1 (or pass use_pallas=True)
+    to route through the Pallas kernel (correctness-tested; block-scheduling
+    tuning queued). CPU always uses the XLA oracle.
     """
+    import os
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("SLIME_USE_PALLAS_ATTN", "0") == "1")
     if not use_pallas:
         return reference_attention(q, k, v, causal=causal, scale=scale)
     return _flash(q, k, v, scale, causal, block_q, block_k, False)
