@@ -102,14 +102,15 @@ class BatchDecodeEngine:
         self._insert = jax.jit(_insert, donate_argnums=(0,))
 
         def _step(params, cache, tokens, rng, temperature, active):
+            # temperature: per-slot [B]; 0 = greedy
             old_len = cache["length"]
             logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
                                               compute_dtype=self.compute_dtype)
             # inactive slots must not advance (their slot may be re-admitted later)
             cache["length"] = jnp.where(active, cache["length"], old_len)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            sampled = jax.random.categorical(rng, logits / jnp.maximum(temperature, 1e-6),
-                                             axis=-1).astype(jnp.int32)
+            t = jnp.maximum(temperature, 1e-6)[:, None]
+            sampled = jax.random.categorical(rng, logits / t, axis=-1).astype(jnp.int32)
             nxt = jnp.where(temperature > 0, sampled, greedy)
             return nxt, cache
 
@@ -188,11 +189,13 @@ class BatchDecodeEngine:
             return 0
 
         self.rng, sub = self.jax.random.split(self.rng)
-        temp = max((self.slots[i].req.temperature for i in active), default=0.0)
+        temps = np.zeros((self.max_slots,), np.float32)
+        for i in active:
+            temps[i] = self.slots[i].req.temperature
         active_mask = np.zeros((self.max_slots,), bool)
         active_mask[active] = True
         nxt, self.cache = self._step(self.params, self.cache, self.cur_tokens,
-                                     sub, self.jnp.asarray(temp, self.jnp.float32),
+                                     sub, self.jnp.asarray(temps),
                                      self.jnp.asarray(active_mask))
         self.cur_tokens = nxt
         nxt_np = np.asarray(nxt)
