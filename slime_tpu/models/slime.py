@@ -52,6 +52,10 @@ def init(rng, cfg: SliMEConfig) -> Dict:
 
 def image_token_budget(cfg: SliMEConfig) -> int:
     n_global = cfg.vision.num_patches
+    if not cfg.has_sampler:
+        # no compression layer: every crop contributes its full patch grid
+        # (reference else-branch, llava_arch.py:257-260)
+        return (1 + cfg.max_local_crops) * n_global
     return n_global + 1 + cfg.max_local_crops * cfg.mm_resampler_dim
 
 
@@ -87,6 +91,16 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
                       .astype(compute_dtype),
                       cfg.vision)                     # [B*MC, P, mm]
     feats = feats.reshape(B, MC, P, -1)
+
+    if not cfg.has_sampler:
+        # identity resampler: no compression/selection — all crops' patch tokens
+        # flow through the projector and flat-merge (llava_arch.py:257-260)
+        proj = projector.apply(params["projector"],
+                               feats.reshape(B * MC, P, -1), cfg=cfg,
+                               training=training, rng=rng)
+        img_embeds = proj.reshape(B, MC * P, -1).astype(compute_dtype)
+        img_valid = jnp.repeat(crop_mask.astype(bool), P, axis=1)
+        return img_embeds, img_valid
 
     # Global path: full gated projector (llava_arch.py:224)
     global_f = projector.apply(params["projector"], feats[:, 0], cfg=cfg,

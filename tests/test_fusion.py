@@ -176,3 +176,24 @@ def test_naive_pad_then_devide_mode():
     assert crops.shape[0] == mask.shape[0]
     assert mask[0] and mask.sum() > 1
     assert np.isfinite(crops[mask]).all()
+
+
+def test_identity_resampler_path(tiny):
+    """No sampler: all crops' patch tokens flow through the projector (flat)."""
+    cfg, _ = tiny
+    cfg2 = SliMEConfig(**{**cfg.__dict__, "mm_resampler_type": "identity",
+                          "mm_projector_type": "mlp2x_gelu"})
+    params = slime.init(jax.random.PRNGKey(1), cfg2)
+    assert "sampler" not in params
+    batch = _mk_batch(cfg2)
+    emb, valid = slime.encode_images(
+        params, cfg2, batch["pixel_values"], batch["crop_mask"],
+        batch["input_ids"], batch["attention_mask"])
+    P = cfg2.vision.num_patches
+    MC = 1 + cfg2.max_local_crops
+    assert emb.shape[1] == MC * P == slime.image_token_budget(cfg2)
+    v = np.asarray(valid)
+    cm = np.asarray(batch["crop_mask"])
+    assert (v.reshape(2, MC, P).any(-1) == cm).all()
+    loss, _ = slime.loss_fn(params, cfg2, batch, training=False)
+    assert np.isfinite(float(loss))
