@@ -112,3 +112,45 @@ def test_harness_end_to_end(tmp_path):
     rows = [json.loads(l) for l in open(out)]
     assert len(rows) == 3
     assert all("text" in r and "question_id" in r for r in rows)
+
+
+def test_merge_chunks(tmp_path):
+    files = []
+    for i in range(3):
+        f = tmp_path / f"c{i}.jsonl"
+        f.write_text(json.dumps({"question_id": i, "text": f"a{i}"}) + "\n")
+        files.append(str(f))
+    merged = harness.merge_chunks(files, str(tmp_path / "m.jsonl"))
+    rows = [json.loads(l) for l in open(merged)]
+    assert [r["question_id"] for r in rows] == [0, 1, 2]
+
+
+def test_video_mme_scoring(tmp_path):
+    from slime_tpu.eval.video import score_video_mme
+    f = tmp_path / "v.jsonl"
+    recs = [
+        {"video_id": "v1", "duration": "short", "questions": [
+            {"response": "The answer is A", "answer": "A"},
+            {"response": "B", "answer": "C"},
+        ]},
+        {"video_id": "v2", "duration": "long", "questions": [
+            {"response": "D", "answer": "D"},
+        ]},
+    ]
+    with open(f, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    s = score_video_mme(str(f))
+    assert s["short"] == 50.0 and s["long"] == 100.0
+    assert abs(s["overall"] - 200 / 3) < 1e-6
+
+
+def test_video_frame_budget():
+    from PIL import Image
+    from slime_tpu.eval.video import process_video_frames
+    frames = [Image.new("RGB", (640, 360), (i * 10, 0, 0)) for i in range(20)]
+    pix, mask = process_video_frames(frames, tile=56, max_crops=8)
+    assert pix.shape == (8, 3, 56, 56)
+    assert mask.all()
+    pix2, mask2 = process_video_frames(frames[:3], tile=56, max_crops=8)
+    assert mask2.sum() == 3
