@@ -67,3 +67,15 @@ def test_gpt_review_with_fake_judge():
                                 judge_fn=lambda sys, usr: "6 8\nSecond better.",
                                 rule_prompt="Rate both 1-10.")
     assert reviews[0]["tuple"] == [6.0, 8.0]
+
+
+def test_webpage_renderer(tmp_path):
+    from slime_tpu.eval import webpage
+    qs = [{"question_id": 1, "text": "what <is> this?"}]
+    a1 = [{"text": "a cat"}]
+    a2 = [{"text": "a <b>dog</b>"}]
+    reviews = [{"tuple": [7.0, 9.0]}]
+    p = webpage.write_review_page(str(tmp_path / "r.html"), qs, a1, a2, reviews,
+                                  title="t & t")
+    s = open(p).read()
+    assert "7 / 9" in s and "&lt;b&gt;dog&lt;/b&gt;" in s and "t &amp; t" in s
