@@ -162,6 +162,26 @@ conv_chatml_direct = _conv(
 conv_plain = _conv(
     system="", roles=("", ""), sep_style=SeparatorStyle.PLAIN, sep="\n")
 
+conv_v0_mmtag = _conv(
+    system="A chat between a curious user and an artificial intelligence assistant. "
+           "The assistant is able to understand the visual content that the user "
+           "provides, and assist the user with a variety of tasks using natural "
+           "language."
+           "The visual content will be provided with the following format: "
+           "<Image>visual content</Image>.",
+    roles=("Human", "Assistant"), sep_style=SeparatorStyle.SINGLE, sep="###",
+    version="v0_mmtag")
+
+conv_v1_mmtag = _conv(
+    system="A chat between a curious user and an artificial intelligence assistant. "
+           "The assistant is able to understand the visual content that the user "
+           "provides, and assist the user with a variety of tasks using natural "
+           "language."
+           "The visual content will be provided with the following format: "
+           "<Image>visual content</Image>.",
+    roles=("USER", "ASSISTANT"), sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>",
+    version="v1_mmtag")
+
 default_conversation = conv_vicuna_v1
 
 conv_templates = {
@@ -178,6 +198,8 @@ conv_templates = {
     "v0_plain": conv_plain,
     "llava_v0": conv_vicuna_v0,
     "llava_v1": conv_vicuna_v1,
+    "v0_mmtag": conv_v0_mmtag,
+    "v1_mmtag": conv_v1_mmtag,
     "llava_llama_2": conv_llava_llama_2,
     "mpt": conv_mpt,
 }

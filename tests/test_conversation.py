@@ -32,6 +32,16 @@ def test_prompt_matches_reference(name, messages):
 
 
 def test_registry_covers_reference_keys():
-    missing = set(ref.conv_templates.keys()) - set(conv.conv_templates.keys())
-    # mmtag variants are aliases of v0/v1 system prompts; keep core coverage.
-    assert missing <= {"v0_mmtag", "v1_mmtag"}
+    assert set(ref.conv_templates.keys()) <= set(conv.conv_templates.keys())
+
+
+def test_mmtag_prompts_match():
+    for name in ("v0_mmtag", "v1_mmtag"):
+        ours = conv.conv_templates[name].copy()
+        theirs = ref.conv_templates[name].copy()
+        theirs.messages = list(theirs.messages)
+        ours.append_message(ours.roles[0], "<Image><image></Image> hi")
+        theirs.append_message(theirs.roles[0], "<Image><image></Image> hi")
+        ours.append_message(ours.roles[1], None)
+        theirs.append_message(theirs.roles[1], None)
+        assert ours.get_prompt() == theirs.get_prompt()
