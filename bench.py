@@ -42,7 +42,8 @@ def main():
     vparams, pparams, sparams = map(to_bf16, (vparams, pparams, sparams))
 
     H = W = 672                     # BASELINE config #1 geometry (1 global + 4 local)
-    IMGS_PER_CALL = 8
+    import os
+    IMGS_PER_CALL = int(os.environ.get("SLIME_BENCH_IMGS", "8"))
     pre = make_device_anyres_fn((H, W))
     MC = 1 + cfg.max_local_crops
 
