@@ -118,9 +118,10 @@ def main():
                            image_folder=args.image_folder,
                            image_aspect_ratio=args.image_aspect_ratio,
                            conv_version=args.version,
-                           max_crops=1 + cfg.max_local_crops)
+                           max_crops=1 + cfg.max_local_crops,
+                           tile=cfg.vision.image_size)
 
-    n_batches = len(ds) // args.per_device_batch_size * args.num_train_epochs
+    n_batches = max(len(ds) // args.per_device_batch_size, 1) * args.num_train_epochs
     total_steps = args.max_steps or n_batches
     tc = TrainConfig(
         learning_rate=args.learning_rate, mm_projector_lr=args.mm_projector_lr,
@@ -138,6 +139,13 @@ def main():
 
     mesh = mesh_lib.make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_model) \
         if len(jax.devices()) > 1 else None
+    # --per-device-batch-size semantics: the loader yields the GLOBAL batch
+    # (per-device x batch-sharded mesh extent), like the reference's
+    # per_device_train_batch_size x world_size
+    batch_mult = 1
+    if mesh is not None:
+        batch_mult = mesh.shape["data"] * mesh.shape["fsdp"]
+    global_batch = args.per_device_batch_size * batch_mult
 
     trainer = Trainer(params, cfg, tc, rc, mesh=mesh,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
@@ -145,7 +153,7 @@ def main():
     def batches():
         for epoch in range(args.num_train_epochs):
             yield from data_loader(
-                ds, batch_size=args.per_device_batch_size,
+                ds, batch_size=global_batch,
                 seq_len=args.model_max_length,
                 pad_token_id=tokenizer.pad_token_id or 0,
                 seed=args.seed + epoch,

@@ -33,7 +33,7 @@ class SupervisedDataset:
                  image_folder: str = "", image_aspect_ratio: str = "anyres",
                  conv_version: str = "v1", max_crops: int = MAX_CROPS,
                  is_multimodal: bool = True, seed: int = 3407,
-                 use_native_preprocess: bool = True):
+                 tile: int = 336, use_native_preprocess: bool = True):
         if isinstance(data_paths, str):
             data_paths = [data_paths]
         self.tokenizer = tokenizer
@@ -42,7 +42,8 @@ class SupervisedDataset:
         self.conv_version = conv_version
         self.max_crops = max_crops
         self.is_multimodal = is_multimodal
-        self.use_native_preprocess = use_native_preprocess
+        self.tile = tile
+        self.use_native_preprocess = use_native_preprocess and tile == 336
 
         datasets = []
         for p in data_paths:
@@ -98,10 +99,10 @@ class SupervisedDataset:
             img = Image.open(os.path.join(self.image_folder, r["image"])).convert("RGB")
             if self.image_aspect_ratio in ("anyres", "any_res"):
                 crops, mask, _ = process_anyres_image_host(
-                    img, max_crops=self.max_crops,
+                    img, tile=self.tile, max_crops=self.max_crops,
                     use_native=self.use_native_preprocess)
             else:
-                one = process_pad_image_host(img)
+                one = process_pad_image_host(img, tile=self.tile)
                 crops = np.zeros((self.max_crops,) + one.shape, np.float32)
                 crops[0] = one
                 mask = np.zeros((self.max_crops,), bool)
@@ -110,7 +111,7 @@ class SupervisedDataset:
             item["crop_mask"] = mask
         else:
             # text-only rows still carry zero image slots so batch shapes are uniform
-            t = 336
+            t = self.tile
             item["pixel_values"] = np.zeros((self.max_crops, 3, t, t), np.float32)
             item["crop_mask"] = np.zeros((self.max_crops,), bool)
         return item
