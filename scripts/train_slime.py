@@ -65,6 +65,12 @@ def parse_args():
     ap.add_argument("--mesh-fsdp", type=int, default=None)
     ap.add_argument("--mesh-model", type=int, default=1)
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--use-pallas-attention", action="store_true",
+                    help="route LLM attention through the Pallas flash kernel "
+                         "(O(S) memory; avoids the O(S^2) probability tensor)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize decoder blocks on backward (gradient "
+                         "checkpointing equivalent)")
     return ap.parse_args()
 
 
@@ -148,7 +154,9 @@ def main():
     global_batch = args.per_device_batch_size * batch_mult
 
     trainer = Trainer(params, cfg, tc, rc, mesh=mesh,
-                      compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                      compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                      use_pallas=args.use_pallas_attention or None,
+                      remat=args.remat)
 
     def batches():
         for epoch in range(args.num_train_epochs):

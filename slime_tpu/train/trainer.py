@@ -45,7 +45,8 @@ class RunConfig:
 
 class Trainer:
     def __init__(self, params, cfg: SliMEConfig, tc: TrainConfig, rc: RunConfig,
-                 *, mesh=None, compute_dtype=None):
+                 *, mesh=None, compute_dtype=None, use_pallas=None,
+                 remat: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -61,7 +62,8 @@ class Trainer:
             print(f"[train] resumed from {resume} at step {int(self.state['step'])}",
                   flush=True)
         self.step_fn = make_train_step(cfg, tc, self.tx,
-                                       compute_dtype=self.compute_dtype)
+                                       compute_dtype=self.compute_dtype,
+                                       use_pallas=use_pallas, remat=remat)
         self.rng = jax.random.PRNGKey(rc.seed)
         self.metrics_file = os.path.join(rc.output_dir, "metrics.jsonl")
         os.makedirs(rc.output_dir, exist_ok=True)
