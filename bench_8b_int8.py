@@ -1,0 +1,106 @@
+"""SliME-8B-shape decode on one v5e chip via int8 weight-only quantization.
+
+Llama-3-8B bf16 (16 GB) does not fit a 16 GB v5e chip alongside activations and KV
+cache; the int8 load (ops/quantization.py, the bitsandbytes-equivalent) halves the
+footprint so the full 8B architecture decodes on a single chip. Measures bs=1
+prefill TTFT and decode tok/s with quant-aware matmuls. Prints one JSON line.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from slime_tpu.config import LLMConfig
+    from slime_tpu.models import llama
+
+    cfg = LLMConfig.llama3_8b()
+    rng = np.random.default_rng(0)
+
+    def q(out_d, in_d):
+        # quantize on HOST (numpy) so only int8 bytes cross the tunnel
+        w = rng.standard_normal((out_d, in_d)).astype(np.float32) * 0.02
+        absmax = np.abs(w).max(axis=-1, keepdims=True)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        qq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return {"q": jnp.asarray(qq), "scale": jnp.asarray(scale), "bits": 8}
+
+    H, HD, I = cfg.hidden_size, cfg.head_dim, cfg.intermediate_size
+    print("building int8 8B params...", file=sys.stderr, flush=True)
+    layers = []
+    for i in range(cfg.num_layers):
+        layers.append({
+            "input_layernorm": {"weight": jnp.ones((H,), jnp.float32)},
+            "q_proj": {"weight": q(cfg.num_heads * HD, H)},
+            "k_proj": {"weight": q(cfg.num_kv_heads * HD, H)},
+            "v_proj": {"weight": q(cfg.num_kv_heads * HD, H)},
+            "o_proj": {"weight": q(cfg.num_heads * HD, H)},
+            "post_attention_layernorm": {"weight": jnp.ones((H,), jnp.float32)},
+            "gate_proj": {"weight": q(I, H)},
+            "up_proj": {"weight": q(I, H)},
+            "down_proj": {"weight": q(H, I)},
+        })
+        print(f"  layer {i + 1}/{cfg.num_layers}", file=sys.stderr, flush=True)
+    params = {
+        "embed_tokens": jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, H)).astype(np.float32) * 0.02
+        ).astype(jnp.bfloat16),
+        "norm": {"weight": jnp.ones((H,), jnp.float32)},
+        "layers": layers,
+        "lm_head": {"weight": jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, H)).astype(np.float32) * 0.02
+        ).astype(jnp.bfloat16)},
+    }
+
+    B, S, NEW, CACHE = 1, 512, 64, 640
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (B, S), np.int32))
+
+    def prefill(params, ids):
+        embeds = llama.embed(params, ids).astype(jnp.bfloat16)
+        logits, kvs = llama.forward(params, embeds, cfg, return_kv=True,
+                                    compute_dtype=jnp.bfloat16)
+        cache = llama.init_kv_cache(cfg, B, CACHE, dtype=jnp.bfloat16)
+        cache = llama.prefill_into_cache(cache, kvs, jnp.full((B,), S))
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+
+    def step(params, cache, tok):
+        logits, cache = llama.decode_step(params, cache, tok, cfg,
+                                          compute_dtype=jnp.bfloat16)
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+    jp = jax.jit(prefill)
+    js = jax.jit(step, donate_argnums=(1,))
+
+    print("compiling...", file=sys.stderr, flush=True)
+    tok, cache = jp(params, ids)
+    int(tok[0])
+    tok, cache = js(params, cache, tok)
+    int(tok[0])
+
+    t0 = time.perf_counter()
+    tok, cache = jp(params, ids)
+    int(tok[0])
+    ttft_ms = (time.perf_counter() - t0) * 1000
+
+    t0 = time.perf_counter()
+    for _ in range(NEW):
+        tok, cache = js(params, cache, tok)
+    int(tok[0])
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "slime8b_int8_decode_tok_per_sec",
+        "value": round(NEW / dt, 2),
+        "unit": f"tok/s (Llama-3-8B arch, int8 weights, bs=1, "
+                f"512-token prefill TTFT={ttft_ms:.0f}ms, single v5e chip)",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
