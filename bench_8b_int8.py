@@ -28,7 +28,7 @@ def main():
         absmax = np.abs(w).max(axis=-1, keepdims=True)
         scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
         qq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-        return {"q": jnp.asarray(qq), "scale": jnp.asarray(scale), "bits": 8}
+        return {"q": jnp.asarray(qq), "scale": jnp.asarray(scale)}
 
     H, HD, I = cfg.hidden_size, cfg.head_dim, cfg.intermediate_size
     print("building int8 8B params...", file=sys.stderr, flush=True)

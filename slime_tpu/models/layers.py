@@ -34,7 +34,7 @@ def linear(p, x):
     Quant-aware: if the weight leaf is an int8/int4 quant dict (ops.quantization),
     dequantization fuses into the matmul epilogue."""
     w = p["weight"]
-    if isinstance(w, dict) and "q" in w:
+    if isinstance(w, dict):
         from ..ops.quantization import dequantize_weight
         w = dequantize_weight(w)
     y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),

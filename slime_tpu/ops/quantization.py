@@ -19,7 +19,10 @@ import numpy as np
 
 
 def quantize_weight(w: jnp.ndarray, bits: int = 8) -> Dict:
-    """w [out, in] fp -> {"q": int8 [out, in(/2 for int4)], "scale": [out, 1], "bits"}."""
+    """w [out, in] fp -> {"q"| "q4": int8 [out, in(/2 for int4)], "scale": [out, 1]}.
+
+    The bit-width lives in the KEY ("q" = int8, "q4" = packed int4), not a leaf, so
+    quantized trees pass through jit without tracing a static attribute."""
     assert bits in (4, 8)
     wf = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
@@ -31,19 +34,24 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8) -> Dict:
         lo = q[:, 0::2] & 0xF
         hi = (q[:, 1::2] & 0xF) << 4
         q = (lo | hi).astype(jnp.int8)
-    return {"q": q, "scale": scale.astype(jnp.float32), "bits": bits}
+        return {"q4": q, "scale": scale.astype(jnp.float32)}
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and ("q" in leaf or "q4" in leaf) and "scale" in leaf
 
 
 def dequantize_weight(qw: Dict) -> jnp.ndarray:
-    q = qw["q"]
-    if qw["bits"] == 4:
+    if "q4" in qw:
+        q = qw["q4"]
         lo = (q & 0xF).astype(jnp.int8)
         lo = jnp.where(lo >= 8, lo - 16, lo)
         hi = ((q >> 4) & 0xF).astype(jnp.int8)
         hi = jnp.where(hi >= 8, hi - 16, hi)
         out = jnp.stack([lo, hi], axis=-1).reshape(q.shape[0], -1)
     else:
-        out = q
+        out = qw["q"]
     return out.astype(jnp.float32) * qw["scale"]
 
 
@@ -84,7 +92,7 @@ def dequantize_params(params):
 
     def walk(node):
         if isinstance(node, dict):
-            if "q" in node and "scale" in node and "bits" in node:
+            if is_quantized(node):
                 return dequantize_weight(node)
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):

@@ -24,7 +24,7 @@ def test_int4_roundtrip_error(rng):
 def test_int4_packing_shapes(rng):
     w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
     qw = q.quantize_weight(w, bits=4)
-    assert qw["q"].shape == (64, 64)
+    assert qw["q4"].shape == (64, 64)
     deq = q.dequantize_weight(qw)
     assert deq.shape == (64, 128)
     # column order preserved
@@ -49,8 +49,7 @@ def test_tree_quantization(rng):
     cfg = SliMEConfig.tiny()
     params = slime.init(jax.random.PRNGKey(0), cfg)
     qp = q.quantize_params(params, bits=8, min_size=1024)
-    # embed_tokens (512x128) should be quantized
-    assert "q" in qp["llm"]["embed_tokens"] or hasattr(qp["llm"]["embed_tokens"], "ndim")
+    assert q.is_quantized(qp["llm"]["layers"][0]["q_proj"]["weight"])
     deq = q.dequantize_params(qp)
     a = np.asarray(deq["llm"]["layers"][0]["q_proj"]["weight"])
     b = np.asarray(params["llm"]["layers"][0]["q_proj"]["weight"])
