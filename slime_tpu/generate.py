@@ -88,9 +88,10 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
     B, S = input_ids.shape
 
     if pixel_values is not None:
-        fused = slime.prepare_multimodal(
-            params, cfg, input_ids, attention_mask, pixel_values, crop_mask,
-            training=False, compute_dtype=compute_dtype)
+        prep = (slime.prepare_multimodal_multi if pixel_values.ndim == 6
+                else slime.prepare_multimodal)
+        fused = prep(params, cfg, input_ids, attention_mask, pixel_values,
+                     crop_mask, training=False, compute_dtype=compute_dtype)
         embeds, positions, lengths = fused.embeds, fused.positions, fused.lengths
     else:
         embeds = llama.embed(params["llm"], jnp.where(input_ids < 0, 0, input_ids)
@@ -139,9 +140,10 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
     matcher = StopStringMatcher(stop_strings, tokenizer) if stop_strings else None
 
     if pixel_values is not None:
-        fused = slime.prepare_multimodal(
-            params, cfg, input_ids, attention_mask, pixel_values, crop_mask,
-            training=False, compute_dtype=compute_dtype)
+        prep = (slime.prepare_multimodal_multi if pixel_values.ndim == 6
+                else slime.prepare_multimodal)
+        fused = prep(params, cfg, input_ids, attention_mask, pixel_values,
+                     crop_mask, training=False, compute_dtype=compute_dtype)
         embeds, positions, lengths = fused.embeds, fused.positions, fused.lengths
     else:
         embeds = llama.embed(params["llm"], jnp.where(input_ids < 0, 0, input_ids)

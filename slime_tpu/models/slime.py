@@ -232,6 +232,104 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
     return FusedBatch(*out)
 
 
+
+
+def _splice_multi(text_emb, text_valid, text_labels, img_emb, img_valid,
+                  sent_pos, *, max_len: int):
+    """Multi-image splice (vmapped over batch): up to N image blocks.
+
+    text_emb [S, H]; img_emb [N, T, H]; img_valid [N, T]; sent_pos [N] (ascending
+    sentinel positions; missing images padded with S and masked by img_valid).
+    Block k of length T inserts at expanded offset f(k) = sent_pos[k] + k*T; the
+    sentinel itself is dropped via text_valid (caller masks it).
+    """
+    S, H = text_emb.shape
+    N, T = img_emb.shape[:2]
+    E = S + N * T
+
+    e = jnp.arange(E)
+    f = sent_pos + jnp.arange(N) * T                     # block starts [N]
+    in_block = (e[None] >= f[:, None]) & (e[None] < (f[:, None] + T))   # [N, E]
+    blocks_before = jnp.sum(e[None] >= (f[:, None] + T), axis=0)        # [E]
+    which = jnp.argmax(in_block, axis=0)                 # block index (valid when any)
+    any_block = jnp.any(in_block, axis=0)
+
+    img_flat = img_emb.reshape(N * T, H)
+    img_src = which * T + (e - f[which])                 # index into img_flat
+    txt_src = jnp.clip(e - blocks_before * T, 0, S - 1)
+
+    emb_ext = jnp.where(any_block[:, None], img_flat[jnp.clip(img_src, 0, N * T - 1)],
+                        text_emb[txt_src])
+    valid_ext = jnp.where(any_block,
+                          img_valid.reshape(-1)[jnp.clip(img_src, 0, N * T - 1)],
+                          text_valid[txt_src])
+    lab_ext = jnp.where(any_block, IGNORE_INDEX, text_labels[txt_src])
+
+    tgt = jnp.cumsum(valid_ext) - 1
+    tgt = jnp.where(valid_ext, jnp.minimum(tgt, max_len), max_len)
+    out_emb = jnp.zeros((max_len + 1, H), emb_ext.dtype).at[tgt].set(emb_ext)[:max_len]
+    out_lab = jnp.full((max_len + 1,), IGNORE_INDEX,
+                       lab_ext.dtype).at[tgt].set(lab_ext)[:max_len]
+    length = jnp.minimum(jnp.sum(valid_ext), max_len)
+    mask = jnp.arange(max_len) < length
+    out_lab = jnp.where(mask, out_lab, IGNORE_INDEX)
+    positions = jnp.arange(max_len, dtype=jnp.int32)
+    return out_emb, mask, positions, out_lab, length.astype(jnp.int32)
+
+
+def sentinel_positions(input_ids, n_max: int):
+    """[B, S] -> ascending positions of the first n_max sentinels (pad = S)."""
+    B, S = input_ids.shape
+    is_img = input_ids == IMAGE_TOKEN_INDEX
+    # stable ascending: indices of sentinels first (by position), pads after
+    pos = jnp.where(is_img, jnp.arange(S)[None], S)
+    return jnp.sort(pos, axis=1)[:, :n_max]
+
+
+def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask,
+                             pixel_values, crop_mask, labels=None, *,
+                             training: bool = False,
+                             rng: Optional[jax.Array] = None,
+                             max_len: Optional[int] = None,
+                             compute_dtype=jnp.float32) -> FusedBatch:
+    """Multi-image fusion: pixel_values [B, N, MC, 3, t, t]; crop_mask [B, N, MC].
+    Each of the first N '<image>' sentinels expands into its image's feature block.
+    """
+    B, N = pixel_values.shape[:2]
+    S = input_ids.shape[1]
+    if max_len is None:
+        max_len = cfg.tokenizer_model_max_length
+
+    pv = pixel_values.reshape(B * N, *pixel_values.shape[2:])
+    cm = crop_mask.reshape(B * N, -1)
+    ids_rep = jnp.repeat(input_ids, N, axis=0)
+    attn_rep = jnp.repeat(attention_mask, N, axis=0)
+    img_embeds, img_valid = encode_images(
+        params, cfg, pv, cm, ids_rep, attn_rep, training=training, rng=rng,
+        compute_dtype=compute_dtype)
+    T = img_embeds.shape[1]
+    img_embeds = img_embeds.reshape(B, N, T, -1)
+    img_valid = img_valid.reshape(B, N, T)
+    # images beyond the sample's sentinel count contribute nothing
+    sent = sentinel_positions(input_ids, N)               # [B, N]
+    has_img = sent < S
+    img_valid = img_valid & has_img[:, :, None]
+    # an image with no valid crops (all-padding slot) also contributes nothing
+    img_valid = img_valid & jnp.any(crop_mask, axis=2)[:, :, None]
+
+    is_img = input_ids == IMAGE_TOKEN_INDEX
+    safe_ids = jnp.where(is_img, 0, input_ids)
+    text_emb = llama.embed(params["llm"], safe_ids).astype(compute_dtype)
+    text_valid = attention_mask.astype(bool) & ~is_img
+    if labels is None:
+        labels = jnp.full_like(input_ids, IGNORE_INDEX)
+    text_labels = jnp.where(is_img, IGNORE_INDEX, labels)
+
+    out = jax.vmap(functools.partial(_splice_multi, max_len=max_len))(
+        text_emb, text_valid, text_labels, img_embeds, img_valid, sent)
+    return FusedBatch(*out)
+
+
 def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
             crop_mask, labels=None, *, training: bool = False,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,

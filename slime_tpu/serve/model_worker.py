@@ -115,10 +115,13 @@ class ModelWorker:
                         img, tile=self.cfg.vision.image_size, max_crops=MC)
                     crops_l.append(c)
                     mask_l.append(m)
-                # splice currently supports one image per prompt (SliME training
-                # format); extra images are preprocessed but only the first splices
-                pix = jnp.asarray(np.stack(crops_l[:1]))
-                cmask = jnp.asarray(np.stack(mask_l[:1]))
+                if len(crops_l) == 1:
+                    pix = jnp.asarray(np.stack(crops_l))        # [1, MC, ...]
+                    cmask = jnp.asarray(np.stack(mask_l))
+                else:
+                    # multi-image: [1, N, MC, ...] routed through the multi splice
+                    pix = jnp.asarray(np.stack(crops_l))[None]
+                    cmask = jnp.asarray(np.stack(mask_l))[None]
 
             ids = tokenizer_image_token(prompt, self.tokenizer, return_tensors="np")
             max_ctx = self.cfg.tokenizer_model_max_length
