@@ -109,3 +109,20 @@ def test_image_count_mismatch_is_error(stack):
                       stream=True, timeout=60)
     chunks = list(iter_stream_response(r))
     assert chunks[-1]["error_code"] != 0
+
+
+def test_two_image_generation(stack):
+    from PIL import Image
+
+    cport, wport, cfg, tok = stack
+    def b64img(color):
+        buf = io.BytesIO()
+        Image.new("RGB", (300, 300), color).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+    r = requests.post(f"http://localhost:{wport}/worker_generate_stream",
+                      json={"prompt": "<image> and <image> what differs",
+                            "images": [b64img((255, 0, 0)), b64img((0, 0, 255))],
+                            "max_new_tokens": 3, "temperature": 0.0},
+                      stream=True, timeout=600)
+    chunks = list(iter_stream_response(r))
+    assert chunks and chunks[-1]["error_code"] == 0
