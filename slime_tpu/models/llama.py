@@ -230,6 +230,73 @@ def prefill_into_cache(cache, kvs, lengths):
     return cache
 
 
+def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
+                  compute_dtype=jnp.float32):
+    """Incremental prefill: append a C-token chunk to the cache and return its
+    logits. Enables chunked admission in the serving engine (long prompts don't
+    stall decode ticks) and O(C * T) attention memory instead of O(S^2).
+
+    embeds [B, C, H]; rows start at their current cache['length'] (may differ
+    per row). Returns (logits fp32 [B, C, V], cache').
+    """
+    B, C, _ = embeds.shape
+    hd = cfg.head_dim
+    max_len = cache["k"].shape[2]
+    pos0 = cache["length"]                                   # [B]
+    positions = pos0[:, None] + jnp.arange(C)[None]          # [B, C]
+    cos, sin = rope_table(cfg, cfg.max_position_embeddings)
+    cos_s, sin_s = cos[positions], sin[positions]
+
+    x = embeds.astype(compute_dtype)
+    new_k, new_v = [], []
+    bidx = jnp.arange(B)
+    t_idx = jnp.arange(max_len)[None, None, None, :]
+    for li, lp in enumerate(params["layers"]):
+        h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
+        q = L.linear(lp["q_proj"], h).reshape(B, C, cfg.num_heads, hd)
+        k = L.linear(lp["k_proj"], h).reshape(B, C, cfg.num_kv_heads, hd)
+        v = L.linear(lp["v_proj"], h).reshape(B, C, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos_s, sin_s)
+        k = apply_rope(k, cos_s, sin_s)
+
+        # scatter the chunk into each row's cache at its own offset
+        def put(cache_li, new, row_pos):
+            def one(c_row, n_row, p):
+                return jax.lax.dynamic_update_slice(c_row, n_row, (p, 0, 0))
+            return jax.vmap(one)(cache_li, new.astype(cache_li.dtype), row_pos)
+
+        k_li = put(cache["k"][li], k, pos0)
+        v_li = put(cache["v"][li], v, pos0)
+        new_k.append(k_li)
+        new_v.append(v_li)
+
+        group = cfg.num_heads // cfg.num_kv_heads
+        qg = q.reshape(B, C, cfg.num_kv_heads, group, hd)
+        kk = k_li.astype(compute_dtype)
+        vv = v_li.astype(compute_dtype)
+        s = jnp.einsum("bckgd,btkd->bkgct", qg, kk,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        # causal vs absolute position of each chunk query
+        q_abs = positions[:, None, None, :, None]            # [B,1,1,C,1]
+        ok = t_idx[:, :, :, None, :] <= q_abs                # -> [B,1,1,C,T]
+        s = jnp.where(ok, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bkgct,btkd->bckgd", p.astype(compute_dtype), vv,
+                       preferred_element_type=jnp.float32).astype(compute_dtype)
+        o = o.reshape(B, C, cfg.num_heads * hd)
+        x = x + L.linear(lp["o_proj"], o)
+        h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
+        h = _moe(lp, h, cfg) if cfg.num_experts > 0 else _mlp(lp, h)
+        x = x + h
+
+    x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = jnp.einsum("bch,vh->bcv", x, params["lm_head"]["weight"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v),
+             "length": pos0 + C}
+    return logits, cache
+
+
 def decode_step(params, cache, token_ids, cfg: LLMConfig,
                 compute_dtype=jnp.float32):
     """One decode step: token_ids [B] -> (logits fp32 [B, V], cache').

@@ -97,3 +97,31 @@ def test_mixtral_moe_forward(small):
         ref = hf(ids).logits.numpy()
     logits, _ = llama.forward(params, llama.embed(params, jnp.asarray(ids.numpy())), cfg)
     np.testing.assert_allclose(np.asarray(logits), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_chunked_prefill_matches_full(small):
+    """Prefill in 3 chunks == one full forward (logits of the last chunk match)."""
+    cfg, _, params = small
+    rng = np.random.default_rng(3)
+    S, C = 12, 4
+    ids = rng.integers(0, 128, (2, S)).astype(np.int32)
+    embeds = llama.embed(params, jnp.asarray(ids))
+    full_logits, _ = llama.forward(params, embeds, cfg)
+
+    cache = llama.init_kv_cache(cfg, 2, 32)
+    chunk_logits = []
+    for s in range(0, S, C):
+        lg, cache = llama.prefill_chunk(params, cache,
+                                        embeds[:, s:s + C].astype(jnp.float32), cfg)
+        chunk_logits.append(np.asarray(lg))
+    got = np.concatenate(chunk_logits, axis=1)
+    np.testing.assert_allclose(got, np.asarray(full_logits), atol=3e-4, rtol=1e-3)
+    assert (np.asarray(cache["length"]) == S).all()
+
+    # decode continues seamlessly from the chunked cache
+    nxt = np.argmax(got[:, -1], -1).astype(np.int32)
+    step_logits, cache = llama.decode_step(params, cache, jnp.asarray(nxt), cfg)
+    seq = np.concatenate([ids, nxt[:, None]], axis=1)
+    oracle, _ = llama.forward(params, llama.embed(params, jnp.asarray(seq)), cfg)
+    np.testing.assert_allclose(np.asarray(step_logits), np.asarray(oracle)[:, -1],
+                               atol=3e-4, rtol=1e-3)
