@@ -75,6 +75,8 @@ class BatchDecodeEngine:
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[Request]" = queue.Queue()
+        self.prefill_chunk_len = 256   # admission granularity (bounds tick latency)
+        self._admission = None         # in-flight chunked admission state
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -88,6 +90,14 @@ class BatchDecodeEngine:
             return logits[0], k, v
 
         self._prefill = jax.jit(_prefill)
+
+        def _prefill_chunk(params, cache1, chunk_embeds):
+            logits, cache1 = llama.prefill_chunk(params["llm"], cache1, chunk_embeds,
+                                                 cfg.llm,
+                                                 compute_dtype=self.compute_dtype)
+            return logits, cache1
+
+        self._prefill_chunk = jax.jit(_prefill_chunk, donate_argnums=(1,))
 
         def _insert(cache, k, v, slot, length, token):
             S = k.shape[1]
@@ -127,7 +137,8 @@ class BatchDecodeEngine:
                 return i
         return None
 
-    def _admit(self, req: Request, slot_idx: int) -> None:
+    def _embed_request(self, req: Request):
+        """-> (embeds [1, S, H], length). Multimodal fusion runs here."""
         jnp = self.jnp
         ids = np.asarray(req.input_ids)[None]
         attn = np.ones_like(ids, bool)
@@ -137,15 +148,72 @@ class BatchDecodeEngine:
                 jnp.asarray(req.pixel_values[None]), jnp.asarray(req.crop_mask[None]),
                 training=False, compute_dtype=self.compute_dtype,
                 max_len=self.cache_len - req.max_new_tokens - 1)
-            embeds, positions = fused.embeds, fused.positions
-            length = int(fused.lengths[0])
-        else:
-            embeds = llama.embed(self.params["llm"],
-                                 jnp.asarray(ids)).astype(self.compute_dtype)
-            positions = None
-            length = ids.shape[1]
+            return fused.embeds, int(fused.lengths[0]), fused.positions
+        embeds = llama.embed(self.params["llm"],
+                             jnp.asarray(ids)).astype(self.compute_dtype)
+        return embeds, ids.shape[1], None
 
-        logits, k, v = self._prefill(self.params, embeds, positions)
+    def _admission_step(self) -> bool:
+        """Advance the in-flight chunked admission by one chunk; True when one is
+        in flight (caller skips pulling new work beyond decode)."""
+        jnp = self.jnp
+        if self._admission is None:
+            if self.pending.empty() or self._free_slot() is None:
+                return False
+            req = self.pending.get()
+            embeds, length, _ = self._embed_request(req)
+            C = self.prefill_chunk_len
+            if length <= C:
+                self._admit_whole(req, embeds, length)
+                return False
+            cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
+                                         dtype=self.compute_dtype)
+            self._admission = {"req": req, "embeds": embeds, "length": length,
+                               "off": 0, "cache1": cache1, "last_logits": None}
+        a = self._admission
+        C = self.prefill_chunk_len
+        off = a["off"]
+        end = min(off + C, a["length"])
+        chunk = a["embeds"][:, off:off + C]   # may overrun into padding; fine
+        chunk = jnp.pad(chunk, ((0, 0), (0, C - chunk.shape[1]), (0, 0))) \
+            if chunk.shape[1] < C else chunk
+        logits, a["cache1"] = self._prefill_chunk(self.params, a["cache1"], chunk)
+        a["last_logits"] = logits
+        a["off"] = end
+        # padded tail advanced length too far; pin it to the true position
+        a["cache1"]["length"] = jnp.full((1,), end, jnp.int32)
+        if end >= a["length"]:
+            self._finish_admission()
+        return self._admission is not None
+
+    def _finish_admission(self) -> None:
+        a, self._admission = self._admission, None
+        slot_idx = self._free_slot()
+        if slot_idx is None:   # raced out of slots; requeue at the front
+            self.pending.put(a["req"])
+            return
+        # position of the last real token inside the final chunk
+        last_in_chunk = (a["length"] - 1) % self.prefill_chunk_len
+        first = int(np.argmax(np.asarray(a["last_logits"])[0, last_in_chunk]))
+        k = a["cache1"]["k"][:, 0]
+        v = a["cache1"]["v"][:, 0]
+        self.cache = self._insert(self.cache, k, v, slot_idx, a["length"],
+                                  self.jnp.asarray(first))
+        self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
+        slot = _Slot(a["req"])
+        slot.generated.append(first)
+        slot.budget -= 1
+        self.slots[slot_idx] = slot
+        a["req"].out_queue.put([first])
+        if slot.budget <= 0:
+            self._retire(slot_idx)
+
+    def _admit_whole(self, req: Request, embeds, length: int) -> None:
+        slot_idx = self._free_slot()
+        if slot_idx is None:
+            self.pending.put(req)
+            return
+        logits, k, v = self._prefill(self.params, embeds, None)
         first = int(np.argmax(np.asarray(logits)[length - 1]))
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
                                   self.jnp.asarray(first))
@@ -165,17 +233,19 @@ class BatchDecodeEngine:
         self.slots[idx] = None
 
     def tick(self) -> int:
-        """Admit pending requests, run one decode step for all active slots.
-        Returns the number of active slots after the step."""
-        while not self.pending.empty():
-            idx = self._free_slot()
-            if idx is None:
+        """Advance admissions (one chunk) and run one decode step for all active
+        slots. Returns the number of active slots after the step."""
+        # one admission chunk per tick bounds added decode latency
+        in_flight = self._admission_step()
+        while not in_flight and not self.pending.empty() \
+                and self._free_slot() is not None:
+            in_flight = self._admission_step()
+            if self._admission is not None:
                 break
-            self._admit(self.pending.get(), idx)
 
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
-            return 0
+            return 1 if (in_flight or self._admission is not None) else 0
 
         # finished-by-first-token check (EOS as the very first sample)
         eos = self.cfg.eos_token_id

@@ -119,3 +119,26 @@ def test_batched_worker_http(setup):
     finally:
         worker.engine.stop()
         srv.shutdown()
+
+
+def test_chunked_admission_matches_single(setup):
+    """A long prompt admitted in chunks decodes identically to generate()."""
+    cfg, params, _ = setup
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=96)
+    eng.prefill_chunk_len = 8
+    rng = np.random.default_rng(7)
+    S = 21  # not a multiple of the chunk (exercises the padded tail)
+    ids = rng.integers(5, cfg.llm.vocab_size, (S,)).astype(np.int32)
+    ref = generate(params, cfg, jnp.asarray(ids[None]), jnp.ones((1, S), bool),
+                   max_new_tokens=5, eos_id=-1)
+    ref = np.asarray(ref)[0].tolist()
+
+    req = Request(input_ids=ids, max_new_tokens=5)
+    eng.submit(req)
+    for _ in range(40):
+        if eng.tick() == 0 and eng.pending.empty() and eng._admission is None:
+            break
+    got = _drain(req)
+    assert got == ref[:len(got)] and len(got) >= 1
+    if cfg.eos_token_id not in ref:
+        assert got == ref
