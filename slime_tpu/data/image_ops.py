@@ -247,3 +247,55 @@ def make_device_anyres_fn(src_hw: Tuple[int, int], *, tile: int = IMAGE_WIDTH,
         return stack, mask
 
     return jax.jit(fn)
+
+
+def unpad_token_order(cols: int, rows: int, grid: int,
+                      original_size: Tuple[int, int], budget: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-computed token order for the LLaVA-NeXT 'unpad' patch merge
+    (reference llava_arch.py:314-331): arrange per-crop tokens spatially, drop the
+    rows/columns that came from aspect-ratio padding, and append a newline token at
+    the end of every kept row.
+
+    Returns (src [budget] int32, valid [budget] bool): src indexes crop-major
+    local tokens; newline slots carry -1 (the consumer maps them to its learned
+    newline embedding). Padded slots have valid=False.
+    """
+    n_loc = cols * rows * grid * grid
+    gw, gh = cols * grid, rows * grid           # spatial token grid (w, h)
+    ow, oh = original_size
+
+    # which spatial rows/cols survive unpadding (centered fit, llava_arch.py:122-150)
+    if ow / oh > gw / gh:
+        # padding was vertical: keep the middle rows
+        new_h = int(oh * (gw / ow))
+        pad = (gh - new_h) // 2
+        keep_rows = range(pad, gh - pad)
+        keep_cols = range(gw)
+    else:
+        new_w = int(ow * (gh / oh))
+        pad = (gw - new_w) // 2
+        keep_rows = range(gh)
+        keep_cols = range(pad, gw - pad)
+
+    # crop-major token index of spatial position (r, c)
+    def tok(r, c):
+        cr, cc = r // grid, c // grid
+        ir, ic = r % grid, c % grid
+        return ((cr * cols + cc) * grid + ir) * grid + ic
+
+    src = np.full((budget,), -1, np.int32)
+    valid = np.zeros((budget,), bool)
+    k = 0
+    for r in keep_rows:
+        for c in keep_cols:
+            if k >= budget:
+                break
+            src[k] = tok(r, c)
+            valid[k] = True
+            k += 1
+        if k < budget:
+            src[k] = -1             # newline sentinel
+            valid[k] = True
+            k += 1
+    return src, valid

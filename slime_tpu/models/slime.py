@@ -47,6 +47,11 @@ def init(rng, cfg: SliMEConfig) -> Dict:
     }
     if cfg.has_sampler:
         params["sampler"] = sampler.init(k3, cfg)
+    if "unpad" in cfg.mm_patch_merge_type:
+        # learned row separator (reference image_newline, llava_arch.py:41-44)
+        params["image_newline"] = (jax.random.normal(
+            jax.random.fold_in(rng, 5), (cfg.hidden_size,), jnp.float32)
+            / (cfg.hidden_size ** 0.5))
     return params
 
 
@@ -76,6 +81,7 @@ def _text_embeds_for_selector(params, input_ids, attention_mask):
 def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
                   input_ids, attention_mask, *, training: bool = False,
                   rng: Optional[jax.Array] = None, local_token_perm=None,
+                  unpad_order=None,
                   compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (img_embeds [B, T_img, H], img_valid [B, T_img]).
 
@@ -98,6 +104,26 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
         proj = projector.apply(params["projector"],
                                feats.reshape(B * MC, P, -1), cfg=cfg,
                                training=training, rng=rng)
+        if "unpad" in cfg.mm_patch_merge_type and unpad_order is not None:
+            # LLaVA-NeXT merge (llava_arch.py:314-331): base view first, then the
+            # host-ordered unpadded spatial tokens with learned newline separators
+            unpad_src, unpad_valid = unpad_order
+            base = proj.reshape(B, MC, P, -1)[:, 0]              # [B, P, H]
+            local = proj.reshape(B, MC, P, -1)[:, 1:].reshape(B, (MC - 1) * P, -1)
+            newline = jnp.broadcast_to(
+                params["image_newline"].astype(local.dtype),
+                (B, 1, local.shape[-1]))
+            pool = jnp.concatenate([local, newline], axis=1)     # [B, nloc+1, H]
+            # src == -1 marks newline slots -> map to the pool's last row
+            idx = jnp.where(unpad_src < 0, pool.shape[1] - 1, unpad_src)
+            gathered = jnp.take_along_axis(
+                pool, jnp.clip(idx, 0, pool.shape[1] - 1)[..., None], axis=1)
+            img_embeds = jnp.concatenate(
+                [base.astype(compute_dtype), gathered.astype(compute_dtype)], axis=1)
+            img_valid = jnp.concatenate(
+                [jnp.repeat(crop_mask[:, :1].astype(bool), P, axis=1),
+                 unpad_valid.astype(bool)], axis=1)
+            return img_embeds, img_valid
         img_embeds = proj.reshape(B, MC * P, -1).astype(compute_dtype)
         img_valid = jnp.repeat(crop_mask.astype(bool), P, axis=1)
         return img_embeds, img_valid

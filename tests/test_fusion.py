@@ -197,3 +197,49 @@ def test_identity_resampler_path(tiny):
     assert (v.reshape(2, MC, P).any(-1) == cm).all()
     loss, _ = slime.loss_fn(params, cfg2, batch, training=False)
     assert np.isfinite(float(loss))
+
+
+def test_unpad_merge_path(tiny):
+    """'spatial_unpad' (LLaVA-NeXT) merge: padding rows dropped, newline tokens at
+    row ends, base view first."""
+    from slime_tpu.data.image_ops import unpad_token_order
+    cfg, _ = tiny
+    cfg2 = SliMEConfig(**{**cfg.__dict__, "mm_resampler_type": "identity",
+                          "mm_projector_type": "mlp2x_gelu",
+                          "mm_patch_merge_type": "spatial_unpad"})
+    params = slime.init(jax.random.PRNGKey(2), cfg2)
+    assert "image_newline" in params
+
+    batch = _mk_batch(cfg2)
+    P = cfg2.vision.num_patches
+    g = cfg2.vision.num_patches_per_side     # tiny: 4
+    cols, rows = 2, 1                        # pretend grid for the 3 local crops? use 2x1
+    # orig image twice as wide as tall but grid 2x1 is same ratio -> no padding rows
+    budget = (1 + cfg2.max_local_crops) * P + rows * g
+    src, valid = unpad_token_order(cols, rows, g, (800, 400), budget)
+    # every kept row ends with the newline sentinel (-1)
+    row_len = cols * g + 1
+    assert src[row_len - 1] == -1
+    assert valid[:rows * g * row_len].all()
+
+    B = batch["input_ids"].shape[0]
+    unpad = (jnp.asarray(np.stack([src] * B)), jnp.asarray(np.stack([valid] * B)))
+    emb, iv = slime.encode_images(
+        params, cfg2, batch["pixel_values"], batch["crop_mask"],
+        batch["input_ids"], batch["attention_mask"], unpad_order=unpad)
+    assert emb.shape[1] == P + budget
+    iv = np.asarray(iv)
+    assert iv[:, :P].all()          # base view always valid
+    # newline embedding appears at the expected slot
+    nl = np.asarray(params["image_newline"])
+    got = np.asarray(emb)[0, P + row_len - 1]
+    np.testing.assert_allclose(got, nl, atol=1e-5)
+
+
+def test_unpad_token_order_drops_padding():
+    from slime_tpu.data.image_ops import unpad_token_order
+    # tall original in a wide 2x1 grid: columns get dropped
+    src, valid = unpad_token_order(2, 1, 4, (100, 400), 200)
+    n_loc = 2 * 1 * 16
+    kept = sum(1 for i in range(200) if valid[i] and src[i] >= 0)
+    assert kept < n_loc  # some columns were padding
