@@ -95,8 +95,14 @@ def run_mmbench(params, cfg: SliMEConfig, tokenizer, tsv_path: str, *,
                                         hint=row.get("hint"),
                                         conv_mode=conv_mode, lang=lang)
                 ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
-                toks = generate(params, cfg, jnp.asarray(ids[None]),
-                                jnp.ones((1, len(ids)), bool),
+                # bucket the length so XLA compiles once per bucket
+                S = ((len(ids) + 63) // 64) * 64
+                padded = np.zeros((1, S), np.int32)
+                padded[0, :len(ids)] = ids
+                mask = np.zeros((1, S), bool)
+                mask[0, :len(ids)] = True
+                toks = generate(params, cfg, jnp.asarray(padded),
+                                jnp.asarray(mask),
                                 jnp.asarray(crops[None]), jnp.asarray(mask[None]),
                                 max_new_tokens=max_new_tokens, temperature=0.0,
                                 compute_dtype=compute_dtype)

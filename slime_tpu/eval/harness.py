@@ -95,12 +95,20 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
                 pix.append(crops)
                 cmask.append(m)
 
+            # bucket shapes so XLA compiles once per bucket, not per batch:
+            # sequence length rounds up to a multiple of 64, batch pads to full
             S = max(len(i) for i in ids_list)
-            input_ids = np.zeros((B, S), np.int32)
-            attn = np.zeros((B, S), bool)
+            S = min(((S + 63) // 64) * 64, seq_len)
+            if B < batch_size:
+                ids_list += [ids_list[-1]] * (batch_size - B)
+                pix += [pix[-1]] * (batch_size - B)
+                cmask += [cmask[-1]] * (batch_size - B)
+            input_ids = np.zeros((batch_size, S), np.int32)
+            attn = np.zeros((batch_size, S), bool)
             for b, ids in enumerate(ids_list):
-                input_ids[b, :len(ids)] = ids
-                attn[b, :len(ids)] = True
+                n = min(len(ids), S)
+                input_ids[b, :n] = ids[:n]
+                attn[b, :n] = True
 
             toks = generate(params, cfg, jnp.asarray(input_ids), jnp.asarray(attn),
                             jnp.asarray(np.stack(pix)), jnp.asarray(np.stack(cmask)),

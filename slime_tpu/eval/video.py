@@ -99,8 +99,14 @@ def run_video_mme(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
                     subtitles=q.get("subtitles") if subs else None,
                     conv_mode=conv_mode)
                 ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
-                toks = generate(params, cfg, jnp.asarray(ids[None]),
-                                jnp.ones((1, len(ids)), bool),
+                # bucket the length so XLA compiles once per bucket
+                S = ((len(ids) + 63) // 64) * 64
+                padded = np.zeros((1, S), np.int32)
+                padded[0, :len(ids)] = ids
+                mask = np.zeros((1, S), bool)
+                mask[0, :len(ids)] = True
+                toks = generate(params, cfg, jnp.asarray(padded),
+                                jnp.asarray(mask),
                                 jnp.asarray(pix[None]), jnp.asarray(mask[None]),
                                 max_new_tokens=max_new_tokens, temperature=0.0,
                                 compute_dtype=compute_dtype)
