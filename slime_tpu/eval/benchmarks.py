@@ -99,10 +99,10 @@ def run_mmbench(params, cfg: SliMEConfig, tokenizer, tsv_path: str, *,
                 S = ((len(ids) + 63) // 64) * 64
                 padded = np.zeros((1, S), np.int32)
                 padded[0, :len(ids)] = ids
-                mask = np.zeros((1, S), bool)
-                mask[0, :len(ids)] = True
+                attn = np.zeros((1, S), bool)
+                attn[0, :len(ids)] = True
                 toks = generate(params, cfg, jnp.asarray(padded),
-                                jnp.asarray(mask),
+                                jnp.asarray(attn),
                                 jnp.asarray(crops[None]), jnp.asarray(mask[None]),
                                 max_new_tokens=max_new_tokens, temperature=0.0,
                                 compute_dtype=compute_dtype)
