@@ -158,7 +158,8 @@ def embed(params, input_ids) -> jnp.ndarray:
 
 def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             use_pallas: Optional[bool] = None, return_kv: bool = False,
-            compute_dtype=jnp.float32, remat: bool = False):
+            compute_dtype=jnp.float32, remat: bool = False,
+            scan_layers: bool = False):
     """Full-sequence forward (training / prefill).
 
     embeds [B, S, H] (already fused with image features); positions [B, S] or None
@@ -174,6 +175,30 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
         cos_s, sin_s = cos[:S], sin[:S]
     else:
         cos_s, sin_s = cos[positions], sin[positions]
+
+    if scan_layers:
+        # lax.scan over a stacked layer pytree: XLA compiles ONE block instead of
+        # unrolling num_layers copies — order-of-magnitude compile-time win for
+        # deep models (32-layer unrolled compiles take minutes).
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *params["layers"])
+
+        def body(carry, lp):
+            h, kv = _layer_prefill(lp, carry, cos_s, sin_s, cfg, use_pallas)
+            return h, (kv if return_kv else None)
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, kvs_stacked = jax.lax.scan(body, x, stacked)
+        kvs = None
+        if return_kv:
+            k_all, v_all = kvs_stacked  # [L, B, S, KVH, hd] each
+            kvs = [(k_all[i], v_all[i]) for i in range(cfg.num_layers)]
+        x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+        logits = jnp.einsum("bsh,vh->bsv", x,
+                            params["lm_head"]["weight"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+        return logits, (kvs if return_kv else None)
 
     layer_fn = _layer_prefill
     if remat:

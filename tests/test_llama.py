@@ -125,3 +125,16 @@ def test_chunked_prefill_matches_full(small):
     oracle, _ = llama.forward(params, llama.embed(params, jnp.asarray(seq)), cfg)
     np.testing.assert_allclose(np.asarray(step_logits), np.asarray(oracle)[:, -1],
                                atol=3e-4, rtol=1e-3)
+
+
+def test_scan_layers_matches_unrolled(small):
+    cfg, _, params = small
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 128, (2, 10)).astype(np.int32)
+    embeds = llama.embed(params, jnp.asarray(ids))
+    l0, kv0 = llama.forward(params, embeds, cfg, return_kv=True)
+    l1, kv1 = llama.forward(params, embeds, cfg, return_kv=True, scan_layers=True)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5)
+    for (a, b), (c, d) in zip(kv0, kv1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(d), atol=1e-5)
