@@ -31,7 +31,7 @@ def main():
     def prefill(params, ids):
         embeds = llama.embed(params, ids).astype(jnp.bfloat16)
         logits, kvs = llama.forward(params, embeds, llm, return_kv=True,
-                                    compute_dtype=jnp.bfloat16)
+                                    compute_dtype=jnp.bfloat16, scan_layers=True)
         cache = llama.init_kv_cache(llm, B, CACHE, dtype=jnp.bfloat16)
         cache = llama.prefill_into_cache(cache, kvs, jnp.full((B,), S))
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache

@@ -359,7 +359,8 @@ def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask
 def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
             crop_mask, labels=None, *, training: bool = False,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
-            compute_dtype=jnp.float32, remat: bool = False):
+            compute_dtype=jnp.float32, remat: bool = False,
+            scan_layers: bool = False):
     """End-to-end forward. Returns (logits [B, L, V] fp32, FusedBatch)."""
     fused = prepare_multimodal(params, cfg, input_ids, attention_mask,
                                pixel_values, crop_mask, labels,
@@ -367,19 +368,21 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
                                compute_dtype=compute_dtype)
     logits, _ = llama.forward(params["llm"], fused.embeds, cfg.llm,
                               positions=fused.positions, use_pallas=use_pallas,
-                              compute_dtype=compute_dtype, remat=remat)
+                              compute_dtype=compute_dtype, remat=remat,
+                              scan_layers=scan_layers)
     return logits, fused
 
 
 def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
-            compute_dtype=jnp.float32, remat: bool = False):
+            compute_dtype=jnp.float32, remat: bool = False,
+            scan_layers: bool = False):
     """Next-token cross entropy with IGNORE_INDEX masking (HF shift semantics)."""
     logits, fused = forward(params, cfg, batch["input_ids"], batch["attention_mask"],
                             batch["pixel_values"], batch["crop_mask"],
                             batch.get("labels"), training=training, rng=rng,
                             use_pallas=use_pallas, compute_dtype=compute_dtype,
-                            remat=remat)
+                            remat=remat, scan_layers=scan_layers)
     shift_logits = logits[:, :-1]
     shift_labels = fused.labels[:, 1:]
     valid = shift_labels != IGNORE_INDEX

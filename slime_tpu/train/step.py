@@ -25,13 +25,14 @@ from .optim import TrainConfig, make_optimizer
 
 def make_train_step(cfg: SliMEConfig, tc: TrainConfig, tx,
                     use_pallas: Optional[bool] = None,
-                    compute_dtype=jnp.bfloat16, remat: bool = False):
+                    compute_dtype=jnp.bfloat16, remat: bool = False,
+                    scan_layers: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics); jitted, state donated."""
 
     def loss(params, batch, rng):
         return slime.loss_fn(params, cfg, batch, training=True, rng=rng,
                              use_pallas=use_pallas, compute_dtype=compute_dtype,
-                             remat=remat)
+                             remat=remat, scan_layers=scan_layers)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
