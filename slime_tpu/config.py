@@ -12,7 +12,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

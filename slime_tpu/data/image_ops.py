@@ -16,7 +16,7 @@ reference itself pads to a fixed count for ZeRO-3: llava/train/train.py:903-926)
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

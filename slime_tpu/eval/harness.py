@@ -15,7 +15,7 @@ import json
 import math
 import os
 import uuid
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 import numpy as np
 

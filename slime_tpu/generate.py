@@ -15,7 +15,7 @@ Replaces HF ``GenerationMixin`` as used by the reference
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ bf16 activations hit the MXU with fp32 accumulators.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import json
 import threading
 import time
 import uuid
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

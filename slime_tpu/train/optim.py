@@ -17,7 +17,7 @@ optax.multi_transform's set_to_zero.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import optax
