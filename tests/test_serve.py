@@ -126,3 +126,45 @@ def test_two_image_generation(stack):
                       stream=True, timeout=600)
     chunks = list(iter_stream_response(r))
     assert chunks and chunks[-1]["error_code"] == 0
+
+
+def test_multi_worker_dispatch():
+    """shortest_queue picks the least-loaded worker; lottery respects speed=0."""
+    from slime_tpu.serve.controller import Controller
+
+    c = Controller("shortest_queue")
+    c.register_worker("http://w1", False, {"model_names": ["m"], "speed": 1,
+                                           "queue_length": 5})
+    c.register_worker("http://w2", False, {"model_names": ["m"], "speed": 1,
+                                           "queue_length": 0})
+    assert c.get_worker_address("m") == "http://w2"
+    # the pick bumped w2's queue; repeated picks alternate as queues grow
+    for _ in range(6):
+        c.get_worker_address("m")
+    assert c.workers["http://w1"].queue_length >= 5
+
+    lot = Controller("lottery")
+    lot.register_worker("http://a", False, {"model_names": ["m"], "speed": 0,
+                                            "queue_length": 0})
+    lot.register_worker("http://b", False, {"model_names": ["m"], "speed": 2,
+                                            "queue_length": 0})
+    picks = {lot.get_worker_address("m") for _ in range(20)}
+    assert picks == {"http://b"}  # zero-speed worker never chosen
+
+
+def test_worker_expiry():
+    from slime_tpu.serve.controller import Controller
+    c = Controller("shortest_queue")
+    c.register_worker("http://dead", True, {"model_names": ["m"], "speed": 1,
+                                            "queue_length": 0})
+    # simulate heartbeat timeout
+    c.workers["http://dead"].last_heart_beat = 0
+    import time as _t
+    from slime_tpu.constants import CONTROLLER_HEART_BEAT_EXPIRATION
+    expire = _t.time() - CONTROLLER_HEART_BEAT_EXPIRATION
+    with c.lock:
+        dead = [n for n, w in c.workers.items()
+                if w.check_heart_beat and w.last_heart_beat < expire]
+        for n in dead:
+            del c.workers[n]
+    assert "http://dead" not in c.workers
