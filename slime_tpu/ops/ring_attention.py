@@ -92,10 +92,12 @@ def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
         l_safe = jnp.where(l == 0.0, 1.0, l)
         return (acc / l_safe).astype(q_blk.dtype)
 
-    try:
-        from jax import shard_map  # jax >= 0.6 public API
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
     spec = P(None, None, axis, None)
-    return shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+    try:
+        from jax import shard_map  # jax >= 0.6 public API (no check_rep kwarg)
+        return shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec)(q, k, v)
+    except (ImportError, TypeError):  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as esm
+        return esm(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec, check_rep=False)(q, k, v)
