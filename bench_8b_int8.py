@@ -13,21 +13,28 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from slime_tpu.config import LLMConfig
     from slime_tpu.models import llama
 
+    bits = int(os.environ.get("SLIME_8B_BITS", "8"))
     cfg = LLMConfig.llama3_8b()
     rng = np.random.default_rng(0)
 
     def q(out_d, in_d):
-        # quantize on HOST (numpy) so only int8 bytes cross the tunnel
+        # quantize on HOST (numpy) so only int8/int4 bytes cross the tunnel
         w = rng.standard_normal((out_d, in_d)).astype(np.float32) * 0.02
+        qmax = 127.0 if bits == 8 else 7.0
         absmax = np.abs(w).max(axis=-1, keepdims=True)
-        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-        qq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
+        qq = np.clip(np.round(w / scale), -qmax, qmax).astype(np.int8)
+        if bits == 4:
+            packed = ((qq[:, 0::2] & 0xF) | ((qq[:, 1::2] & 0xF) << 4)).astype(np.int8)
+            return {"q4": jnp.asarray(packed), "scale": jnp.asarray(scale)}
         return {"q": jnp.asarray(qq), "scale": jnp.asarray(scale)}
 
     H, HD, I = cfg.hidden_size, cfg.head_dim, cfg.intermediate_size
@@ -94,9 +101,9 @@ def main():
     dt = time.perf_counter() - t0
 
     print(json.dumps({
-        "metric": "slime8b_int8_decode_tok_per_sec",
+        "metric": f"slime8b_int{bits}_decode_tok_per_sec",
         "value": round(NEW / dt, 2),
-        "unit": f"tok/s (Llama-3-8B arch, int8 weights, bs=1, "
+        "unit": f"tok/s (Llama-3-8B arch, int{bits} weights, bs=1, "
                 f"512-token prefill TTFT={ttft_ms:.0f}ms, single v5e chip)",
         "vs_baseline": None,
     }))

@@ -128,7 +128,8 @@ def _moe(lp, x, cfg: LLMConfig):
     return jnp.einsum("bseh,bse->bsh", y, w_full.astype(x.dtype))
 
 
-def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool]):
+def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool],
+                  ring: Optional[tuple] = None):
     B, S, H = x.shape
     hd = cfg.head_dim
     q = L.linear(lp["q_proj"], x).reshape(B, S, cfg.num_heads, hd)
@@ -136,16 +137,28 @@ def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool]):
     v = L.linear(lp["v_proj"], x).reshape(B, S, cfg.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                          v.transpose(0, 2, 1, 3), causal=True,
-                          use_pallas=use_pallas)
+    if ring is not None:
+        # context parallelism: exact ring attention over the sequence-sharded mesh
+        # axis (ops/ring_attention.py) — a beyond-reference long-context path
+        from ..ops.ring_attention import ring_attention
+        mesh, axis = ring
+        group = cfg.num_heads // cfg.num_kv_heads
+        kk = jnp.repeat(k, group, axis=2)
+        vv = jnp.repeat(v, group, axis=2)
+        out = ring_attention(q.transpose(0, 2, 1, 3), kk.transpose(0, 2, 1, 3),
+                             vv.transpose(0, 2, 1, 3), mesh=mesh, axis=axis,
+                             causal=True)
+    else:
+        out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3), causal=True,
+                              use_pallas=use_pallas)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, cfg.num_heads * hd)
     return L.linear(lp["o_proj"], out), (k, v)
 
 
-def _layer_prefill(lp, x, cos, sin, cfg, use_pallas):
+def _layer_prefill(lp, x, cos, sin, cfg, use_pallas, ring=None):
     h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
-    a, kv = _attn_prefill(lp, h, cos, sin, cfg, use_pallas)
+    a, kv = _attn_prefill(lp, h, cos, sin, cfg, use_pallas, ring=ring)
     x = x + a
     h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
     h = _moe(lp, h, cfg) if cfg.num_experts > 0 else _mlp(lp, h)
@@ -159,8 +172,12 @@ def embed(params, input_ids) -> jnp.ndarray:
 def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             use_pallas: Optional[bool] = None, return_kv: bool = False,
             compute_dtype=jnp.float32, remat: bool = False,
-            scan_layers: bool = False):
+            scan_layers: bool = False, ring: Optional[tuple] = None):
     """Full-sequence forward (training / prefill).
+
+    ring=(mesh, axis): run attention as exact ring attention with the sequence
+    sharded over the given mesh axis (context parallelism; see
+    ops/ring_attention.py).
 
     embeds [B, S, H] (already fused with image features); positions [B, S] or None
     (arange). Returns (logits fp32 [B, S, V], kv list or None).
@@ -184,7 +201,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
                                          *params["layers"])
 
         def body(carry, lp):
-            h, kv = _layer_prefill(lp, carry, cos_s, sin_s, cfg, use_pallas)
+            h, kv = _layer_prefill(lp, carry, cos_s, sin_s, cfg, use_pallas,
+                                   ring=ring)
             return h, (kv if return_kv else None)
 
         if remat:
@@ -210,7 +228,7 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
         if remat:
             x, kv = layer_fn(lp, x, cos_s, sin_s)
         else:
-            x, kv = layer_fn(lp, x, cos_s, sin_s, cfg, use_pallas)
+            x, kv = layer_fn(lp, x, cos_s, sin_s, cfg, use_pallas, ring)
         if return_kv:
             kvs.append(kv)
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)

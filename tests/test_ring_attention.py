@@ -44,3 +44,24 @@ def test_ring_under_jit(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
     # output keeps the sequence sharding
     assert out.sharding.spec == P(None, None, "sp", None)
+
+
+def test_llama_forward_with_ring(rng):
+    """A full decoder forward with ring attention (sequence sharded over 8 devices)
+    matches the standard forward."""
+    from slime_tpu.config import LLMConfig
+    from slime_tpu.models import llama
+
+    cfg = LLMConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+                    rope_theta=10000.0, max_position_embeddings=256)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = rng.integers(0, 64, (2, 64)).astype(np.int32)
+    embeds = llama.embed(params, jnp.asarray(ids))
+    ref, _ = llama.forward(params, embeds, cfg)
+
+    mesh = _mesh()
+    with mesh:
+        out, _ = llama.forward(params, embeds, cfg, ring=(mesh, "sp"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
