@@ -1,0 +1,72 @@
+"""Pallas fused dequantize-matmul for int4/int8 weight-only inference.
+
+Motivation (measured, STATUS.md): routing int4 through XLA dequantize-then-matmul
+runs at 46 tok/s on the 8B decode — slower than int8's 76 — because XLA
+materializes the unpacked weight to HBM. This kernel unpacks nibbles in VMEM right
+before the MXU dot, so HBM traffic is the packed 4-bit bytes plus scales: the
+bandwidth the format promises.
+
+y[b, o] = sum_i x[b, i] * w_int[o, i] * scale[o]
+Grid over output tiles; the activation block stays VMEM-resident.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, block_out: int):
+    x = x_ref[...]                                  # [B, IN] bf16/f32
+    packed = w_ref[...].astype(jnp.int32)           # [bo, IN/2]
+    lo = packed & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = (packed >> 4) & 0xF
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    # packed columns interleave even/odd source columns
+    w = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)  # [bo, IN]
+    w = w.astype(x.dtype)
+    y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)    # [B, bo]
+    o_ref[...] = (y * s_ref[...][:, 0][None, :]).astype(o_ref.dtype)
+
+
+def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, block_out: int):
+    x = x_ref[...]
+    w = w_ref[...].astype(x.dtype)                  # [bo, IN]
+    y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = (y * s_ref[...][:, 0][None, :]).astype(o_ref.dtype)
+
+
+def quant_matmul(x, qw: dict, *, block_out: int = 512,
+                 interpret: bool = False) -> jnp.ndarray:
+    """x [B, IN] @ dequant(qw).T -> [B, OUT]. qw from ops.quantization
+    ({"q"|"q4", "scale"})."""
+    int4 = "q4" in qw
+    q = qw["q4"] if int4 else qw["q"]
+    scale = qw["scale"]
+    OUT = q.shape[0]
+    bo = min(block_out, OUT)
+    grid = (pl.cdiv(OUT, bo),)
+    kern = _kernel_int4 if int4 else _kernel_int8
+    return pl.pallas_call(
+        functools.partial(kern, block_out=bo),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bo, q.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bo, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((x.shape[0], bo), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], OUT), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x, q, scale.astype(jnp.float32))
