@@ -21,15 +21,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, block_out: int):
-    x = x_ref[...]                                  # [B, IN] bf16/f32
+    # x arrives column-permuted (even cols first, then odd) so the nibble unpack is
+    # a lane-dim concatenate — Mosaic-friendly, no interleaving reshape.
+    x = x_ref[...]                                  # [B, IN] (permuted)
     packed = w_ref[...].astype(jnp.int32)           # [bo, IN/2]
     lo = packed & 0xF
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = (packed >> 4) & 0xF
     hi = jnp.where(hi >= 8, hi - 16, hi)
-    # packed columns interleave even/odd source columns
-    w = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)  # [bo, IN]
-    w = w.astype(x.dtype)
+    w = jnp.concatenate([lo, hi], axis=1).astype(x.dtype)          # [bo, IN]
     y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)    # [B, bo]
     o_ref[...] = (y * s_ref[...][:, 0][None, :]).astype(o_ref.dtype)
@@ -50,6 +50,9 @@ def quant_matmul(x, qw: dict, *, block_out: int = 512,
     int4 = "q4" in qw
     q = qw["q4"] if int4 else qw["q"]
     scale = qw["scale"]
+    if int4:
+        # kernel expects even-columns-then-odd ordering (see _kernel_int4)
+        x = jnp.concatenate([x[:, 0::2], x[:, 1::2]], axis=1)
     OUT = q.shape[0]
     bo = min(block_out, OUT)
     grid = (pl.cdiv(OUT, bo),)
