@@ -76,6 +76,7 @@ class BatchDecodeEngine:
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.prefill_chunk_len = 256   # admission granularity (bounds tick latency)
+        self.multi_step = 8            # decode steps per dispatch when queue is idle
         self._admission = None         # in-flight chunked admission state
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -125,6 +126,36 @@ class BatchDecodeEngine:
             return nxt, cache
 
         self._step = jax.jit(_step, donate_argnums=(1,))
+
+        def _step_k(params, cache, tokens, rng, temperature, active, k_steps):
+            # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
+            # when no admissions are pending). Emits [B, K] tokens; rows that hit
+            # EOS mid-window keep sampling — the host discards post-EOS tokens.
+            old_len = cache["length"]
+
+            def body(i, carry):
+                cache, tok, out, rng = carry
+                logits, cache = llama.decode_step(params["llm"], cache, tok,
+                                                  cfg.llm,
+                                                  compute_dtype=self.compute_dtype)
+                rng, sub = jax.random.split(rng)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                t = jnp.maximum(temperature, 1e-6)[:, None]
+                sampled = jax.random.categorical(sub, logits / t,
+                                                 axis=-1).astype(jnp.int32)
+                nxt = jnp.where(temperature > 0, sampled, greedy)
+                out = out.at[:, i].set(nxt)
+                return cache, nxt, out, rng
+
+            out0 = jnp.zeros((tokens.shape[0], self.multi_step), jnp.int32)
+            cache, tok, out, _ = jax.lax.fori_loop(
+                0, k_steps, body, (cache, tokens, out0, rng))
+            cache["length"] = jnp.where(active, cache["length"],
+                                        old_len)
+            return out, tok, cache
+
+        self._step_k = jax.jit(_step_k, donate_argnums=(1,),
+                               static_argnums=())
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -264,20 +295,38 @@ class BatchDecodeEngine:
             temps[i] = self.slots[i].req.temperature
         active_mask = np.zeros((self.max_slots,), bool)
         active_mask[active] = True
-        nxt, self.cache = self._step(self.params, self.cache, self.cur_tokens,
-                                     sub, self.jnp.asarray(temps),
-                                     self.jnp.asarray(active_mask))
-        self.cur_tokens = nxt
-        nxt_np = np.asarray(nxt)
+
+        idle = (self._admission is None and self.pending.empty())
+        min_budget = min(self.slots[i].budget for i in active)
+        k = min(self.multi_step, max(min_budget, 1)) if idle else 1
+        if k > 1:
+            out, last, self.cache = self._step_k(
+                self.params, self.cache, self.cur_tokens, sub,
+                self.jnp.asarray(temps), self.jnp.asarray(active_mask),
+                self.jnp.asarray(k))
+            self.cur_tokens = last
+            out_np = np.asarray(out)[:, :k]
+        else:
+            nxt, self.cache = self._step(self.params, self.cache, self.cur_tokens,
+                                         sub, self.jnp.asarray(temps),
+                                         self.jnp.asarray(active_mask))
+            self.cur_tokens = nxt
+            out_np = np.asarray(nxt)[:, None]
+
         for i in active:
             s = self.slots[i]
-            t = int(nxt_np[i])
-            if t == eos:
-                self._retire(i)
-                continue
-            s.generated.append(t)
-            s.req.out_queue.put([t])
-            s.budget -= 1
+            emit = []
+            for t in out_np[i].tolist():
+                if t == eos:
+                    s.budget = 0
+                    break
+                emit.append(int(t))
+                s.budget -= 1
+                if s.budget <= 0:
+                    break
+            if emit:
+                s.generated.extend(emit)
+                s.req.out_queue.put(emit)
             if s.budget <= 0 or int(self.cache["length"][i]) >= self.cache_len - 1:
                 self._retire(i)
         return sum(s is not None for s in self.slots)
