@@ -108,13 +108,22 @@ def _mlp(lp, x):
 
 
 def _moe(lp, x, cfg: LLMConfig):
-    """Mixtral block-sparse MoE, computed densely over experts and combined with
-    top-k routing weights (correct for any batch; a Pallas grouped-matmul dispatch
-    is the planned optimization for EP at scale)."""
+    """Mixtral block-sparse MoE. Routing is top-k softmax over the gate; the expert
+    FFNs run either densely (every expert on every token, masked — best for tiny
+    token counts like single-step decode) or sparsely via sort + ragged_dot grouped
+    matmuls (ops/moe_dispatch.py — exact, dropless, k/E of the dense FLOPs; the
+    path taken for prefill and training)."""
     B, S, H = x.shape
     logits = L.linear(lp["gate"], x).astype(jnp.float32)       # [B,S,E]
     topw, topi = jax.lax.top_k(logits, cfg.num_experts_per_tok)
     topw = jax.nn.softmax(topw, axis=-1)
+    if B * S >= 32:  # static shape — branch resolved at trace time
+        from ..ops.moe_dispatch import moe_ffn_sparse
+        out = moe_ffn_sparse(x.reshape(B * S, H), lp["experts"]["w1"],
+                             lp["experts"]["w2"], lp["experts"]["w3"],
+                             topi.reshape(B * S, -1),
+                             topw.astype(x.dtype).reshape(B * S, -1))
+        return out.reshape(B, S, H)
     w_full = jnp.zeros_like(logits).at[
         jnp.arange(B)[:, None, None], jnp.arange(S)[None, :, None], topi
     ].set(topw)                                                # [B,S,E]
