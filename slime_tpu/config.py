@@ -63,6 +63,9 @@ class LLMConfig:
     # Mixtral-style MoE (0 experts == dense)
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # HF MixtralConfig.router_aux_loss_coef semantics; 0 disables (reference
+    # training never enables output_router_logits, so 0 is the parity default)
+    router_aux_loss_coef: float = 0.0
     attention_bias: bool = False
 
     @classmethod
@@ -205,7 +208,12 @@ class SliMEConfig:
             "rope_theta": self.llm.rope_theta,
             "rms_norm_eps": self.llm.rms_norm_eps,
             "max_position_embeddings": self.llm.max_position_embeddings,
+            "head_dim": self.llm.head_dim,
         }
+        if self.llm.num_experts > 0:  # Mixtral-family keys (HF names)
+            d["num_local_experts"] = self.llm.num_experts
+            d["num_experts_per_tok"] = self.llm.num_experts_per_tok
+            d["router_aux_loss_coef"] = self.llm.router_aux_loss_coef
         return d
 
     @classmethod
@@ -223,6 +231,7 @@ class SliMEConfig:
             max_position_embeddings=d.get("max_position_embeddings", 4096),
             num_experts=d.get("num_local_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
+            router_aux_loss_coef=d.get("router_aux_loss_coef", 0.0),
         )
         vision = VisionConfig(
             image_size=d.get("mm_vision_image_size", 336),

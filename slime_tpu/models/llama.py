@@ -107,23 +107,38 @@ def _mlp(lp, x):
     return L.linear(lp["down_proj"], jax.nn.silu(g) * u)
 
 
+def _router_aux(logits, topi, num_experts):
+    """Switch/Mixtral load-balancing loss, HF semantics (transformers
+    load_balancing_loss_func): E * sum_{slot,e} f[slot,e] * P[e], where f is the
+    fraction of tokens whose top-k slot picked expert e and P the mean router
+    probability. Balanced routing gives ~top_k."""
+    T = logits.shape[0] * logits.shape[1]
+    probs = jax.nn.softmax(logits.reshape(T, -1), axis=-1)          # [T, E]
+    onehot = jax.nn.one_hot(topi.reshape(T, -1), num_experts,
+                            dtype=jnp.float32)                      # [T, K, E]
+    tokens_per_expert = jnp.mean(onehot, axis=0)                    # [K, E]
+    router_prob = jnp.mean(probs, axis=0)                           # [E]
+    return jnp.sum(tokens_per_expert * router_prob[None, :]) * num_experts
+
+
 def _moe(lp, x, cfg: LLMConfig):
     """Mixtral block-sparse MoE. Routing is top-k softmax over the gate; the expert
     FFNs run either densely (every expert on every token, masked — best for tiny
     token counts like single-step decode) or sparsely via sort + ragged_dot grouped
     matmuls (ops/moe_dispatch.py — exact, dropless, k/E of the dense FLOPs; the
-    path taken for prefill and training)."""
+    path taken for prefill and training). Returns (out, load-balancing aux loss)."""
     B, S, H = x.shape
     logits = L.linear(lp["gate"], x).astype(jnp.float32)       # [B,S,E]
     topw, topi = jax.lax.top_k(logits, cfg.num_experts_per_tok)
     topw = jax.nn.softmax(topw, axis=-1)
+    aux = _router_aux(logits, topi, cfg.num_experts)
     if B * S >= 32:  # static shape — branch resolved at trace time
         from ..ops.moe_dispatch import moe_ffn_sparse
         out = moe_ffn_sparse(x.reshape(B * S, H), lp["experts"]["w1"],
                              lp["experts"]["w2"], lp["experts"]["w3"],
                              topi.reshape(B * S, -1),
                              topw.astype(x.dtype).reshape(B * S, -1))
-        return out.reshape(B, S, H)
+        return out.reshape(B, S, H), aux
     w_full = jnp.zeros_like(logits).at[
         jnp.arange(B)[:, None, None], jnp.arange(S)[None, :, None], topi
     ].set(topw)                                                # [B,S,E]
@@ -134,7 +149,7 @@ def _moe(lp, x, cfg: LLMConfig):
                     preferred_element_type=jnp.float32).astype(x.dtype)
     y = jnp.einsum("bsei,ehi->bseh", jax.nn.silu(h1) * h3, lp["experts"]["w2"],
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    return jnp.einsum("bseh,bse->bsh", y, w_full.astype(x.dtype))
+    return jnp.einsum("bseh,bse->bsh", y, w_full.astype(x.dtype)), aux
 
 
 def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool],
@@ -170,8 +185,11 @@ def _layer_prefill(lp, x, cos, sin, cfg, use_pallas, ring=None):
     a, kv = _attn_prefill(lp, h, cos, sin, cfg, use_pallas, ring=ring)
     x = x + a
     h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
-    h = _moe(lp, h, cfg) if cfg.num_experts > 0 else _mlp(lp, h)
-    return x + h, kv
+    if cfg.num_experts > 0:
+        h, aux = _moe(lp, h, cfg)
+    else:
+        h, aux = _mlp(lp, h), jnp.float32(0.0)
+    return x + h, kv, aux
 
 
 def embed(params, input_ids) -> jnp.ndarray:
@@ -181,7 +199,8 @@ def embed(params, input_ids) -> jnp.ndarray:
 def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             use_pallas: Optional[bool] = None, return_kv: bool = False,
             compute_dtype=jnp.float32, remat: bool = False,
-            scan_layers: bool = False, ring: Optional[tuple] = None):
+            scan_layers: bool = False, ring: Optional[tuple] = None,
+            return_aux: bool = False):
     """Full-sequence forward (training / prefill).
 
     ring=(mesh, axis): run attention as exact ring attention with the sequence
@@ -189,7 +208,9 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
     ops/ring_attention.py).
 
     embeds [B, S, H] (already fused with image features); positions [B, S] or None
-    (arange). Returns (logits fp32 [B, S, V], kv list or None).
+    (arange). Returns (logits fp32 [B, S, V], kv list or None); with
+    return_aux=True a third element: the mean-over-layers router load-balancing
+    loss (HF MixtralForCausalLM output_router_logits semantics; 0 for dense).
     remat=True rematerializes each block on the backward pass (jax.checkpoint) —
     the TPU equivalent of the reference's gradient_checkpointing flag
     (train.py:1028-1034), trading ~1/3 more FLOPs for O(sqrt) activation memory.
@@ -210,13 +231,14 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
                                          *params["layers"])
 
         def body(carry, lp):
-            h, kv = _layer_prefill(lp, carry, cos_s, sin_s, cfg, use_pallas,
-                                   ring=ring)
-            return h, (kv if return_kv else None)
+            h, kv, aux = _layer_prefill(lp, carry[0], cos_s, sin_s, cfg,
+                                        use_pallas, ring=ring)
+            return (h, carry[1] + aux), (kv if return_kv else None)
 
         if remat:
             body = jax.checkpoint(body)
-        x, kvs_stacked = jax.lax.scan(body, x, stacked)
+        (x, aux_sum), kvs_stacked = jax.lax.scan(
+            body, (x, jnp.float32(0.0)), stacked)
         kvs = None
         if return_kv:
             k_all, v_all = kvs_stacked  # [L, B, S, KVH, hd] each
@@ -225,7 +247,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
         logits = jnp.einsum("bsh,vh->bsv", x,
                             params["lm_head"]["weight"].astype(x.dtype),
                             preferred_element_type=jnp.float32)
-        return logits, (kvs if return_kv else None)
+        out = (logits, (kvs if return_kv else None))
+        return out + (aux_sum / cfg.num_layers,) if return_aux else out
 
     layer_fn = _layer_prefill
     if remat:
@@ -233,17 +256,20 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             functools.partial(_layer_prefill, cfg=cfg, use_pallas=use_pallas),
             static_argnums=())
     kvs = []
+    aux_sum = jnp.float32(0.0)
     for lp in params["layers"]:
         if remat:
-            x, kv = layer_fn(lp, x, cos_s, sin_s)
+            x, kv, aux = layer_fn(lp, x, cos_s, sin_s)
         else:
-            x, kv = layer_fn(lp, x, cos_s, sin_s, cfg, use_pallas, ring)
+            x, kv, aux = layer_fn(lp, x, cos_s, sin_s, cfg, use_pallas, ring)
+        aux_sum = aux_sum + aux
         if return_kv:
             kvs.append(kv)
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = jnp.einsum("bsh,vh->bsv", x, params["lm_head"]["weight"].astype(x.dtype),
                         preferred_element_type=jnp.float32)
-    return logits, (kvs if return_kv else None)
+    out = (logits, (kvs if return_kv else None))
+    return out + (aux_sum / cfg.num_layers,) if return_aux else out
 
 
 def forward_hidden(params, embeds, cfg: LLMConfig, *, positions=None,
@@ -254,7 +280,7 @@ def forward_hidden(params, embeds, cfg: LLMConfig, *, positions=None,
     cos, sin = rope_table(cfg, cfg.max_position_embeddings)
     cos_s, sin_s = (cos[:S], sin[:S]) if positions is None else (cos[positions], sin[positions])
     for lp in params["layers"]:
-        x, _ = _layer_prefill(lp, x, cos_s, sin_s, cfg, use_pallas)
+        x, _, _ = _layer_prefill(lp, x, cos_s, sin_s, cfg, use_pallas)
     return L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
 
 
@@ -338,7 +364,7 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
         o = o.reshape(B, C, cfg.num_heads * hd)
         x = x + L.linear(lp["o_proj"], o)
         h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
-        h = _moe(lp, h, cfg) if cfg.num_experts > 0 else _mlp(lp, h)
+        h = _moe(lp, h, cfg)[0] if cfg.num_experts > 0 else _mlp(lp, h)
         x = x + h
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
@@ -398,7 +424,7 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
         o = o.reshape(B, 1, cfg.num_heads * hd)
         x = x + L.linear(lp["o_proj"], o)
         h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
-        h = _moe(lp, h, cfg) if cfg.num_experts > 0 else _mlp(lp, h)
+        h = _moe(lp, h, cfg)[0] if cfg.num_experts > 0 else _mlp(lp, h)
         x = x + h
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)

@@ -360,29 +360,37 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
             crop_mask, labels=None, *, training: bool = False,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
             compute_dtype=jnp.float32, remat: bool = False,
-            scan_layers: bool = False):
-    """End-to-end forward. Returns (logits [B, L, V] fp32, FusedBatch)."""
+            scan_layers: bool = False, return_aux: bool = False):
+    """End-to-end forward. Returns (logits [B, L, V] fp32, FusedBatch); with
+    return_aux=True also the router load-balancing aux loss (MoE configs)."""
     fused = prepare_multimodal(params, cfg, input_ids, attention_mask,
                                pixel_values, crop_mask, labels,
                                training=training, rng=rng,
                                compute_dtype=compute_dtype)
-    logits, _ = llama.forward(params["llm"], fused.embeds, cfg.llm,
-                              positions=fused.positions, use_pallas=use_pallas,
-                              compute_dtype=compute_dtype, remat=remat,
-                              scan_layers=scan_layers)
-    return logits, fused
+    out = llama.forward(params["llm"], fused.embeds, cfg.llm,
+                        positions=fused.positions, use_pallas=use_pallas,
+                        compute_dtype=compute_dtype, remat=remat,
+                        scan_layers=scan_layers, return_aux=return_aux)
+    if return_aux:
+        return out[0], fused, out[2]
+    return out[0], fused
 
 
 def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
             compute_dtype=jnp.float32, remat: bool = False,
             scan_layers: bool = False):
-    """Next-token cross entropy with IGNORE_INDEX masking (HF shift semantics)."""
-    logits, fused = forward(params, cfg, batch["input_ids"], batch["attention_mask"],
-                            batch["pixel_values"], batch["crop_mask"],
-                            batch.get("labels"), training=training, rng=rng,
-                            use_pallas=use_pallas, compute_dtype=compute_dtype,
-                            remat=remat, scan_layers=scan_layers)
+    """Next-token cross entropy with IGNORE_INDEX masking (HF shift semantics).
+    For MoE configs with cfg.llm.router_aux_loss_coef > 0 the router
+    load-balancing loss is added (HF MixtralForCausalLM output_router_logits
+    semantics)."""
+    want_aux = cfg.llm.num_experts > 0 and cfg.llm.router_aux_loss_coef > 0
+    out = forward(params, cfg, batch["input_ids"], batch["attention_mask"],
+                  batch["pixel_values"], batch["crop_mask"],
+                  batch.get("labels"), training=training, rng=rng,
+                  use_pallas=use_pallas, compute_dtype=compute_dtype,
+                  remat=remat, scan_layers=scan_layers, return_aux=want_aux)
+    logits, fused = out[0], out[1]
     shift_logits = logits[:, :-1]
     shift_labels = fused.labels[:, 1:]
     valid = shift_labels != IGNORE_INDEX
@@ -391,4 +399,9 @@ def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     total = jnp.sum(jnp.where(valid, nll, 0.0))
     count = jnp.maximum(jnp.sum(valid), 1)
-    return total / count, {"n_target_tokens": count}
+    loss = total / count
+    metrics = {"n_target_tokens": count}
+    if want_aux:
+        metrics["router_aux_loss"] = out[2]
+        loss = loss + cfg.llm.router_aux_loss_coef * out[2]
+    return loss, metrics

@@ -95,6 +95,12 @@ class Trainer:
                        "grad_norm": float(m["grad_norm"]),
                        "tokens_per_sec": tokens_since / max(dt, 1e-9),
                        "target_tokens": int(m["n_target_tokens"])}
+                for k in m:  # extra scalar metrics (e.g. router_aux_loss)
+                    if k not in ("loss", "grad_norm", "n_target_tokens"):
+                        try:
+                            rec[k] = float(m[k])
+                        except (TypeError, ValueError):
+                            pass
                 print(f"[train] {json.dumps(rec)}", flush=True)
                 with open(self.metrics_file, "a") as f:
                     f.write(json.dumps(rec) + "\n")
