@@ -64,7 +64,8 @@ def main():
         ).astype(jnp.bfloat16)},
     }
 
-    B, S, NEW, CACHE = 1, 512, 64, 640
+    S = int(os.environ.get("SLIME_8B_PREFILL", "512"))
+    B, NEW, CACHE = 1, 64, S + 128
     ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (B, S), np.int32))
 
     def prefill(params, ids):
@@ -104,7 +105,7 @@ def main():
         "metric": f"slime8b_int{bits}_decode_tok_per_sec",
         "value": round(NEW / dt, 2),
         "unit": f"tok/s (Llama-3-8B arch, int{bits} weights, bs=1, "
-                f"512-token prefill TTFT={ttft_ms:.0f}ms, single v5e chip)",
+                f"{S}-token prefill TTFT={ttft_ms:.0f}ms, single v5e chip)",
         "vs_baseline": None,
     }))
 
