@@ -1,0 +1,112 @@
+"""Pipeline parallelism: GPipe-style microbatched execution over a mesh axis.
+
+Beyond-reference scaling (SURVEY.md §2 "Parallelism strategies": "TP / PP / SP /
+CP ... absent" in the reference — it fits 70B only via LoRA+ZeRO-3). Layers are
+sharded over the ``pp`` mesh axis (each stage owns L/n consecutive blocks);
+microbatches flow stage-to-stage with jax.lax.ppermute over ICI. The schedule is
+the classic n_micro + n_stages - 1 step wavefront, written as lax.scan so jax.grad
+transposes it (ppermute's transpose is the reverse permute) — the same code path
+trains and infers.
+
+Bubble fraction = (n_stages - 1) / (n_micro + n_stages - 1); pick
+n_micro >= 4 * n_stages for ~80%+ pipeline efficiency.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import llama
+from ..models import layers as L
+
+
+def _shard_map(mesh):
+    try:
+        from jax import shard_map
+        return lambda f, i, o: shard_map(f, mesh=mesh, in_specs=i, out_specs=o,
+                                         check_vma=False)
+    except (ImportError, TypeError):  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as esm
+        return lambda f, i, o: esm(f, mesh=mesh, in_specs=i, out_specs=o,
+                                   check_rep=False)
+
+
+def stack_layers(params):
+    """[L, ...] stacked layer pytree from params["layers"] (list of per-layer
+    trees) — the layout PP shards over the pp axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+
+def pipeline_forward(params, embeds, cfg, *, mesh: Mesh, axis: str = "pp",
+                     n_micro: Optional[int] = None, positions=None,
+                     stacked=None):
+    """Decoder forward with layers pipelined over ``axis``.
+
+    embeds [B, S, H] (replicated); B is split into n_micro microbatches (default:
+    2 * n_stages). Returns fp32 logits [B, S, V] identical (up to fp reordering)
+    to llama.forward. ``stacked`` overrides the stacked layer tree (pass one
+    already sharded with P(axis) on dim 0 to keep each stage's weights local).
+    """
+    n = mesh.shape[axis]
+    B, S, H = embeds.shape
+    if n_micro is None:
+        n_micro = min(B, 2 * n)
+    assert B % n_micro == 0, (B, n_micro)
+    Bm = B // n_micro
+    nL = cfg.num_layers
+    assert nL % n == 0, (nL, n)
+
+    if stacked is None:
+        stacked = stack_layers(params)
+    cos, sin = llama.rope_table(cfg, cfg.max_position_embeddings)
+    cos_s, sin_s = (cos[:S], sin[:S]) if positions is None else (
+        cos[positions], sin[positions])
+
+    micro = embeds.reshape(n_micro, Bm, S, H)
+    T = n_micro + n - 1
+
+    def local_fn(stk, micro):
+        # stk: this stage's [L/n, ...] layer slice; micro replicated [M, Bm, S, H]
+        d = jax.lax.axis_index(axis)
+
+        def run_stage(x):
+            def body(h, lp):
+                h, _, _ = llama._layer_prefill(lp, h, cos_s, sin_s, cfg, None)
+                return h, None
+            h, _ = jax.lax.scan(body, x, stk)
+            return h
+
+        def step(carry, t):
+            buf, outs = carry
+            mb = t - d
+            active = (mb >= 0) & (mb < n_micro)
+            inp = jnp.where(d == 0, micro[jnp.clip(t, 0, n_micro - 1)], buf)
+            h = run_stage(inp)
+            h = jnp.where(active, h, buf)
+            is_last = d == (n - 1)
+            slot = jnp.clip(mb, 0, n_micro - 1)
+            upd = jnp.where(active & is_last, h, outs[slot])
+            outs = jax.lax.dynamic_update_index_in_dim(outs, upd, slot, 0)
+            nxt = jax.lax.ppermute(h, axis,
+                                   [(i, (i + 1) % n) for i in range(n)])
+            return (nxt, outs), None
+
+        buf0 = jnp.zeros((Bm, S, H), embeds.dtype)
+        outs0 = jnp.zeros((n_micro, Bm, S, H), embeds.dtype)
+        (buf, outs), _ = jax.lax.scan(step, (buf0, outs0), jnp.arange(T))
+        # leading stage dim so out_specs can express "each stage's private copy";
+        # only the last stage's row is the real output.
+        return outs[None]
+
+    lp_spec = jax.tree_util.tree_map(lambda _: P(axis), stacked)
+    fn = _shard_map(mesh)(local_fn, (lp_spec, P()), P(axis))
+    outs = fn(stacked, micro)                       # [n, M, Bm, S, H]
+    x = outs[-1].reshape(B, S, H)
+
+    x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    return jnp.einsum("bsh,vh->bsv", x,
+                      params["lm_head"]["weight"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
