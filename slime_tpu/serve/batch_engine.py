@@ -33,6 +33,7 @@ class Request:
     crop_mask: Optional[np.ndarray] = None
     max_new_tokens: int = 128
     temperature: float = 0.0
+    prefix_id: Optional[str] = None        # shared prefix from register_prefix()
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
     # outputs
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
@@ -75,6 +76,7 @@ class BatchDecodeEngine:
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[Request]" = queue.Queue()
+        self.prefixes = {}             # prefix_id -> {"k","v","length"} shared KV
         self.prefill_chunk_len = 256   # admission granularity (bounds tick latency)
         self.multi_step = 8            # decode steps per dispatch when queue is idle
         self._admission = None         # in-flight chunked admission state
@@ -158,6 +160,26 @@ class BatchDecodeEngine:
                                static_argnums=())
 
     # ------------------------------------------------------------------
+    def register_prefix(self, input_ids, pixel_values=None, crop_mask=None,
+                        prefix_id: Optional[str] = None) -> str:
+        """Prefill a shared prefix (e.g. system prompt, optionally with an image)
+        ONCE; later requests with ``prefix_id`` set skip recomputing it — their
+        admission seeds the slot cache with this KV and prefills only the suffix.
+        The sglang-style radix/prefix cache role (SURVEY.md §2.15), done
+        TPU-static: shared KV is copied into each slot's contiguous cache region
+        (compute is shared; per-slot KV memory is not)."""
+        req = Request(input_ids=np.asarray(input_ids),
+                      pixel_values=None if pixel_values is None
+                      else np.asarray(pixel_values),
+                      crop_mask=None if crop_mask is None
+                      else np.asarray(crop_mask))
+        embeds, length, _ = self._embed_request(req)
+        _, k, v = self._prefill(self.params, embeds, None)
+        pid = prefix_id or uuid.uuid4().hex[:8]
+        self.prefixes[pid] = {"k": k[:, :length], "v": v[:, :length],
+                              "length": length}
+        return pid
+
     def submit(self, req: Request) -> Request:
         self.pending.put(req)
         return req
@@ -192,27 +214,50 @@ class BatchDecodeEngine:
             if self.pending.empty() or self._free_slot() is None:
                 return False
             req = self.pending.get()
+            if req.prefix_id is not None and req.prefix_id not in self.prefixes:
+                # fail this request, not the engine thread
+                req.out_queue.put(None)
+                return False
             embeds, length, _ = self._embed_request(req)
             C = self.prefill_chunk_len
-            if length <= C:
+            base = 0
+            if req.prefix_id is not None:
+                pre = self.prefixes[req.prefix_id]
+                base = pre["length"]
+                cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
+                                             dtype=self.compute_dtype)
+                cache1 = self._insert(cache1, pre["k"], pre["v"], 0, base, 0)
+            elif length <= C:
                 self._admit_whole(req, embeds, length)
                 return False
-            cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
-                                         dtype=self.compute_dtype)
+            else:
+                cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
+                                             dtype=self.compute_dtype)
+            # "length"/"off" are suffix-relative; "base" is the shared-prefix KV
+            # already seeded into cache1 (suffix chunks attend to it via pos0).
             self._admission = {"req": req, "embeds": embeds, "length": length,
-                               "off": 0, "cache1": cache1, "last_logits": None}
+                               "base": base, "off": 0, "cache1": cache1,
+                               "last_logits": None}
         a = self._admission
         C = self.prefill_chunk_len
         off = a["off"]
         end = min(off + C, a["length"])
-        chunk = a["embeds"][:, off:off + C]   # may overrun into padding; fine
-        chunk = jnp.pad(chunk, ((0, 0), (0, C - chunk.shape[1]), (0, 0))) \
-            if chunk.shape[1] < C else chunk
+        # pad the chunk to a power-of-two bucket (few compile variants, no
+        # full-C padding for short suffixes), capped by C and cache headroom
+        # (padded garbage must not wrap dynamic_update_slice at the cache end)
+        want = end - off
+        Cc = min(max(8, 1 << (want - 1).bit_length()), C,
+                 self.cache_len - a["base"] - off)
+        end = off + min(want, Cc)  # headroom cap can shorten the chunk
+        chunk = a["embeds"][:, off:off + Cc]   # may overrun into padding; fine
+        chunk = jnp.pad(chunk, ((0, 0), (0, Cc - chunk.shape[1]), (0, 0))) \
+            if chunk.shape[1] < Cc else chunk
         logits, a["cache1"] = self._prefill_chunk(self.params, a["cache1"], chunk)
         a["last_logits"] = logits
+        a["last_off"] = off
         a["off"] = end
         # padded tail advanced length too far; pin it to the true position
-        a["cache1"]["length"] = jnp.full((1,), end, jnp.int32)
+        a["cache1"]["length"] = jnp.full((1,), a["base"] + end, jnp.int32)
         if end >= a["length"]:
             self._finish_admission()
         return self._admission is not None
@@ -223,12 +268,13 @@ class BatchDecodeEngine:
         if slot_idx is None:   # raced out of slots; requeue at the front
             self.pending.put(a["req"])
             return
-        # position of the last real token inside the final chunk
-        last_in_chunk = (a["length"] - 1) % self.prefill_chunk_len
+        # position of the last real token inside the final (variable-size) chunk
+        last_in_chunk = a["length"] - 1 - a["last_off"]
         first = int(np.argmax(np.asarray(a["last_logits"])[0, last_in_chunk]))
         k = a["cache1"]["k"][:, 0]
         v = a["cache1"]["v"][:, 0]
-        self.cache = self._insert(self.cache, k, v, slot_idx, a["length"],
+        self.cache = self._insert(self.cache, k, v, slot_idx,
+                                  a["base"] + a["length"],
                                   self.jnp.asarray(first))
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
         slot = _Slot(a["req"])
@@ -335,7 +381,15 @@ class BatchDecodeEngine:
     def run_forever(self, idle_sleep: float = 0.005) -> None:
         import time
         while not self._stop.is_set():
-            n = self.tick()
+            try:
+                n = self.tick()
+            except Exception:  # noqa: BLE001 — fail in-flight work, keep serving
+                import traceback
+                traceback.print_exc()
+                if self._admission is not None:
+                    self._admission["req"].out_queue.put(None)
+                    self._admission = None
+                n = 0
             if n == 0 and self.pending.empty():
                 time.sleep(idle_sleep)
 

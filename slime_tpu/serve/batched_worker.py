@@ -74,6 +74,15 @@ class BatchedWorker:
         return {"model_names": [self.model_name], "speed": 1,
                 "queue_length": self.queue_length}
 
+    def register_prefix(self, p: dict) -> dict:
+        """POST /worker_register_prefix {"prompt": "..."} -> {"prefix_id": ...}.
+        Later /worker_generate_stream calls pass {"prefix_id": ...} and a prompt
+        holding only the suffix — the shared prefix KV is computed once."""
+        ids = np.asarray(tokenizer_image_token(p["prompt"], self.tokenizer,
+                                               return_tensors="np"))
+        pid = self.engine.register_prefix(ids, prefix_id=p.get("prefix_id"))
+        return {"prefix_id": pid, "length": int(self.engine.prefixes[pid]["length"])}
+
     def generate_stream(self, p: dict):
         try:
             prompt = p["prompt"]
@@ -90,6 +99,11 @@ class BatchedWorker:
                     img, tile=self.cfg.vision.image_size,
                     max_crops=1 + self.cfg.max_local_crops)
 
+            pid = p.get("prefix_id")
+            if pid is not None and pid not in self.engine.prefixes:
+                yield {"text": f"unknown prefix_id {pid!r}",
+                       "error_code": ErrorCode["SERVER_ERROR"]}
+                return
             ids = np.asarray(tokenizer_image_token(prompt, self.tokenizer,
                                                    return_tensors="np"))
             stop = p.get("stop")
@@ -97,7 +111,8 @@ class BatchedWorker:
                        if isinstance(stop, str) and stop else None)
             req = Request(input_ids=ids, pixel_values=pix, crop_mask=cmask,
                           max_new_tokens=min(int(p.get("max_new_tokens", 256)), 1024),
-                          temperature=float(p.get("temperature", 0.0)))
+                          temperature=float(p.get("temperature", 0.0)),
+                          prefix_id=p.get("prefix_id"))
             self.engine.submit(req)
             generated = []
             for chunk in req.stream():
@@ -116,6 +131,7 @@ def build_server(worker: BatchedWorker, host: str, port: int) -> JsonHTTPServer:
     srv = JsonHTTPServer(host, port)
     srv.stream_route("/worker_generate_stream", worker.generate_stream)
     srv.route("/worker_get_status", lambda b: worker.get_status())
+    srv.route("/worker_register_prefix", worker.register_prefix)
     return srv
 
 

@@ -142,3 +142,60 @@ def test_chunked_admission_matches_single(setup):
     assert got == ref[:len(got)] and len(got) >= 1
     if cfg.eos_token_id not in ref:
         assert got == ref
+
+
+def test_prefix_sharing_matches_full_prompt(setup):
+    """register_prefix + suffix-only admission produces exactly the tokens of
+    submitting the concatenated prompt (greedy), for suffixes shorter and longer
+    than the chunk length."""
+    cfg, params, eng = setup
+    rng = np.random.default_rng(7)
+    prefix = rng.integers(5, cfg.llm.vocab_size, (9,)).astype(np.int32)
+    pid = eng.register_prefix(prefix)
+    eng.prefill_chunk_len = 8  # force multi-chunk suffix admission
+
+    for S in (4, 20):  # below and above the chunk length
+        suffix = rng.integers(5, cfg.llm.vocab_size, (S,)).astype(np.int32)
+        full = np.concatenate([prefix, suffix])
+        ref = generate(params, cfg, jnp.asarray(full[None]),
+                       jnp.ones((1, len(full)), bool), max_new_tokens=6,
+                       eos_id=-1)
+        ref = np.asarray(ref)[0].tolist()
+
+        req = Request(input_ids=suffix, max_new_tokens=6, prefix_id=pid)
+        eng.submit(req)
+        for _ in range(40):
+            if eng.tick() == 0 and eng.pending.empty() and eng._admission is None:
+                break
+        got = _drain(req)
+        assert got == ref[:len(got)] and len(got) >= 1
+        if cfg.eos_token_id not in ref[:6]:
+            assert got == ref, (S, got, ref)
+    eng.prefill_chunk_len = 256
+
+
+def test_prefix_and_plain_requests_interleave(setup):
+    """A prefix request and a plain request admitted together both match their
+    single-request references."""
+    cfg, params, eng = setup
+    rng = np.random.default_rng(8)
+    prefix = rng.integers(5, cfg.llm.vocab_size, (6,)).astype(np.int32)
+    pid = eng.register_prefix(prefix)
+    sfx = rng.integers(5, cfg.llm.vocab_size, (5,)).astype(np.int32)
+    plain = rng.integers(5, cfg.llm.vocab_size, (7,)).astype(np.int32)
+
+    ref_p = np.asarray(generate(
+        params, cfg, jnp.asarray(np.concatenate([prefix, sfx])[None]),
+        jnp.ones((1, 11), bool), max_new_tokens=5, eos_id=-1))[0].tolist()
+    ref_q = np.asarray(generate(
+        params, cfg, jnp.asarray(plain[None]), jnp.ones((1, 7), bool),
+        max_new_tokens=5, eos_id=-1))[0].tolist()
+
+    r1 = Request(input_ids=sfx, max_new_tokens=5, prefix_id=pid)
+    r2 = Request(input_ids=plain, max_new_tokens=5)
+    eng.submit(r1); eng.submit(r2)
+    for _ in range(40):
+        if eng.tick() == 0 and eng.pending.empty() and eng._admission is None:
+            break
+    g1, g2 = _drain(r1), _drain(r2)
+    assert g1 == ref_p[:len(g1)] and g2 == ref_q[:len(g2)]
