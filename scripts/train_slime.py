@@ -75,6 +75,8 @@ def parse_args():
 
 
 def main():
+    from slime_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args()
     import jax
     import jax.numpy as jnp
@@ -168,7 +170,8 @@ def main():
                 group_by_modality_length=args.group_by_modality_length,
                 num_workers=8)
 
-    trainer.train(batches())
+    from slime_tpu.data.dataset import prefetch
+    trainer.train(prefetch(batches(), depth=2))
     trainer.save(args.output_dir)
     print(f"done -> {args.output_dir}")
 

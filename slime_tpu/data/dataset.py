@@ -213,3 +213,38 @@ def data_loader(dataset: SupervisedDataset, *, batch_size: int, seq_len: int,
                 break
             yield collate([get(i) for i in chunk],
                           pad_token_id=pad_token_id, seq_len=seq_len)
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run ``iterator`` in a background thread, keeping up to ``depth`` batches
+    ready. Overlaps host-side preprocessing (image decode, tokenization,
+    collation) with device steps — the input-pipeline half of the reference's
+    DataLoader(num_workers=4, pin_memory) (train.py HF TrainingArguments), done
+    the JAX way: the device step dispatches asynchronously, so one ready batch
+    on the host hides the whole preprocess latency.
+
+    Exceptions in the producer re-raise at the consuming side; the thread is a
+    daemon, so abandoning the iterator never hangs shutdown."""
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — surface on the consumer side
+            q.put(e)
+
+    t = _threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

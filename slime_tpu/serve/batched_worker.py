@@ -136,6 +136,8 @@ def build_server(worker: BatchedWorker, host: str, port: int) -> JsonHTTPServer:
 
 
 def main():
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     from transformers import AutoTokenizer
 
     from .. import checkpoint as ckpt

@@ -8,6 +8,8 @@ import numpy as np
 
 
 def main():
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from PIL import Image

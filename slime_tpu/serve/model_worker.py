@@ -163,6 +163,8 @@ def build_server(worker: ModelWorker, host: str, port: int) -> JsonHTTPServer:
 
 
 def main():
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
 
     from .. import checkpoint as ckpt

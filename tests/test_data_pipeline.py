@@ -139,3 +139,21 @@ def test_length_grouped_sampler_separates_modalities():
     # multimodal (positive) indices appear as a contiguous block before/after text
     signs = [0 if lengths[i] > 0 else 1 for i in idx]
     assert signs == sorted(signs) or signs == sorted(signs, reverse=True)
+
+
+def test_prefetch_order_and_errors():
+    from slime_tpu.data.dataset import prefetch
+
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="producer failed"):
+        next(it)
+
+    assert list(prefetch(iter([]), depth=1)) == []
