@@ -98,6 +98,13 @@ def test_mixtral_moe_forward(small):
     logits, _ = llama.forward(params, llama.embed(params, jnp.asarray(ids.numpy())), cfg)
     np.testing.assert_allclose(np.asarray(logits), ref, atol=5e-4, rtol=1e-3)
 
+    # B*S = 40 >= 32: the sparse ragged_dot dispatch path, same HF oracle
+    ids = torch.randint(0, 128, (2, 20))
+    with torch.no_grad():
+        ref = hf(ids).logits.numpy()
+    logits, _ = llama.forward(params, llama.embed(params, jnp.asarray(ids.numpy())), cfg)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=5e-4, rtol=1e-3)
+
 
 def test_chunked_prefill_matches_full(small):
     """Prefill in 3 chunks == one full forward (logits of the last chunk match)."""
