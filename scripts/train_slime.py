@@ -54,6 +54,8 @@ def parse_args():
     ap.add_argument("--lr-scheduler-type", default="cosine")
     ap.add_argument("--model-max-length", type=int, default=2048)
     ap.add_argument("--save-steps", type=int, default=1000)
+    ap.add_argument("--async-save", action="store_true",
+                    help="non-blocking Orbax train-state saves")
     ap.add_argument("--logging-steps", type=int, default=10)
     ap.add_argument("--seed", type=int, default=3407)
     # LoRA
@@ -143,7 +145,8 @@ def main():
     rc = RunConfig(output_dir=args.output_dir, save_steps=args.save_steps,
                    log_steps=args.logging_steps, max_steps=total_steps,
                    seed=args.seed,
-                   adapters_only_save=args.tune_mm_mlp_adapter)
+                   adapters_only_save=args.tune_mm_mlp_adapter,
+                   async_save=args.async_save)
 
     mesh = mesh_lib.make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_model) \
         if len(jax.devices()) > 1 else None

@@ -18,15 +18,39 @@ def _ocp():
     return ocp
 
 
-def save_train_state(path: str, state: Dict, extra: Optional[Dict] = None) -> None:
-    """Atomic save of the full train state pytree + metadata."""
+_ASYNC = None  # module-level AsyncCheckpointer (owns a background thread pool)
+
+
+def save_train_state(path: str, state: Dict, extra: Optional[Dict] = None,
+                     async_save: bool = False) -> None:
+    """Atomic save of the full train state pytree + metadata.
+
+    async_save=True hands the device->host copy to Orbax's AsyncCheckpointer and
+    returns immediately — training continues while the write streams to disk
+    (the next save or wait_for_saves() joins it). For multi-GB states this hides
+    the full serialization latency behind compute."""
+    global _ASYNC
     ocp = _ocp()
     path = os.path.abspath(path)
+    if async_save:
+        if _ASYNC is None:
+            _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        _ASYNC.save(path, state, force=True)
+        if extra:  # sibling file — the ckpt dir itself appears atomically later
+            with open(path + ".meta.json", "w") as f:
+                json.dump(extra, f)
+        return
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, state, force=True)
     if extra:
         with open(os.path.join(path, "trainer_meta.json"), "w") as f:
             json.dump(extra, f)
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async saves are durable (call before exit)."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def restore_train_state(path: str, target: Optional[Dict] = None) -> Dict:
@@ -41,10 +65,11 @@ def restore_train_state(path: str, target: Optional[Dict] = None) -> Dict:
 
 
 def load_meta(path: str) -> Dict:
-    fp = os.path.join(os.path.abspath(path), "trainer_meta.json")
-    if os.path.exists(fp):
-        with open(fp) as f:
-            return json.load(f)
+    path = os.path.abspath(path)
+    for fp in (os.path.join(path, "trainer_meta.json"), path + ".meta.json"):
+        if os.path.exists(fp):
+            with open(fp) as f:
+                return json.load(f)
     return {}
 
 

@@ -41,6 +41,7 @@ class RunConfig:
     seed: int = 3407                      # reference fixed seed (train.py:1202-1213)
     adapters_only_save: bool = False      # staged pretrain: mm_projector/sampler only
     resume_from: Optional[str] = None
+    async_save: bool = False              # non-blocking Orbax train-state saves
 
 
 class Trainer:
@@ -110,7 +111,8 @@ class Trainer:
                 self.save(os.path.join(self.rc.output_dir, f"checkpoint-{step}"))
                 state_ckpt.save_train_state(
                     os.path.join(self.rc.output_dir, f"state-{step}"), self.state,
-                    extra={"step": step})
+                    extra={"step": step}, async_save=self.rc.async_save)
+        state_ckpt.wait_for_saves()
         return {k: float(v) for k, v in m.items()}
 
     def save(self, path: str) -> None:

@@ -142,3 +142,19 @@ def test_resume_from_state_checkpoint(tiny, tmp_path):
         np.asarray(tr.state["params"]["llm"]["embed_tokens"]), atol=1e-6)
     tr2.train(_batches(cfg, 2))
     assert int(tr2.state["step"]) == 6
+
+
+def test_async_save_roundtrip(tmp_path):
+    """async_save=True persists a restorable train state (wait_for_saves joins)."""
+    import jax
+    from slime_tpu.train import state_ckpt
+
+    state = {"step": jax.numpy.asarray(3),
+             "params": {"w": jax.numpy.ones((4, 4))}}
+    p = str(tmp_path / "state-3")
+    state_ckpt.save_train_state(p, state, extra={"step": 3}, async_save=True)
+    state_ckpt.wait_for_saves()
+    back = state_ckpt.restore_train_state(p, target=state)
+    assert int(back["step"]) == 3
+    assert float(back["params"]["w"].sum()) == 16.0
+    assert state_ckpt.load_meta(p) == {"step": 3}
