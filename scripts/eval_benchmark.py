@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--num-beams", type=int, default=1)
     ap.add_argument("--single-pred-prompt", action="store_true")
     ap.add_argument("--scorer", default=None,
                     choices=[None, "textvqa", "pope", "scienceqa"])
@@ -64,6 +65,7 @@ def main():
                      conv_mode=args.conv_mode, batch_size=args.batch_size,
                      max_new_tokens=args.max_new_tokens,
                      temperature=args.temperature,
+                     num_beams=args.num_beams,
                      single_pred_prompt=args.single_pred_prompt)
     print(f"answers -> {out}")
 

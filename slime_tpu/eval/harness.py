@@ -64,6 +64,7 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
              image_folder: str, answers_file: str, conv_mode: str,
              model_id: str = "slime-tpu", batch_size: int = 4,
              max_new_tokens: int = 128, temperature: float = 0.0,
+             num_beams: int = 1,
              seq_len: int = 256, question_key: str = "text",
              single_pred_prompt: bool = False,
              compute_dtype=None, progress: bool = True) -> str:
@@ -71,7 +72,7 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
     import jax.numpy as jnp
     from PIL import Image
 
-    from ..generate import generate, trim_at_eos
+    from ..generate import beam_search, generate, trim_at_eos
 
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
@@ -110,10 +111,18 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
                 input_ids[b, :n] = ids[:n]
                 attn[b, :n] = True
 
-            toks = generate(params, cfg, jnp.asarray(input_ids), jnp.asarray(attn),
-                            jnp.asarray(np.stack(pix)), jnp.asarray(np.stack(cmask)),
-                            max_new_tokens=max_new_tokens, temperature=temperature,
-                            compute_dtype=compute_dtype)
+            if num_beams > 1:
+                toks = beam_search(params, cfg, jnp.asarray(input_ids),
+                                   jnp.asarray(attn), jnp.asarray(np.stack(pix)),
+                                   jnp.asarray(np.stack(cmask)),
+                                   num_beams=num_beams,
+                                   max_new_tokens=max_new_tokens,
+                                   compute_dtype=compute_dtype)
+            else:
+                toks = generate(params, cfg, jnp.asarray(input_ids), jnp.asarray(attn),
+                                jnp.asarray(np.stack(pix)), jnp.asarray(np.stack(cmask)),
+                                max_new_tokens=max_new_tokens, temperature=temperature,
+                                compute_dtype=compute_dtype)
             for b, q in enumerate(chunk):
                 ids = trim_at_eos(np.asarray(toks)[b:b + 1], cfg.eos_token_id)[0]
                 text = tokenizer.decode(ids, skip_special_tokens=True).strip()

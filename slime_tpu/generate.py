@@ -212,3 +212,93 @@ def trim_at_eos(tokens, eos_id: int):
             ids.append(int(t))
         out.append(ids)
     return out
+
+
+def beam_search(params, cfg: SliMEConfig, input_ids, attention_mask,
+                pixel_values=None, crop_mask=None, *, num_beams: int = 3,
+                max_new_tokens: int = 32, eos_id: Optional[int] = None,
+                length_penalty: float = 1.0, use_pallas: Optional[bool] = None,
+                compute_dtype=jnp.float32):
+    """Deterministic beam search (HF num_beams semantics; the reference's eval
+    drivers expose --num_beams on every model_vqa_* script, default 1).
+
+    Static TPU shapes: beams live as a batch dimension [B*K]; each step takes
+    top-K of the joint log-probs and reorders the KV cache rows by beam index
+    (an O(K*T) gather — fine for eval-scale K). Finished beams freeze their
+    score (length-penalized) and stop accumulating. Returns token ids
+    [B, max_new_tokens] of the best finished (or best running) beam per row.
+    """
+    if eos_id is None:
+        eos_id = cfg.eos_token_id
+    B, S = input_ids.shape
+    K = num_beams
+    NEG = -1e30
+
+    if pixel_values is not None:
+        prep = (slime.prepare_multimodal_multi if pixel_values.ndim == 6
+                else slime.prepare_multimodal)
+        fused = prep(params, cfg, input_ids, attention_mask, pixel_values,
+                     crop_mask, training=False, compute_dtype=compute_dtype)
+        embeds, positions, lengths = fused.embeds, fused.positions, fused.lengths
+    else:
+        embeds = llama.embed(params["llm"], jnp.where(input_ids < 0, 0, input_ids)
+                             ).astype(compute_dtype)
+        lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+        positions = None
+
+    logits, kvs = llama.forward(params["llm"], embeds, cfg.llm,
+                                positions=positions, use_pallas=use_pallas,
+                                return_kv=True, compute_dtype=compute_dtype)
+    L = embeds.shape[1]
+    cache = llama.init_kv_cache(cfg.llm, B, L + max_new_tokens,
+                                dtype=compute_dtype)
+    cache = llama.prefill_into_cache(cache, kvs, lengths)
+    # replicate cache rows to B*K beams (beam-major per row: [b0k0, b0k1, ...])
+    cache = {k: (jnp.repeat(v, K, axis=1) if v.ndim >= 2 else
+                 jnp.repeat(v, K, axis=0)) for k, v in cache.items()}
+
+    idx = jnp.maximum(lengths - 1, 0)
+    last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    lp0 = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)     # [B, V]
+    V = lp0.shape[-1]
+    # seed: top-K distinct first tokens per row
+    s0, t0 = jax.lax.top_k(lp0, K)                                   # [B, K]
+
+    def step_fn(carry, _):
+        cache, toks, scores, done, out, t = carry
+        # toks [B*K] last tokens; scores [B, K]; done [B, K]
+        logits, cache = llama.decode_step(params["llm"], cache, toks, cfg.llm,
+                                          compute_dtype=compute_dtype)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(B, K, V)
+        # finished beams: only an EOS continuation at score 0 keeps them intact
+        frozen = jnp.full((B, K, V), NEG).at[:, :, eos_id].set(0.0)
+        lp = jnp.where(done[..., None], frozen, lp)
+        joint = scores[..., None] + lp                               # [B, K, V]
+        flat = joint.reshape(B, K * V)
+        scores, best = jax.lax.top_k(flat, K)                        # [B, K]
+        src_beam = best // V                                         # [B, K]
+        tok = (best % V).astype(jnp.int32)                           # [B, K]
+        # reorder beam state by source beam
+        gather = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)  # [B*K]
+        cache = {k: (v[:, gather] if k in ("k", "v") else v[gather])
+                 for k, v in cache.items()}
+        done = jnp.take_along_axis(done, src_beam, axis=1) | (tok == eos_id)
+        out = out[gather]
+        out = out.at[:, t].set(tok.reshape(-1))
+        return (cache, tok.reshape(-1), scores, done, out, t + 1), None
+
+    out0 = jnp.zeros((B * K, max_new_tokens), jnp.int32)
+    out0 = out0.at[:, 0].set(t0.reshape(-1))
+    done0 = t0 == eos_id
+    carry = (cache, t0.reshape(-1).astype(jnp.int32), s0, done0, out0,
+             jnp.asarray(1))
+    (cache, _, scores, done, out, _), _ = jax.lax.scan(
+        step_fn, carry, None, length=max_new_tokens - 1)
+
+    # pick best beam per row with HF length penalty on finished beams
+    gen_len = jnp.argmax(out.reshape(B, K, -1) == eos_id, axis=-1) + 1
+    gen_len = jnp.where(done, gen_len, max_new_tokens).astype(jnp.float32)
+    final = scores / (gen_len ** length_penalty)
+    pick = jnp.argmax(final, axis=1)                                 # [B]
+    out = out.reshape(B, K, -1)[jnp.arange(B), pick]
+    return np.asarray(out)
