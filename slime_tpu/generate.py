@@ -25,11 +25,17 @@ from .config import SliMEConfig
 from .models import llama, slime
 
 
-def sample_token(rng, logits, *, temperature: float = 0.0, top_p: float = 1.0):
-    """logits [B, V] fp32 -> token [B]. temperature<=0 means greedy."""
+def sample_token(rng, logits, *, temperature: float = 0.0, top_p: float = 1.0,
+                 top_k: int = 0):
+    """logits [B, V] fp32 -> token [B]. temperature<=0 means greedy;
+    top_k>0 restricts sampling to the k highest logits (HF semantics,
+    applied before top_p)."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)

@@ -94,3 +94,20 @@ def test_top_p_filter():
         counts[int(t[0])] += 1
     assert counts[2] == 0 and counts[3] == 0
     assert counts[0] > 0 and counts[1] > 0
+
+
+def test_sample_token_top_k(rng):
+    import jax
+    import jax.numpy as jnp
+    from slime_tpu.generate import sample_token
+
+    logits = jnp.asarray(rng.standard_normal((4, 50)).astype(np.float32)) * 3
+    top3 = np.argsort(-np.asarray(logits), axis=-1)[:, :3]
+    for seed in range(8):
+        toks = np.asarray(sample_token(jax.random.PRNGKey(seed), logits,
+                                       temperature=1.0, top_k=3))
+        for b in range(4):
+            assert toks[b] in top3[b]
+    # top_k=0 / >=V leaves the distribution unrestricted (smoke)
+    t = sample_token(jax.random.PRNGKey(0), logits, temperature=1.0, top_k=0)
+    assert t.shape == (4,)
