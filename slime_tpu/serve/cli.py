@@ -25,6 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--model-base", default=None)
+    ap.add_argument("--load-8bit", action="store_true")
+    ap.add_argument("--load-4bit", action="store_true")
     ap.add_argument("--image-file", default=None)
     ap.add_argument("--conv-mode", default=None)
     ap.add_argument("--temperature", type=float, default=0.2)
@@ -35,7 +37,8 @@ def main():
     from transformers import AutoTokenizer
     cfg = SliMEConfig.load(args.model_path)
     params = ckpt.to_jax(ckpt.load_pretrained(args.model_path,
-                                              model_base=args.model_base, cfg=cfg),
+                                              model_base=args.model_base, cfg=cfg,
+                                              load_bits=8 if args.load_8bit else (4 if args.load_4bit else None)),
                          dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
 
