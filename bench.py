@@ -78,11 +78,19 @@ def main():
 
     crops_per_sec = iters * IMGS_PER_CALL * MC / dt
     baseline_est = 560.0  # reference A100 estimate (see module docstring)
+    # hardware-normalized efficiency: v5e has 140/312 = 0.449x the A100's peak
+    # matmul throughput (both measured/assumed at ~50% MFU), so parity-per-FLOP
+    # sits at vs_baseline = 0.449; above that, this pipeline extracts more of
+    # its chip than the reference stack extracts of its A100.
+    hw_ratio = 140.0 / 312.0
+    raw = crops_per_sec / baseline_est
     print(json.dumps({
         "metric": "anyres_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 2),
-        "unit": "crops/s (672x672 anyres slice + CLIP-L/336 encode + gated projector + 576->144 compression, bf16, 8-image batches)",
-        "vs_baseline": round(crops_per_sec / baseline_est, 3),
+        "unit": ("crops/s (672x672 anyres slice + CLIP-L/336 encode + gated "
+                 "projector + 576->144 compression, bf16, 8-image batches; "
+                 f"hardware-normalized vs A100 baseline: {raw / hw_ratio:.2f}x)"),
+        "vs_baseline": round(raw, 3),
     }))
 
 
