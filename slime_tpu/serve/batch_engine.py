@@ -177,7 +177,9 @@ class BatchDecodeEngine:
         _, k, v = self._prefill(self.params, embeds, None)
         pid = prefix_id or uuid.uuid4().hex[:8]
         self.prefixes[pid] = {"k": k[:, :length], "v": v[:, :length],
-                              "length": length}
+                              "length": length,
+                              "ids": np.asarray(input_ids),
+                              "text_only": pixel_values is None}
         return pid
 
     def submit(self, req: Request) -> Request:
@@ -191,17 +193,30 @@ class BatchDecodeEngine:
         return None
 
     def _embed_request(self, req: Request):
-        """-> (embeds [1, S, H], length). Multimodal fusion runs here."""
+        """-> (embeds [1, S, H], length). Multimodal fusion runs here.
+
+        Multimodal suffixes of a text-only shared prefix fuse with the FULL text
+        (prefix ids + suffix ids) and then drop the prefix positions: the
+        text-guided local-token sampler (models/sampler.py) conditions on the
+        prompt text, so fusing the suffix alone would select different image
+        tokens than the reference's full-prompt fusion."""
         jnp = self.jnp
         ids = np.asarray(req.input_ids)[None]
-        attn = np.ones_like(ids, bool)
         if req.pixel_values is not None:
+            base = 0
+            pre = self.prefixes.get(req.prefix_id) if req.prefix_id else None
+            if pre is not None and pre["text_only"]:
+                base = pre["length"]
+                ids = np.concatenate([pre["ids"][None], ids], axis=1)
+            attn = np.ones_like(ids, bool)
             fused = slime.prepare_multimodal(
                 self.params, self.cfg, jnp.asarray(ids), jnp.asarray(attn),
                 jnp.asarray(req.pixel_values[None]), jnp.asarray(req.crop_mask[None]),
                 training=False, compute_dtype=self.compute_dtype,
-                max_len=self.cache_len - req.max_new_tokens - 1)
-            return fused.embeds, int(fused.lengths[0]), fused.positions
+                max_len=base + self.cache_len - req.max_new_tokens - 1)
+            return (fused.embeds[:, base:], int(fused.lengths[0]) - base,
+                    fused.positions)
+        attn = np.ones_like(ids, bool)
         embeds = llama.embed(self.params["llm"],
                              jnp.asarray(ids)).astype(self.compute_dtype)
         return embeds, ids.shape[1], None

@@ -199,3 +199,36 @@ def test_prefix_and_plain_requests_interleave(setup):
             break
     g1, g2 = _drain(r1), _drain(r2)
     assert g1 == ref_p[:len(g1)] and g2 == ref_q[:len(g2)]
+
+
+def test_prefix_with_multimodal_suffix(setup):
+    """Shared text prefix + image-bearing suffix matches submitting the full
+    multimodal prompt (greedy token identity)."""
+    cfg, params, eng = setup
+    rng = np.random.default_rng(9)
+    t = cfg.vision.image_size
+    MC = 1 + cfg.max_local_crops
+    prefix = rng.integers(5, cfg.llm.vocab_size, (6,)).astype(np.int32)
+    pid = eng.register_prefix(prefix)
+
+    sfx = rng.integers(5, cfg.llm.vocab_size, (8,)).astype(np.int32)
+    sfx[2] = IMAGE_TOKEN_INDEX
+    pix = rng.standard_normal((MC, 3, t, t)).astype(np.float32)
+    cmask = np.ones((MC,), bool)
+
+    full_ids = np.concatenate([prefix, sfx])
+    ref = np.asarray(generate(
+        params, cfg, jnp.asarray(full_ids[None]),
+        jnp.ones((1, len(full_ids)), bool), jnp.asarray(pix[None]),
+        jnp.asarray(cmask[None]), max_new_tokens=4, eos_id=-1))[0].tolist()
+
+    req = Request(input_ids=sfx, pixel_values=pix, crop_mask=cmask,
+                  max_new_tokens=4, prefix_id=pid)
+    eng.submit(req)
+    for _ in range(40):
+        if eng.tick() == 0 and eng.pending.empty() and eng._admission is None:
+            break
+    got = _drain(req)
+    assert got == ref[:len(got)] and len(got) >= 1
+    if cfg.eos_token_id not in ref[:4]:
+        assert got == ref, (got, ref)
