@@ -43,10 +43,12 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, block_out: int):
     o_ref[...] = (y * s_ref[...][:, 0][None, :]).astype(o_ref.dtype)
 
 
-def quant_matmul(x, qw: dict, *, block_out: int = 512,
+def quant_matmul(x, qw: dict, *, block_out: int = 512, block_rows: int = 256,
                  interpret: bool = False) -> jnp.ndarray:
     """x [B, IN] @ dequant(qw).T -> [B, OUT]. qw from ops.quantization
-    ({"q"|"q4", "scale"})."""
+    ({"q"|"q4", "scale"}). Rows tile at ``block_rows`` so prefill-sized
+    activations don't blow the 16 MB VMEM budget (x block + packed weight block
+    must both fit); decode matvecs take a single row tile."""
     int4 = "q4" in qw
     q = qw["q4"] if int4 else qw["q"]
     scale = qw["scale"]
@@ -54,22 +56,25 @@ def quant_matmul(x, qw: dict, *, block_out: int = 512,
         # kernel expects even-columns-then-odd ordering (see _kernel_int4)
         x = jnp.concatenate([x[:, 0::2], x[:, 1::2]], axis=1)
     OUT = q.shape[0]
+    B = x.shape[0]
     bo = min(block_out, OUT)
-    grid = (pl.cdiv(OUT, bo),)
+    br = min(block_rows, B)
+    grid = (pl.cdiv(B, br), pl.cdiv(OUT, bo))
     kern = _kernel_int4 if int4 else _kernel_int8
     return pl.pallas_call(
         functools.partial(kern, block_out=bo),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bo, q.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((br, x.shape[1]), lambda r, i: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bo, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bo, q.shape[1]), lambda r, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bo, 1), lambda r, i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((x.shape[0], bo), lambda i: (0, i),
+        out_specs=pl.BlockSpec((br, bo), lambda r, i: (r, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], OUT), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, OUT), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(x, q, scale.astype(jnp.float32))
