@@ -89,7 +89,12 @@ def make_schedule(tc: TrainConfig, lr: float):
     if tc.lr_schedule == "cosine":
         return optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup, max(tc.total_steps, warmup + 1), end_value=0.0)
-    return optax.linear_schedule(lr, lr, 1)
+    if tc.lr_schedule == "linear":  # HF lr_scheduler_type="linear": decay to 0
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup),
+             optax.linear_schedule(lr, 0.0, max(tc.total_steps - warmup, 1))],
+            [warmup])
+    return optax.linear_schedule(lr, lr, 1)  # "constant"
 
 
 def make_optimizer(params, tc: TrainConfig):
