@@ -232,3 +232,48 @@ def test_prefix_with_multimodal_suffix(setup):
     assert got == ref[:len(got)] and len(got) >= 1
     if cfg.eos_token_id not in ref[:4]:
         assert got == ref, (got, ref)
+
+
+@pytest.mark.slow
+def test_prefix_http_route(setup):
+    """/worker_register_prefix + prefix_id generation over live HTTP matches the
+    full-prompt request; unknown prefix_id returns a clean error chunk."""
+    import threading
+    import requests as rq
+
+    from slime_tpu.serve.batched_worker import BatchedWorker, build_server
+    from slime_tpu.serve.protocol import iter_stream_response
+    from .toy_tokenizer import ToyTokenizer
+
+    cfg, params, _ = setup
+    tok = ToyTokenizer()
+    tok("you are a helpful assistant . hello world what is the answer")
+    worker = BatchedWorker(controller_addr=None, worker_addr="x",
+                           model_name="t", params=params, cfg=cfg,
+                           tokenizer=tok, max_slots=2, cache_len=96,
+                           register=False)
+    srv = build_server(worker, "localhost", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://localhost:{srv.port}"
+    try:
+        PRE, SUF = "you are a helpful assistant .", " hello world what is the answer"
+        full = list(iter_stream_response(rq.post(
+            base + "/worker_generate_stream",
+            json={"prompt": PRE + SUF, "max_new_tokens": 5},
+            stream=True, timeout=300)))[-1]
+        reg = rq.post(base + "/worker_register_prefix",
+                      json={"prompt": PRE}, timeout=300).json()
+        assert reg["length"] > 0
+        pref = list(iter_stream_response(rq.post(
+            base + "/worker_generate_stream",
+            json={"prompt": SUF, "prefix_id": reg["prefix_id"],
+                  "max_new_tokens": 5}, stream=True, timeout=300)))[-1]
+        assert pref["error_code"] == 0 and pref["text"] == full["text"]
+        err = list(iter_stream_response(rq.post(
+            base + "/worker_generate_stream",
+            json={"prompt": SUF, "prefix_id": "nope", "max_new_tokens": 2},
+            stream=True, timeout=300)))[-1]
+        assert err["error_code"] != 0 and "prefix_id" in err["text"]
+    finally:
+        worker.engine.stop()
+        srv.shutdown()
