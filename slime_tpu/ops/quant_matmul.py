@@ -25,10 +25,10 @@ def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, block_out: int):
     # a lane-dim concatenate — Mosaic-friendly, no interleaving reshape.
     x = x_ref[...]                                  # [B, IN] (permuted)
     packed = w_ref[...].astype(jnp.int32)           # [bo, IN/2]
-    lo = packed & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = (packed >> 4) & 0xF
-    hi = jnp.where(hi >= 8, hi - 16, hi)
+    # sign extension via xor-sub: (nibble ^ 8) - 8 (cheaper than cmp+select;
+    # int8 arithmetic shifts would be cheaper still but crash Mosaic)
+    lo = ((packed & 0xF) ^ 8) - 8
+    hi = (((packed >> 4) & 0xF) ^ 8) - 8
     w = jnp.concatenate([lo, hi], axis=1).astype(x.dtype)          # [bo, IN]
     y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)    # [B, bo]
