@@ -81,20 +81,25 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
     MC = 1 + cfg.max_local_crops
     t_sz = cfg.vision.image_size
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep_one(q):
+        prompt = build_prompt(q[question_key], conv_mode,
+                              single_pred_prompt=single_pred_prompt)
+        ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
+        img = Image.open(os.path.join(image_folder, q["image"])).convert("RGB")
+        crops, m, _ = process_anyres_image_host(img, tile=t_sz, max_crops=MC)
+        return ids[:seq_len], crops, m
+
+    pool = ThreadPoolExecutor(8)  # PIL releases the GIL; overlaps device compute
     with open(answers_file, "w") as out:
         for s in range(0, len(questions), batch_size):
             chunk = questions[s:s + batch_size]
             B = len(chunk)
-            ids_list, pix, cmask = [], [], []
-            for q in chunk:
-                prompt = build_prompt(q[question_key], conv_mode,
-                                      single_pred_prompt=single_pred_prompt)
-                ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
-                ids_list.append(ids[:seq_len])
-                img = Image.open(os.path.join(image_folder, q["image"])).convert("RGB")
-                crops, m, _ = process_anyres_image_host(img, tile=t_sz, max_crops=MC)
-                pix.append(crops)
-                cmask.append(m)
+            prepped = list(pool.map(prep_one, chunk))
+            ids_list = [p[0] for p in prepped]
+            pix = [p[1] for p in prepped]
+            cmask = [p[2] for p in prepped]
 
             # bucket shapes so XLA compiles once per bucket, not per batch:
             # sequence length rounds up to a multiple of 64, batch pads to full
