@@ -110,3 +110,69 @@ def pipeline_forward(params, embeds, cfg, *, mesh: Mesh, axis: str = "pp",
     return jnp.einsum("bsh,vh->bsv", x,
                       params["lm_head"]["weight"].astype(x.dtype),
                       preferred_element_type=jnp.float32)
+
+
+def make_pp_train_step(cfg, tx, *, mesh: Mesh, axis: str = "pp",
+                       n_micro: Optional[int] = None):
+    """Pipeline-parallel LLM training step (text-only): next-token cross entropy
+    through pipeline_forward, AdamW via the given optax transform. Layers stay
+    sharded over ``axis`` throughout (grads inherit the stacked P(axis) layout,
+    so optimizer moments live on their stage too).
+
+    Returns step(state, batch) -> (state, metrics) with
+    state = {"stacked", "head", "opt_state", "step"}: ``stacked`` is the
+    stack_layers() view sharded over the pipeline, ``head`` the replicated
+    embed/norm/lm_head (convert back with unstack_layers() for checkpointing).
+    Build the state with init_pp_train_state()."""
+    import optax
+
+    from ..constants import IGNORE_INDEX
+
+    def loss_fn(trainable, batch):
+        stacked, head = trainable
+        params = dict(head)
+        logits = pipeline_forward(params, llama.embed(params, batch["input_ids"]),
+                                  cfg, mesh=mesh, axis=axis, n_micro=n_micro,
+                                  stacked=stacked)
+        shift_logits = logits[:, :-1]
+        shift_labels = batch["labels"][:, 1:]
+        valid = shift_labels != IGNORE_INDEX
+        safe = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1)
+
+    @jax.jit
+    def step(state, batch):
+        trainable = (state["stacked"], state["head"])
+        l, grads = jax.value_and_grad(loss_fn)(trainable, batch)
+        updates, new_opt = tx.update(grads, state["opt_state"], trainable)
+        new_stacked, new_head = optax.apply_updates(trainable, updates)
+        return {"stacked": new_stacked, "head": new_head,
+                "opt_state": new_opt, "step": state["step"] + 1}, \
+               {"loss": l, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def init_pp_train_state(params, tx, *, mesh: Mesh, axis: str = "pp"):
+    """Split params into (stage-sharded stacked layers, replicated head) and
+    build the optimizer state in the same layout."""
+    from jax.sharding import NamedSharding
+
+    stacked = stack_layers(params)
+    sh = NamedSharding(mesh, P(axis))
+    stacked = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
+    head = {k: v for k, v in params.items() if k != "layers"}
+    head = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), head)
+    opt_state = tx.init((stacked, head))
+    return {"stacked": stacked, "head": head, "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def unstack_layers(stacked, num_layers: int):
+    """Inverse of stack_layers: [L, ...] pytree -> list of per-layer trees."""
+    return [jax.tree_util.tree_map(lambda x: x[i], stacked)
+            for i in range(num_layers)]

@@ -86,3 +86,43 @@ def test_bad_shapes_raise(setup):
     with pytest.raises(AssertionError):
         params6 = llama.init(jax.random.PRNGKey(0), cfg_bad)
         pipeline_forward(params6, embeds, cfg_bad, mesh=mesh)  # 6 % 4
+
+
+def test_pp_train_step_loss_decreases(setup):
+    """Pipeline-parallel training: 6 steps of overfit on one batch drop the loss;
+    first-step loss matches the non-pipelined loss_fn value."""
+    import optax
+    from slime_tpu.constants import IGNORE_INDEX
+    from slime_tpu.parallel.pipeline import (init_pp_train_state,
+                                             make_pp_train_step, unstack_layers)
+
+    cfg, params, _, _ = setup
+    mesh = _mesh(4)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 64, (8, 16)).astype(np.int32)
+    batch = {"input_ids": jnp.asarray(ids),
+             "labels": jnp.asarray(ids)}
+
+    tx = optax.adamw(3e-3)
+    state = init_pp_train_state(params, tx, mesh=mesh)
+    step = make_pp_train_step(cfg, tx, mesh=mesh, n_micro=8)
+
+    # reference loss: plain forward CE on the same batch
+    emb = llama.embed(params, batch["input_ids"])
+    logits, _ = llama.forward(params, emb, cfg)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32)[:, :-1], -1)
+    ref = float(-jnp.mean(jnp.take_along_axis(
+        lp, batch["labels"][:, 1:, None], axis=-1)))
+
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-4)
+    assert losses[-1] < losses[0] - 0.1, losses
+
+    # round-trip the stacked layers back to checkpoint layout
+    layers = unstack_layers(state["stacked"], cfg.num_layers)
+    assert len(layers) == cfg.num_layers
+    assert layers[0]["q_proj"]["weight"].shape == \
+        params["layers"][0]["q_proj"]["weight"].shape
