@@ -1,0 +1,121 @@
+"""Speculative decoding: draft-model lookahead verified by the target model.
+
+Beyond-reference serving acceleration (the reference serves strictly
+autoregressively; llava/serve/model_worker.py). Greedy speculative decoding is
+EXACT: the emitted sequence equals the target model's own greedy decode — the
+draft only changes how many target forward passes it takes to produce it.
+
+TPU-static design: the draft always proposes K tokens (lax.fori_loop of
+decode_step); the target verifies all K in ONE chunked forward
+(llama.prefill_chunk — K query positions against its cache). Acceptance is the
+longest matching prefix; rollback is free because every cache in this codebase
+masks by its ``length`` pointer — resetting length un-writes rejected positions
+(they get overwritten on the next chunk).
+
+Per emitted token, target cost drops from 1 full forward to ~1/(accepted+1)
+chunked forwards; weight streaming (the bs=1 bottleneck on TPU) amortizes the
+same way.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SliMEConfig
+from ..models import llama
+
+
+def speculative_generate(params_target, cfg_target: SliMEConfig,
+                         params_draft, cfg_draft: SliMEConfig,
+                         input_ids, *, K: int = 4, max_new_tokens: int = 64,
+                         eos_id: Optional[int] = None,
+                         compute_dtype=jnp.float32):
+    """Greedy speculative decode (bs=1). input_ids [1, S] (text prompt; both
+    models must share the tokenizer/vocab). Returns np tokens [1, <=max_new],
+    trimmed at EOS, plus the acceptance rate (draft tokens kept / proposed)."""
+    if eos_id is None:
+        eos_id = cfg_target.eos_token_id
+    tl, dl = cfg_target.llm, cfg_draft.llm
+    B, S = input_ids.shape
+    assert B == 1, "speculative decode is a bs=1 latency optimization"
+    cache_len = S + max_new_tokens + K + 1
+
+    def _prefill(params, cfg_llm):
+        embeds = llama.embed(params["llm"], input_ids).astype(compute_dtype)
+        logits, kvs = llama.forward(params["llm"], embeds, cfg_llm,
+                                    return_kv=True, compute_dtype=compute_dtype)
+        cache = llama.init_kv_cache(cfg_llm, 1, cache_len, dtype=compute_dtype)
+        cache = llama.prefill_into_cache(cache, kvs, jnp.full((1,), S))
+        return jnp.argmax(logits[0, S - 1]).astype(jnp.int32), cache
+
+    t_first, t_cache = _prefill(params_target, tl)
+    d_first, d_cache = _prefill(params_draft, dl)
+
+    @jax.jit
+    def draft_k(params, cache, tok):
+        """Greedy-draft K tokens; cache advances K positions."""
+        def body(i, carry):
+            cache, tok, out = carry
+            logits, cache = llama.decode_step(params["llm"], cache, tok, dl,
+                                              compute_dtype=compute_dtype)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return cache, nxt, out.at[i].set(nxt[0])
+        cache, _, out = jax.lax.fori_loop(
+            0, K, body, (cache, tok, jnp.zeros((K,), jnp.int32)))
+        return cache, out
+
+    @jax.jit
+    def verify(params, cache, cur_tok, draft_toks):
+        """One target chunk over [cur_tok, draft_toks[:-1]] -> the target's
+        greedy continuation at each of the K positions."""
+        toks = jnp.concatenate([cur_tok[None], draft_toks[:-1]])[None]  # [1, K]
+        embeds = llama.embed(params["llm"], toks).astype(compute_dtype)
+        logits, cache = llama.prefill_chunk(params["llm"], cache, embeds, tl,
+                                            compute_dtype=compute_dtype)
+        return cache, jnp.argmax(logits[0], -1).astype(jnp.int32)      # [K]
+
+    @jax.jit
+    def set_len(cache, n):
+        cache = dict(cache)
+        cache["length"] = jnp.full((1,), n, jnp.int32)
+        return cache
+
+    out: list = []
+    cur = t_first                       # target's first token is always exact
+    out.append(int(cur))
+    n_accept = n_prop = 0
+    t_len = d_len = S
+    # draft cache must also ingest cur before proposing — feed via decode_step
+    while len(out) < max_new_tokens and out[-1] != eos_id:
+        d_cache = set_len(d_cache, d_len)
+        d_cache, proposals = draft_k(params_draft, d_cache, cur[None])
+        t_cache = set_len(t_cache, t_len)
+        t_cache, targets = verify(params_target, t_cache, cur, proposals)
+
+        n_prop += K
+        match = np.asarray(proposals) == np.asarray(targets)
+        acc = int(np.argmin(match)) if not match.all() else K
+        n_accept += acc
+        # accepted draft tokens are exactly the target's greedy tokens; the
+        # first mismatch position still yields a valid target token (bonus)
+        emitted = np.asarray(targets)[: acc + (0 if acc == K else 1)]
+        emitted = emitted[: max_new_tokens - len(out)]          # budget cut
+        if eos_id in emitted:                                    # eos cut
+            emitted = emitted[: int(np.argmax(emitted == eos_id)) + 1]
+        out.extend(int(t) for t in emitted)
+        # caches hold KV for cur + emitted[:-1] (all verified-correct);
+        # resetting length next round rolls back the rejected tail for free
+        produced = len(emitted)
+        t_len += produced
+        d_len += produced
+        cur = jnp.asarray(out[-1], jnp.int32)
+        if out[-1] == eos_id:
+            break
+
+    toks = np.asarray(out, np.int32)[None]
+    rate = n_accept / max(n_prop, 1)
+    return toks, rate
