@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--model-base", default=None)
     ap.add_argument("--load-8bit", action="store_true")
     ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--draft-model-path", default=None,
+                    help="small same-tokenizer model for greedy speculative "
+                         "decoding (exact; text-only prompts)")
     ap.add_argument("--image-file", default=None)
     ap.add_argument("--conv-mode", default=None)
     ap.add_argument("--temperature", type=float, default=0.2)
@@ -41,6 +44,12 @@ def main():
                                               load_bits=8 if args.load_8bit else (4 if args.load_4bit else None)),
                          dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
+    draft = None
+    if args.draft_model_path:
+        dcfg = SliMEConfig.load(args.draft_model_path)
+        dparams = ckpt.to_jax(ckpt.load_pretrained(args.draft_model_path, cfg=dcfg),
+                              dtype=jnp.bfloat16)
+        draft = (dparams, dcfg)
 
     model_name = get_model_name_from_path(args.model_path)
     conv_mode = args.conv_mode or conv_mode_from_model_name(model_name)
@@ -76,15 +85,27 @@ def main():
         print(f"{conv.roles[1]}: ", end="", flush=True)
         out_text = ""
         stop = conv.sep2 if conv.sep2 else conv.sep
-        for text in generate_stream(params, cfg, tokenizer, input_ids, attn,
-                                    pix, cmask,
-                                    max_new_tokens=args.max_new_tokens,
-                                    temperature=args.temperature,
-                                    stop_strings=[stop] if stop else [],
-                                    compute_dtype=jnp.bfloat16):
-            print(text[len(out_text):], end="", flush=True)
-            out_text = text
-        print()
+        if draft is not None and pix is None:
+            from .speculative import speculative_generate
+            from ..generate import trim_at_eos
+            toks, rate = speculative_generate(
+                params, cfg, draft[0], draft[1], input_ids,
+                max_new_tokens=args.max_new_tokens, compute_dtype=jnp.bfloat16)
+            out_text = tokenizer.decode(trim_at_eos(toks, cfg.eos_token_id)[0],
+                                        skip_special_tokens=True)
+            if stop and out_text.endswith(stop):
+                out_text = out_text[: -len(stop)].rstrip()
+            print(out_text + f"   [spec-accept {rate:.0%}]")
+        else:
+            for text in generate_stream(params, cfg, tokenizer, input_ids, attn,
+                                        pix, cmask,
+                                        max_new_tokens=args.max_new_tokens,
+                                        temperature=args.temperature,
+                                        stop_strings=[stop] if stop else [],
+                                        compute_dtype=jnp.bfloat16):
+                print(text[len(out_text):], end="", flush=True)
+                out_text = text
+            print()
         conv.messages[-1][1] = out_text
         if args.debug:
             print({"prompt": prompt, "outputs": out_text})
