@@ -243,3 +243,53 @@ def test_unpad_token_order_drops_padding():
     n_loc = 2 * 1 * 16
     kept = sum(1 for i in range(200) if valid[i] and src[i] >= 0)
     assert kept < n_loc  # some columns were padding
+
+
+def test_splice_fuzz(tiny):
+    """Randomized splice configurations vs the python oracle: random image-token
+    positions (including first/last), random padding masks, random crop counts,
+    mixed text-only rows, varying max_len truncation."""
+    cfg, params = tiny
+    t = cfg.vision.image_size
+    MC = 1 + cfg.max_local_crops
+    for trial in range(12):
+        rng = np.random.default_rng(1000 + trial)
+        B = int(rng.integers(1, 4))
+        S = int(rng.integers(6, 20))
+        ids = rng.integers(5, cfg.llm.vocab_size, (B, S)).astype(np.int32)
+        mask = np.ones((B, S), bool)
+        for b in range(B):
+            if rng.random() < 0.8:  # 20% text-only rows
+                ids[b, int(rng.integers(0, S))] = IMAGE_TOKEN_INDEX
+            if rng.random() < 0.5:  # right padding
+                pad = int(rng.integers(1, max(S // 3, 2)))
+                mask[b, S - pad:] = False
+                # image token must be inside the valid region
+                if (ids[b][mask[b]] == IMAGE_TOKEN_INDEX).sum() == 0:
+                    ids[b] = np.where(ids[b] == IMAGE_TOKEN_INDEX, 7, ids[b])
+        labels = np.where(ids == IMAGE_TOKEN_INDEX, IGNORE_INDEX, ids)
+        pix = rng.standard_normal((B, MC, 3, t, t)).astype(np.float32)
+        cmask = np.zeros((B, MC), bool)
+        cmask[:, 0] = True
+        for b in range(B):
+            n_local = int(rng.integers(0, MC))
+            cmask[b, 1:1 + n_local] = True
+        max_len = int(rng.integers(24, 160))
+        batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
+                 "pixel_values": jnp.asarray(pix), "crop_mask": jnp.asarray(cmask),
+                 "labels": jnp.asarray(labels)}
+        img_embeds, img_valid = slime.encode_images(
+            params, cfg, batch["pixel_values"], batch["crop_mask"],
+            batch["input_ids"], batch["attention_mask"])
+        fused = slime.prepare_multimodal(
+            params, cfg, batch["input_ids"], batch["attention_mask"],
+            batch["pixel_values"], batch["crop_mask"], batch["labels"],
+            max_len=max_len)
+        ref_e, ref_l, ref_len = _splice_oracle(cfg, params, batch,
+                                               img_embeds, img_valid, max_len)
+        np.testing.assert_array_equal(np.asarray(fused.lengths), ref_len,
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(fused.embeds), ref_e, atol=1e-5,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(fused.labels), ref_l,
+                                      err_msg=f"trial {trial}")
