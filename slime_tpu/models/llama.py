@@ -166,11 +166,9 @@ def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool],
         # axis (ops/ring_attention.py) — a beyond-reference long-context path
         from ..ops.ring_attention import ring_attention
         mesh, axis = ring
-        group = cfg.num_heads // cfg.num_kv_heads
-        kk = jnp.repeat(k, group, axis=2)
-        vv = jnp.repeat(v, group, axis=2)
-        out = ring_attention(q.transpose(0, 2, 1, 3), kk.transpose(0, 2, 1, 3),
-                             vv.transpose(0, 2, 1, 3), mesh=mesh, axis=axis,
+        # GQA-native ring: only num_kv_heads blocks rotate over ICI
+        out = ring_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                             v.transpose(0, 2, 1, 3), mesh=mesh, axis=axis,
                              causal=True)
     else:
         out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),

@@ -26,21 +26,23 @@ NEG_INF = -1e30
 
 
 def _block_attend(q, k, v, scale, *, q_start, k_start, causal):
-    """Partial attention of q [B,H,Sq,D] against one kv block [B,H,Sk,D].
+    """Partial attention of q [B,KVH,G,Sq,D] against one kv block [B,KVH,Sk,D]
+    (GQA-native: the G query heads of a group share their kv head — the kv block
+    is never materialized per-query-head, so the ring moves KVH-sized blocks).
 
-    Returns (m [B,H,Sq,1], l [B,H,Sq,1], acc [B,H,Sq,D]) — unnormalized softmax
+    Returns (m, l [B,KVH,G,Sq,1], acc [B,KVH,G,Sq,D]) — unnormalized softmax
     statistics for later merging."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal:
-        qi = q_start + jnp.arange(q.shape[2])[:, None]
+        qi = q_start + jnp.arange(q.shape[3])[:, None]
         kj = k_start + jnp.arange(k.shape[2])[None, :]
-        s = jnp.where((qi >= kj)[None, None], s, NEG_INF)
+        s = jnp.where((qi >= kj)[None, None, None], s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     m = jnp.maximum(m, NEG_INF)  # all-masked rows stay finite
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+    acc = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return m, l, acc
 
@@ -54,22 +56,29 @@ def _merge(m1, l1, a1, m2, l2, a2):
 
 def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
                    causal: bool = True, scale: Optional[float] = None):
-    """q, k, v [B, H, S, D] sharded on S over mesh axis ``axis``; returns attention
-    output with the same sharding. Exact (matches full attention)."""
+    """q [B, H, S, D], k/v [B, KVH, S, D] (KVH divides H; pass KVH == H for MHA),
+    all sharded on S over mesh axis ``axis``; returns attention output with q's
+    sharding. Exact (matches full attention). GQA-native: only KVH-head kv
+    blocks rotate around the ring — group-size-times less ICI traffic than
+    repeating kv to H heads."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     n = mesh.shape[axis]
+    B, H, S, D = q.shape
+    KVH = k.shape[1]
+    assert H % KVH == 0, (H, KVH)
+    G = H // KVH
 
     def local_fn(q_blk, k_blk, v_blk):
-        # q_blk [B, H, S/n, D] on this device
+        # q_blk [B, H, S/n, D] on this device; kv [B, KVH, S/n, D]
         idx = jax.lax.axis_index(axis)
         s_blk = q_blk.shape[2]
         q_start = idx * s_blk
 
-        qf = q_blk.astype(jnp.float32)
-        m = jnp.full(q_blk.shape[:3] + (1,), NEG_INF, jnp.float32)
+        qf = q_blk.reshape(B, KVH, G, s_blk, D).astype(jnp.float32)
+        m = jnp.full((B, KVH, G, s_blk, 1), NEG_INF, jnp.float32)
         l = jnp.zeros_like(m)
-        acc = jnp.zeros(q_blk.shape, jnp.float32)
+        acc = jnp.zeros(qf.shape, jnp.float32)
 
         def body(step, carry):
             m, l, acc, k_cur, v_cur = carry
@@ -90,7 +99,7 @@ def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
         m, l, acc, _, _ = jax.lax.fori_loop(
             0, n, body, (m, l, acc, k_blk, v_blk))
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        return (acc / l_safe).astype(q_blk.dtype)
+        return (acc / l_safe).astype(q_blk.dtype).reshape(B, H, s_blk, D)
 
     spec = P(None, None, axis, None)
     try:

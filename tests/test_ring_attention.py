@@ -65,3 +65,22 @@ def test_llama_forward_with_ring(rng):
         out, _ = llama.forward(params, embeds, cfg, ring=(mesh, "sp"))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_ring_gqa_native(rng):
+    """GQA kv (KVH < H) rides the ring without repeating to full heads; matches
+    the repeated-kv full-attention oracle."""
+    B, H, KVH, S, D = 2, 8, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, KVH, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, KVH, S, D)).astype(np.float32))
+    kk = jnp.repeat(k, H // KVH, axis=1)
+    vv = jnp.repeat(v, H // KVH, axis=1)
+    ref = reference_attention(q, kk, vv, causal=True)
+
+    mesh = _mesh()
+    sh = NamedSharding(mesh, P(None, None, "sp", None))
+    out = ring_attention(jax.device_put(q, sh), jax.device_put(k, sh),
+                         jax.device_put(v, sh), mesh=mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
