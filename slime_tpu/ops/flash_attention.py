@@ -48,8 +48,13 @@ def _zero_tail(x, block_start, seq_len):
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, scale: float, causal: bool, block_q: int, block_k: int,
                 seq_len: int):
-    h = pl.program_id(1)   # query head
-    i = pl.program_id(2)   # query tile
+    # Grid order is (b, i, h, j): h sits INSIDE the query tile so that the lse
+    # output block (keyed by (b, i) only) is revisited consecutively across all
+    # heads — compiled Pallas TPU only preserves an output block in VMEM across
+    # consecutive revisits, and h is marked "arbitrary" so a core split can never
+    # interleave two heads' read-modify-writes of the same lse block.
+    i = pl.program_id(1)   # query tile
+    h = pl.program_id(2)   # query head
     j = pl.program_id(3)   # key tile
     nj = pl.num_programs(3)
 
@@ -107,24 +112,26 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
     group = H // KVH
     bq = min(block_q, S)
     bk = min(block_k, S)
-    grid = (B, H, pl.cdiv(S, bq), pl.cdiv(S, bk))
+    # h INSIDE i (see _fwd_kernel): lse's (b, i) block must see its h-revisits
+    # consecutively. h is "arbitrary" — its RMW of lse forbids a core split.
+    grid = (B, pl.cdiv(S, bq), H, pl.cdiv(S, bk))
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
                           block_q=bq, block_k=bk, seq_len=S),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+            pl.BlockSpec((1, 1, bq, D), lambda b, i, h, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0),
+            pl.BlockSpec((1, 1, bk, D), lambda b, i, h, j, g=group: (b, h // g, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0),
+            pl.BlockSpec((1, 1, bk, D), lambda b, i, h, j, g=group: (b, h // g, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+            pl.BlockSpec((1, 1, bq, D), lambda b, i, h, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, H), lambda b, h, i, j: (b, i, 0),
+            pl.BlockSpec((1, bq, H), lambda b, i, h, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -137,7 +144,7 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
             pltpu.VMEM((bq, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(q, k, v)
     return out, lse
