@@ -105,18 +105,20 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
         lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
         positions = None
 
+    # logits only at the last valid position (logit_positions): full-sequence
+    # fp32 logits at 8B are ~0.9 GB per 1k tokens of pure prefill waste
+    idx = jnp.maximum(lengths - 1, 0)
     logits, kvs = llama.forward(params["llm"], embeds, cfg.llm,
                                 positions=positions, use_pallas=use_pallas,
-                                return_kv=True, compute_dtype=compute_dtype)
+                                return_kv=True, compute_dtype=compute_dtype,
+                                logit_positions=idx)
     L = embeds.shape[1]
     if cache_len is None:
         cache_len = L + max_new_tokens
     cache = llama.init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
     cache = llama.prefill_into_cache(cache, kvs, lengths)
 
-    # first sampled token comes from the last *valid* position's logits
-    idx = jnp.maximum(lengths - 1, 0)
-    last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    last_logits = logits[:, 0]
     rng, sub = jax.random.split(rng)
     first = sample_token(sub, last_logits, temperature=temperature, top_p=top_p)
 
@@ -157,15 +159,16 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
         lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
         positions = None
 
+    idx = jnp.maximum(lengths - 1, 0)
     logits, kvs = llama.forward(params["llm"], embeds, cfg.llm,
                                 positions=positions, return_kv=True,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                logit_positions=idx)
     cache = llama.init_kv_cache(cfg.llm, embeds.shape[0],
                                 embeds.shape[1] + max_new_tokens + 1,
                                 dtype=compute_dtype)
     cache = llama.prefill_into_cache(cache, kvs, lengths)
-    idx = jnp.maximum(lengths - 1, 0)
-    last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    last_logits = logits[:, 0]
     rng, sub = jax.random.split(rng)
     cur = sample_token(sub, last_logits, temperature=temperature, top_p=top_p)
 
@@ -252,9 +255,11 @@ def beam_search(params, cfg: SliMEConfig, input_ids, attention_mask,
         lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
         positions = None
 
+    idx = jnp.maximum(lengths - 1, 0)
     logits, kvs = llama.forward(params["llm"], embeds, cfg.llm,
                                 positions=positions, use_pallas=use_pallas,
-                                return_kv=True, compute_dtype=compute_dtype)
+                                return_kv=True, compute_dtype=compute_dtype,
+                                logit_positions=idx)
     L = embeds.shape[1]
     cache = llama.init_kv_cache(cfg.llm, B, L + max_new_tokens,
                                 dtype=compute_dtype)
@@ -263,8 +268,7 @@ def beam_search(params, cfg: SliMEConfig, input_ids, attention_mask,
     cache = {k: (jnp.repeat(v, K, axis=1) if v.ndim >= 2 else
                  jnp.repeat(v, K, axis=0)) for k, v in cache.items()}
 
-    idx = jnp.maximum(lengths - 1, 0)
-    last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    last = logits[:, 0]
     lp0 = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)     # [B, V]
     V = lp0.shape[-1]
     # seed: top-K distinct first tokens per row

@@ -194,11 +194,28 @@ def embed(params, input_ids) -> jnp.ndarray:
     return params["embed_tokens"][input_ids]
 
 
+def stack_layers(layers):
+    """Stack a list-of-layer-dicts pytree into one dict pytree with a leading
+    [num_layers] dim — the storage layout for scan-based forward/decode. Storing
+    params pre-stacked (params["layers"] as a dict instead of a list) avoids an
+    in-graph copy of the full weight set every call, which matters when the
+    weights are most of HBM (8B int8 on a 16 GB chip)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_layers(layers, num_layers: int):
+    """Inverse of stack_layers (views, no copy under jit)."""
+    if not isinstance(layers, dict):
+        return layers
+    return [jax.tree_util.tree_map(lambda x: x[i], layers)
+            for i in range(num_layers)]
+
+
 def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             use_pallas: Optional[bool] = None, return_kv: bool = False,
             compute_dtype=jnp.float32, remat: bool = False,
             scan_layers: bool = False, ring: Optional[tuple] = None,
-            return_aux: bool = False):
+            return_aux: bool = False, logit_positions=None):
     """Full-sequence forward (training / prefill).
 
     ring=(mesh, axis): run attention as exact ring attention with the sequence
@@ -212,6 +229,13 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
     remat=True rematerializes each block on the backward pass (jax.checkpoint) —
     the TPU equivalent of the reference's gradient_checkpointing flag
     (train.py:1028-1034), trading ~1/3 more FLOPs for O(sqrt) activation memory.
+
+    logit_positions [B] (int): compute logits only at these sequence positions
+    -> [B, 1, V]. Prefill only needs the last valid position's logits; at 8B the
+    full-sequence fp32 logit tensor is ~0.9 GB/1k tokens of pure waste.
+
+    params["layers"] may be a list of per-layer dicts or a pre-stacked dict
+    (see stack_layers); scan_layers=True uses the stacked form directly.
     """
     B, S, _ = embeds.shape
     x = embeds.astype(compute_dtype)
@@ -221,12 +245,14 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
     else:
         cos_s, sin_s = cos[positions], sin[positions]
 
+    if isinstance(params["layers"], dict):
+        scan_layers = True  # pre-stacked storage implies the scan path
     if scan_layers:
         # lax.scan over a stacked layer pytree: XLA compiles ONE block instead of
         # unrolling num_layers copies — order-of-magnitude compile-time win for
         # deep models (32-layer unrolled compiles take minutes).
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                         *params["layers"])
+        layers = params["layers"]
+        stacked = layers if isinstance(layers, dict) else stack_layers(layers)
 
         def body(carry, lp):
             h, kv, aux = _layer_prefill(lp, carry[0], cos_s, sin_s, cfg,
@@ -242,6 +268,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             k_all, v_all = kvs_stacked  # [L, B, S, KVH, hd] each
             kvs = [(k_all[i], v_all[i]) for i in range(cfg.num_layers)]
         x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+        if logit_positions is not None:
+            x = jnp.take_along_axis(x, logit_positions[:, None, None], axis=1)
         logits = jnp.einsum("bsh,vh->bsv", x,
                             params["lm_head"]["weight"].astype(x.dtype),
                             preferred_element_type=jnp.float32)
@@ -264,6 +292,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
         if return_kv:
             kvs.append(kv)
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    if logit_positions is not None:
+        x = jnp.take_along_axis(x, logit_positions[:, None, None], axis=1)
     logits = jnp.einsum("bsh,vh->bsv", x, params["lm_head"]["weight"].astype(x.dtype),
                         preferred_element_type=jnp.float32)
     out = (logits, (kvs if return_kv else None))
@@ -277,7 +307,7 @@ def forward_hidden(params, embeds, cfg: LLMConfig, *, positions=None,
     x = embeds.astype(compute_dtype)
     cos, sin = rope_table(cfg, cfg.max_position_embeddings)
     cos_s, sin_s = (cos[:S], sin[:S]) if positions is None else (cos[positions], sin[positions])
-    for lp in params["layers"]:
+    for lp in unstack_layers(params["layers"], cfg.num_layers):
         x, _, _ = _layer_prefill(lp, x, cos_s, sin_s, cfg, use_pallas)
     return L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
 
@@ -327,7 +357,7 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
     new_k, new_v = [], []
     bidx = jnp.arange(B)
     t_idx = jnp.arange(max_len)[None, None, None, :]
-    for li, lp in enumerate(params["layers"]):
+    for li, lp in enumerate(unstack_layers(params["layers"], cfg.num_layers)):
         h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
         q = L.linear(lp["q_proj"], h).reshape(B, C, cfg.num_heads, hd)
         k = L.linear(lp["k_proj"], h).reshape(B, C, cfg.num_kv_heads, hd)
@@ -389,9 +419,9 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
 
     max_len = cache["k"].shape[2]
     k_cache, v_cache = cache["k"], cache["v"]
-    new_k = []
-    new_v = []
-    for li, lp in enumerate(params["layers"]):
+
+    def layer_decode(lp, x, k_ca, v_ca):
+        """One decode layer over its own cache slice -> (x', k_li, v_li)."""
         h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
         q = L.linear(lp["q_proj"], h).reshape(B, 1, cfg.num_heads, hd)
         k = L.linear(lp["k_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
@@ -401,10 +431,8 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
 
         # insert new kv at position `pos` per batch row
         bidx = jnp.arange(B)
-        k_li = k_cache[li].at[bidx, pos].set(k[:, 0].astype(k_cache.dtype))
-        v_li = v_cache[li].at[bidx, pos].set(v[:, 0].astype(v_cache.dtype))
-        new_k.append(k_li)
-        new_v.append(v_li)
+        k_li = k_ca.at[bidx, pos].set(k[:, 0].astype(k_ca.dtype))
+        v_li = v_ca.at[bidx, pos].set(v[:, 0].astype(v_ca.dtype))
 
         # GQA without repeating KV: fold the group into the query head dim so the
         # cache streams from HBM once (decode is bandwidth-bound).
@@ -423,10 +451,29 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
         x = x + L.linear(lp["o_proj"], o)
         h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
         h = _moe(lp, h, cfg)[0] if cfg.num_experts > 0 else _mlp(lp, h)
-        x = x + h
+        return x + h, k_li, v_li
+
+    if isinstance(params["layers"], dict):
+        # pre-stacked layers (stack_layers layout): lax.scan compiles ONE layer
+        # body and streams weights + cache slices — no per-layer unroll, no
+        # in-graph restack of the cache.
+        def body(x, inp):
+            lp, k_ca, v_ca = inp
+            x, k_li, v_li = layer_decode(lp, x, k_ca, v_ca)
+            return x, (k_li, v_li)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], k_cache, v_cache))
+    else:
+        ks, vs = [], []
+        for li, lp in enumerate(params["layers"]):
+            x, k_li, v_li = layer_decode(lp, x, k_cache[li], v_cache[li])
+            ks.append(k_li)
+            vs.append(v_li)
+        new_k, new_v = jnp.stack(ks), jnp.stack(vs)
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = jnp.einsum("boh,vh->bov", x, params["lm_head"]["weight"].astype(x.dtype),
                         preferred_element_type=jnp.float32)[:, 0]
-    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v), "length": pos + 1}
+    cache = {"k": new_k, "v": new_v, "length": pos + 1}
     return logits, cache
