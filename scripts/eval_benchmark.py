@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--num-beams", type=int, default=1)
     ap.add_argument("--single-pred-prompt", action="store_true")
+    ap.add_argument("--seq-len", type=int, default=0,
+                    help="text prompt cap; 0 = model tokenizer_model_max_length "
+                         "(long-prefill benchmarks like MME-RealWorld run "
+                         "untruncated)")
     ap.add_argument("--scorer", default=None,
                     choices=[None, "textvqa", "pope", "scienceqa"])
     ap.add_argument("--annotation-file", default=None)
@@ -65,7 +69,7 @@ def main():
                      conv_mode=args.conv_mode, batch_size=args.batch_size,
                      max_new_tokens=args.max_new_tokens,
                      temperature=args.temperature,
-                     num_beams=args.num_beams,
+                     num_beams=args.num_beams, seq_len=args.seq_len,
                      single_pred_prompt=args.single_pred_prompt)
     print(f"answers -> {out}")
 

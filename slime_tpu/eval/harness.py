@@ -65,10 +65,19 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
              model_id: str = "slime-tpu", batch_size: int = 4,
              max_new_tokens: int = 128, temperature: float = 0.0,
              num_beams: int = 1,
-             seq_len: int = 256, question_key: str = "text",
+             seq_len: int = 0, question_key: str = "text",
              single_pred_prompt: bool = False,
              compute_dtype=None, progress: bool = True) -> str:
-    """Generate answers for a question chunk; returns the answers file path."""
+    """Generate answers for a question chunk; returns the answers file path.
+
+    seq_len caps the TEXT prompt length (0 = the model's
+    tokenizer_model_max_length). Prompts are bucketed to 64-token multiples up
+    to that cap, so long-prefill benchmarks (ScienceQA-with-context,
+    MME-RealWorld) run untruncated; anything over the cap is truncated WITH a
+    warning (the reference truncates only after image splicing,
+    llava_arch.py:408-412)."""
+    import warnings
+
     import jax.numpy as jnp
     from PIL import Image
 
@@ -76,6 +85,8 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
 
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
+    if not seq_len:
+        seq_len = cfg.tokenizer_model_max_length
 
     os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
     MC = 1 + cfg.max_local_crops
@@ -87,9 +98,15 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
         prompt = build_prompt(q[question_key], conv_mode,
                               single_pred_prompt=single_pred_prompt)
         ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
+        if len(ids) > seq_len:
+            warnings.warn(
+                f"prompt for question {q.get('question_id', q.get('id', '?'))} "
+                f"truncated {len(ids)} -> {seq_len} tokens (raise seq_len or "
+                f"tokenizer_model_max_length)")
+            ids = ids[:seq_len]
         img = Image.open(os.path.join(image_folder, q["image"])).convert("RGB")
         crops, m, _ = process_anyres_image_host(img, tile=t_sz, max_crops=MC)
-        return ids[:seq_len], crops, m
+        return ids, crops, m
 
     pool = ThreadPoolExecutor(8)  # PIL releases the GIL; overlaps device compute
     with open(answers_file, "w") as out:

@@ -89,7 +89,10 @@ def run_video_mme(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
     os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
     with open(answers_file, "w") as out:
         for vid, item in by_video.items():
-            frames = load_frames(os.path.join(frames_root, q.get("videoID", vid)))
+            # frames dir comes from THIS video's records ("videoID" names the
+            # extracted-frames folder; falls back to the grouping id)
+            frames_dir = item["questions"][0].get("videoID", vid)
+            frames = load_frames(os.path.join(frames_root, frames_dir))
             pix, mask = process_video_frames(frames, tile=cfg.vision.image_size,
                                              max_crops=1 + cfg.max_local_crops)
             answered = []

@@ -154,3 +154,55 @@ def test_video_frame_budget():
     assert mask.all()
     pix2, mask2 = process_video_frames(frames[:3], tile=56, max_crops=8)
     assert mask2.sum() == 3
+
+
+def test_video_mme_frames_dir_resolution(tmp_path, monkeypatch):
+    """Regression: each video must load ITS OWN frames dir (a leaked loop
+    variable once routed every video to the last question's directory)."""
+    import numpy as np
+    from PIL import Image
+
+    import slime_tpu.generate as gen_mod
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.eval import video as video_mod
+    from .toy_tokenizer import ToyTokenizer
+
+    frames_root = tmp_path / "frames"
+    colors = {"vidA": (255, 0, 0), "vidB": (0, 200, 0)}
+    for name, color in colors.items():
+        d = frames_root / name
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.new("RGB", (64, 64), color).save(d / f"{i:02d}.jpg")
+
+    questions = [
+        {"video_id": "A", "videoID": "vidA", "question_id": "q1",
+         "question": "what?", "options": ["A. x", "B. y"], "answer": "A"},
+        {"video_id": "B", "videoID": "vidB", "question_id": "q2",
+         "question": "what?", "options": ["A. x", "B. y"], "answer": "B"},
+    ]
+
+    seen_pix = []
+
+    def fake_generate(params, cfg, ids, attn, pix=None, mask=None, **kw):
+        seen_pix.append(np.asarray(pix))
+        return np.full((1, 1), cfg.eos_token_id, np.int32)
+
+    monkeypatch.setattr(gen_mod, "generate", fake_generate)
+    cfg = SliMEConfig.tiny()
+    out = video_mod.run_video_mme(
+        {}, cfg, ToyTokenizer(), questions,
+        frames_root=str(frames_root), answers_file=str(tmp_path / "ans.jsonl"))
+
+    assert len(seen_pix) == 2
+    expected = []
+    for name in ("vidA", "vidB"):
+        frames = video_mod.load_frames(str(frames_root / name))
+        pix, _ = video_mod.process_video_frames(
+            frames, tile=cfg.vision.image_size,
+            max_crops=1 + cfg.max_local_crops)
+        expected.append(pix[None])
+    # videos must not see each other's frames
+    assert not np.allclose(expected[0], expected[1])
+    np.testing.assert_allclose(seen_pix[0], expected[0])
+    np.testing.assert_allclose(seen_pix[1], expected[1])
