@@ -70,6 +70,31 @@ def _strip(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
+def _normalize_peft_prefixes(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip PEFT wrapper prefixes the reference strips at load
+    (builder.py:69-75): 'base_model.' first, then one redundant leading 'model.'
+    when keys start 'model.model.' (named_parameters of a PEFT-wrapped model)."""
+    sd = {(k[len("base_model."):] if k.startswith("base_model.") else k): v
+          for k, v in sd.items()}
+    if any(k.startswith("model.model.") for k in sd):
+        sd = {(k[len("model."):] if k.startswith("model.") else k): v
+              for k, v in sd.items()}
+    return sd
+
+
+def _lora_rank_alpha(model_path: str, lora_sd: Dict[str, np.ndarray]):
+    """(r, alpha) from adapter_config.json, else inferred from factor shapes
+    (alpha defaults to 2r, the reference's r=128/alpha=256 ratio)."""
+    cfg_fp = os.path.join(model_path, "adapter_config.json")
+    if os.path.exists(cfg_fp):
+        with open(cfg_fp) as f:
+            ac = json.load(f)
+        if "r" in ac:
+            return int(ac["r"]), int(ac.get("lora_alpha", 2 * ac["r"]))
+    r = next(v.shape[0] for k, v in lora_sd.items() if ".lora_A." in k)
+    return int(r), int(2 * r)
+
+
 # ----------------------------------------------------------------------------------
 # Per-module converters: torch key set -> our pytree layout.
 # ----------------------------------------------------------------------------------
@@ -247,11 +272,37 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
 
     sd = load_sharded_state_dict(model_path)
 
-    # adapter-only checkpoints (mm_projector.bin / sampler.bin) next to a base model
-    for extra in ("mm_projector.bin", "sampler.bin", "non_lora_trainables.bin"):
+    # adapter-only checkpoints (mm_projector.bin / sampler.bin /
+    # non_lora_trainables.bin) next to a base model. Each file is gated on its
+    # OWN key prefixes — a dir with a weight index plus adapter bins must still
+    # pick up sampler.bin after mm_projector keys are already present.
+    for extra, prefixes in (
+            ("mm_projector.bin", ("model.mm_projector.",)),
+            ("sampler.bin", ("model.sampler.",)),
+            ("non_lora_trainables.bin", ("model.mm_projector.", "model.sampler."))):
         fp = os.path.join(model_path, extra)
-        if os.path.exists(fp) and not any(k.startswith("model.mm_projector") for k in sd):
-            sd.update(load_state_dict_file(fp))
+        if not os.path.exists(fp):
+            continue
+        if all(any(k.startswith(p) for k in sd) for p in prefixes):
+            continue  # index-less dirs slurp the .bin files via the shard loader
+        sd.update(_normalize_peft_prefixes(load_state_dict_file(fp)))
+
+    # LoRA load mode (builder.py:52-91): low-rank factors live in
+    # adapter_model.{safetensors,bin} (or inline lora_* keys) relative to
+    # model_base; collected here, merged into the weights below.
+    adapter_fp = next(
+        (os.path.join(model_path, f)
+         for f in ("adapter_model.safetensors", "adapter_model.bin")
+         if os.path.exists(os.path.join(model_path, f))), None)
+    lora_sd = (load_state_dict_file(adapter_fp) if adapter_fp
+               else {k: v for k, v in sd.items()
+                     if ".lora_A." in k or ".lora_B." in k})
+    if lora_sd and model_base is None:
+        raise ValueError(
+            f"{model_path} is a LoRA checkpoint (low-rank adapter factors "
+            "found) — pass model_base so the adapters can be merged into the "
+            "base weights (reference builder.py:52-91), or pre-merge with "
+            "scripts/merge_lora_weights.py")
 
     if model_base is not None:
         base = load_sharded_state_dict(model_base)
@@ -273,6 +324,30 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
     elif vision_path:
         params["vision"] = convert_clip_vision(
             load_sharded_state_dict(vision_path), cfg.vision)
+
+    if lora_sd:
+        # merge W <- W + (alpha/r) B @ A in place on the numpy tree (the
+        # reference's PEFT merge_and_unload)
+        from .train import lora as lora_lib
+        r, alpha = _lora_rank_alpha(model_path, lora_sd)
+        state = lora_lib.import_peft(lora_sd, r=r, alpha=alpha)
+        scale = alpha / r
+        merged = 0
+        for path, ab in state["adapters"].items():
+            node = params
+            for part in path.split("/"):
+                node = node[int(part)] if isinstance(node, list) else node[part]
+            w = np.asarray(node["weight"], np.float32)
+            delta = scale * (np.asarray(ab["B"], np.float32)
+                             @ np.asarray(ab["A"], np.float32))
+            node["weight"] = (w + delta).astype(np.asarray(node["weight"]).dtype)
+            merged += 1
+        if not merged:
+            raise ValueError(
+                f"LoRA adapter keys in {model_path} did not map onto any "
+                "loaded weights — key-name mismatch, refusing to return an "
+                "unmerged model")
+
     if load_bits in (4, 8):
         # bitsandbytes-equivalent quantized load (model/builder.py:32-41): layer
         # matmul weights are quantized (dequant fuses into the matmul epilogue,

@@ -117,22 +117,49 @@ def apply_to_params(params, lora_state: Optional[Dict]):
     return rebuild(params, [])
 
 
+_ATTN_LEAVES = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+
+def _ours_to_hf(path: str) -> str:
+    """Our pytree path -> the HF module name PEFT uses in adapter checkpoints
+    ('llm/layers/3/q_proj' -> 'model.layers.3.self_attn.q_proj')."""
+    m = re.fullmatch(r"llm/layers/(\d+)/(\w+)", path)
+    if m:
+        mod = "self_attn" if m.group(2) in _ATTN_LEAVES else "mlp"
+        return f"model.layers.{m.group(1)}.{mod}.{m.group(2)}"
+    if path == "llm/lm_head":
+        return "lm_head"
+    return path.replace("/", ".")
+
+
+def _hf_to_ours(name: str) -> str:
+    m = re.fullmatch(r"model\.layers\.(\d+)\.(?:self_attn|mlp)\.(\w+)", name)
+    if m:
+        return f"llm/layers/{m.group(1)}/{m.group(2)}"
+    if name == "lm_head":
+        return "llm/lm_head"
+    return name.replace(".", "/")
+
+
 def export_peft(lora_state: Dict) -> Dict[str, np.ndarray]:
-    """PEFT-style state dict for interchange with reference checkpoints."""
+    """PEFT-style state dict, reference key names (base_model.model.<hf module>
+    .lora_{A,B}.weight) so reference PEFT tooling consumes our adapters."""
     out = {}
     for path, ab in lora_state["adapters"].items():
-        key = "base_model.model." + path.replace("/", ".")
+        key = "base_model.model." + _ours_to_hf(path)
         out[f"{key}.lora_A.weight"] = np.asarray(ab["A"])
         out[f"{key}.lora_B.weight"] = np.asarray(ab["B"])
     return out
 
 
 def import_peft(sd: Dict[str, np.ndarray], *, r: int, alpha: int) -> Dict:
+    """PEFT adapter state dict (reference LoRA checkpoints) -> lora state with
+    adapter paths in OUR pytree layout (so merge/apply_to_params resolve)."""
     adapters: Dict = {}
     for k, v in sd.items():
-        m = re.match(r"base_model\.model\.(.+)\.lora_([AB])\.weight", k)
+        m = re.match(r"(?:base_model\.model\.)?(.+)\.lora_([AB])(?:\.default)?\.weight$", k)
         if not m:
             continue
-        path = m.group(1).replace(".", "/")
+        path = _hf_to_ours(m.group(1))
         adapters.setdefault(path, {})[m.group(2)] = jnp.asarray(v)
     return {"rank": r, "alpha": alpha, "adapters": adapters}

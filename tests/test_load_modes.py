@@ -77,3 +77,61 @@ def test_forward_from_loaded_matches(saved):
     l2, _ = llama.forward(loaded["llm"], llama.embed(loaded["llm"], jnp.asarray(ids)),
                           cfg.llm)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_lora_load_merges(saved, tmp_path):
+    """Reference mode 3 (model/builder.py:52-91): base + adapter_model LoRA
+    factors (+ non_lora_trainables.bin with PEFT-wrapped key prefixes) must be
+    merged at load — NOT silently dropped."""
+    import json
+
+    from slime_tpu.train import lora
+
+    cfg, params, base = saved
+    r, alpha = 4, 8
+    rng = jax.random.PRNGKey(3)
+    state = lora.init_lora(rng, params, r=r, alpha=alpha)
+    # non-trivial B so the merge visibly changes weights
+    state["adapters"] = {
+        p: {"A": ab["A"],
+            "B": jax.random.normal(jax.random.fold_in(rng, i),
+                                   ab["B"].shape) * 0.1}
+        for i, (p, ab) in enumerate(state["adapters"].items())}
+
+    ldir = tmp_path / "lora_ckpt"
+    ldir.mkdir()
+    peft_sd = lora.export_peft(state)
+    import torch
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in peft_sd.items()},
+               ldir / "adapter_model.bin")
+    with open(ldir / "adapter_config.json", "w") as f:
+        json.dump({"r": r, "lora_alpha": alpha}, f)
+    # non_lora_trainables: projector/sampler with PEFT wrapper prefixes
+    params2 = slime.init(jax.random.PRNGKey(9), cfg)
+    proj_sd = ckpt.export_projector(params2["projector"], cfg,
+                                    prefix="base_model.model.model.mm_projector.")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in proj_sd.items()},
+               ldir / "non_lora_trainables.bin")
+    cfg.save(str(ldir))
+
+    loaded = ckpt.load_pretrained(str(ldir), model_base=base, cfg=cfg)
+
+    # every adapter target must equal base + (alpha/r) B @ A
+    scale = alpha / r
+    for path, ab in state["adapters"].items():
+        node_b, node_l = params, loaded
+        for part in path.split("/"):
+            node_b = (node_b[int(part)] if isinstance(node_b, list) else node_b[part])
+            node_l = (node_l[int(part)] if isinstance(node_l, list) else node_l[part])
+        want = np.asarray(node_b["weight"], np.float32) + scale * (
+            np.asarray(ab["B"], np.float32) @ np.asarray(ab["A"], np.float32))
+        np.testing.assert_allclose(np.asarray(node_l["weight"]), want,
+                                   atol=1e-5, err_msg=path)
+    # non_lora_trainables prefixes normalized -> projector from the LoRA ckpt
+    np.testing.assert_allclose(np.asarray(loaded["projector"]["w_gate"]),
+                               np.asarray(params2["projector"]["w_gate"]),
+                               atol=1e-6)
+
+    # without model_base, a LoRA checkpoint must refuse to load silently wrong
+    with pytest.raises(ValueError, match="model_base"):
+        ckpt.load_pretrained(str(ldir), cfg=cfg)
