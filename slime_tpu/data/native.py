@@ -24,15 +24,19 @@ _SO = os.path.join(_NATIVE_DIR, "libslime_preprocess.so")
 
 
 def build_native(force: bool = False) -> bool:
-    """Compile the shared library with make; returns success."""
-    if os.path.exists(_SO) and not force:
+    """Compile the shared library with make; returns success. Rebuilds when the
+    C++ source is newer than the .so (a stale binary must never shadow edits)."""
+    cpp = os.path.join(_NATIVE_DIR, "slime_preprocess.cpp")
+    if (os.path.exists(_SO) and not force
+            and not (os.path.exists(cpp)
+                     and os.path.getmtime(cpp) > os.path.getmtime(_SO))):
         return True
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True, timeout=120)
         return os.path.exists(_SO)
     except Exception:
-        return False
+        return os.path.exists(_SO)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -40,7 +44,7 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) and not build_native():
+    if not build_native():  # also rebuilds when the .cpp is newer than the .so
         return None
     lib = ctypes.CDLL(_SO)
     lib.slime_anyres_preprocess.restype = ctypes.c_int

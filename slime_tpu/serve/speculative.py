@@ -42,7 +42,7 @@ def speculative_generate(params_target, cfg_target: SliMEConfig,
     tl, dl = cfg_target.llm, cfg_draft.llm
     B, S = input_ids.shape
     assert B == 1, "speculative decode is a bs=1 latency optimization"
-    cache_len = S + max_new_tokens + K + 1
+    cache_len = S + max_new_tokens + K + 2  # verify chunks span K+1 positions
 
     def _prefill(params, cfg_llm):
         embeds = llama.embed(params["llm"], input_ids).astype(compute_dtype)
@@ -53,7 +53,7 @@ def speculative_generate(params_target, cfg_target: SliMEConfig,
         return jnp.argmax(logits[0, S - 1]).astype(jnp.int32), cache
 
     t_first, t_cache = _prefill(params_target, tl)
-    d_first, d_cache = _prefill(params_draft, dl)
+    _, d_cache = _prefill(params_draft, dl)
 
     @jax.jit
     def draft_k(params, cache, tok):
@@ -70,13 +70,22 @@ def speculative_generate(params_target, cfg_target: SliMEConfig,
 
     @jax.jit
     def verify(params, cache, cur_tok, draft_toks):
-        """One target chunk over [cur_tok, draft_toks[:-1]] -> the target's
-        greedy continuation at each of the K positions."""
-        toks = jnp.concatenate([cur_tok[None], draft_toks[:-1]])[None]  # [1, K]
+        """One target chunk over [cur_tok, *draft_toks] (K+1 positions) -> the
+        target's greedy continuation at each. Position K (after the full draft)
+        is the BONUS token: a fully-accepted round emits K+1 tokens, the
+        standard payoff that makes a K-token draft worth its cost."""
+        toks = jnp.concatenate([cur_tok[None], draft_toks])[None]      # [1, K+1]
         embeds = llama.embed(params["llm"], toks).astype(compute_dtype)
         logits, cache = llama.prefill_chunk(params["llm"], cache, embeds, tl,
                                             compute_dtype=compute_dtype)
-        return cache, jnp.argmax(logits[0], -1).astype(jnp.int32)      # [K]
+        return cache, jnp.argmax(logits[0], -1).astype(jnp.int32)      # [K+1]
+
+    @jax.jit
+    def draft_ingest(params, cache, tok):
+        """Advance the draft cache by one token (KV only; logits discarded)."""
+        _, cache = llama.decode_step(params["llm"], cache, tok, dl,
+                                     compute_dtype=compute_dtype)
+        return cache
 
     @jax.jit
     def set_len(cache, n):
@@ -97,12 +106,13 @@ def speculative_generate(params_target, cfg_target: SliMEConfig,
         t_cache, targets = verify(params_target, t_cache, cur, proposals)
 
         n_prop += K
-        match = np.asarray(proposals) == np.asarray(targets)
+        match = np.asarray(proposals) == np.asarray(targets)[:K]
         acc = int(np.argmin(match)) if not match.all() else K
         n_accept += acc
-        # accepted draft tokens are exactly the target's greedy tokens; the
-        # first mismatch position still yields a valid target token (bonus)
-        emitted = np.asarray(targets)[: acc + (0 if acc == K else 1)]
+        # accepted draft tokens are exactly the target's greedy tokens; every
+        # round emits one extra target token — the correction at the first
+        # mismatch, or the bonus after a fully-accepted draft
+        emitted = np.asarray(targets)[: acc + 1]
         emitted = emitted[: max_new_tokens - len(out)]          # budget cut
         if eos_id in emitted:                                    # eos cut
             emitted = emitted[: int(np.argmax(emitted == eos_id)) + 1]
@@ -110,6 +120,11 @@ def speculative_generate(params_target, cfg_target: SliMEConfig,
         # caches hold KV for cur + emitted[:-1] (all verified-correct);
         # resetting length next round rolls back the rejected tail for free
         produced = len(emitted)
+        if produced == K + 1:
+            # full acceptance: the draft cache lacks the last draft token's KV
+            # (draft_k fed only cur + K-1 drafts); ingest it so the next round
+            # drafts from a complete, correctly-positioned cache
+            d_cache = draft_ingest(params_draft, d_cache, proposals[K - 1][None])
         t_len += produced
         d_len += produced
         cur = jnp.asarray(out[-1], jnp.int32)

@@ -60,3 +60,19 @@ def test_budget_respected(models):
     got, _ = speculative_generate(target, cfg, draft, cfg, jnp.asarray(ids),
                                   K=4, max_new_tokens=7)
     assert got.shape[1] <= 7
+
+
+def test_full_acceptance_emits_bonus(models):
+    """A perfect draft must yield K+1 tokens per verify round (K accepted +
+    the bonus from the position after the full draft), so acceptance rate is
+    1.0 and the whole 12-token budget takes ceil(12/(K+1)) rounds."""
+    cfg, target, draft, _ = models
+    rng = np.random.default_rng(3)
+    ids = rng.integers(5, cfg.llm.vocab_size, (1, 7)).astype(np.int32)
+    ref = _ref(cfg, target, ids, 12)
+    got, rate = speculative_generate(target, cfg, draft, cfg, jnp.asarray(ids),
+                                     K=3, max_new_tokens=12)
+    got_t = trim_at_eos(got, cfg.eos_token_id)[0]
+    assert got_t == ref
+    if len(got_t) == 12:  # no early EOS: every round fully accepted
+        assert rate == 1.0
