@@ -32,6 +32,10 @@ def main():
                     help="text prompt cap; 0 = model tokenizer_model_max_length "
                          "(long-prefill benchmarks like MME-RealWorld run "
                          "untruncated)")
+    ap.add_argument("--benchmark", default="generic",
+                    choices=["generic", "chartqa", "mmhal", "amber", "text-qa"],
+                    help="driver/output format (generic = answers jsonl; the "
+                         "others emit the reference per-benchmark formats)")
     ap.add_argument("--scorer", default=None,
                     choices=[None, "textvqa", "pope", "scienceqa"])
     ap.add_argument("--annotation-file", default=None)
@@ -64,6 +68,34 @@ def main():
     questions = harness.load_questions(args.question_file)
     chunk = harness.get_chunk(questions, args.num_chunks, args.chunk_idx)
     out = args.answers_file.replace("{chunk}", str(args.chunk_idx))
+    if args.benchmark != "generic":
+        from slime_tpu.eval import benchmarks
+        if args.benchmark == "chartqa":
+            print(benchmarks.run_chartqa(
+                params, cfg, tokenizer, chunk, image_folder=args.image_folder,
+                answers_file=out, conv_mode=args.conv_mode,
+                batch_size=args.batch_size,
+                max_new_tokens=args.max_new_tokens))
+        elif args.benchmark == "mmhal":
+            benchmarks.run_mmhal(params, cfg, tokenizer, chunk,
+                                 answers_file=out, conv_mode=args.conv_mode,
+                                 image_folder=args.image_folder,
+                                 batch_size=args.batch_size,
+                                 max_new_tokens=args.max_new_tokens)
+        elif args.benchmark == "amber":
+            benchmarks.run_amber(params, cfg, tokenizer, chunk,
+                                 image_folder=args.image_folder,
+                                 answers_file=out, conv_mode=args.conv_mode,
+                                 batch_size=args.batch_size,
+                                 max_new_tokens=args.max_new_tokens)
+        else:  # text-qa
+            harness.run_text_qa(params, cfg, tokenizer, chunk,
+                                answers_file=out, conv_mode=args.conv_mode,
+                                batch_size=args.batch_size,
+                                temperature=args.temperature or 0.7,
+                                max_new_tokens=args.max_new_tokens)
+        print(f"answers -> {out}")
+        return
     harness.run_eval(params, cfg, tokenizer, chunk,
                      image_folder=args.image_folder, answers_file=out,
                      conv_mode=args.conv_mode, batch_size=args.batch_size,

@@ -234,3 +234,91 @@ def mmbench_to_submission(answers_file: str, tsv_path: str, dst_xlsx_or_json: st
     with open(dst_xlsx_or_json, "w") as f:
         json.dump(out, f)
     return dst_xlsx_or_json
+
+
+# ----------------------------------------------------------------------------------
+# ChartQA / MMHal / AMBER drivers. Generation goes through the batched harness
+# (harness.run_eval — the reference runs bs=1 dataloaders); each driver then
+# emits the reference's exact output format so downstream scorers/judges are
+# interchangeable.
+# ----------------------------------------------------------------------------------
+
+def run_chartqa(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
+                image_folder: str, answers_file: str, conv_mode: str,
+                batch_size: int = 4, max_new_tokens: int = 100,
+                compute_dtype=None) -> Dict:
+    """ChartQA driver (reference model_vqa_chartqa.py:135-186): questions are
+    jsonl rows with image/question/answer; output is a json ARRAY of
+    {'answer', 'annotation'} pairs and the relaxed accuracy is returned."""
+    from . import harness
+    from .scorers import score_chartqa
+
+    tmp = answers_file + ".raw.jsonl"
+    harness.run_eval(params, cfg, tokenizer, questions,
+                     image_folder=image_folder, answers_file=tmp,
+                     conv_mode=conv_mode, batch_size=batch_size,
+                     max_new_tokens=max_new_tokens, question_key="question",
+                     single_pred_prompt=True, compute_dtype=compute_dtype)
+    outputs = []
+    with open(tmp) as f:
+        for q, line in zip(questions, f):
+            outputs.append({"answer": json.loads(line)["text"],
+                            "annotation": q["answer"]})
+    with open(answers_file, "w") as f:
+        json.dump(outputs, f, ensure_ascii=False)
+    os.remove(tmp)
+    return score_chartqa(outputs)
+
+
+def run_mmhal(params, cfg: SliMEConfig, tokenizer, records: List[Dict], *,
+              answers_file: str, conv_mode: str, image_folder: str = "",
+              batch_size: int = 2, max_new_tokens: int = 1024,
+              compute_dtype=None) -> str:
+    """MMHal-Bench response driver (reference model_vqa_mmhal.py:40-95):
+    records carry question/image_path/image_content/gt_answer; each gains a
+    'model_answer' field and the whole record list is dumped as json for the
+    GPT judge (eval/mmhal.py)."""
+    from . import harness
+
+    tmp = answers_file + ".raw.jsonl"
+    harness.run_eval(params, cfg, tokenizer, records, image_folder=image_folder,
+                     answers_file=tmp, conv_mode=conv_mode,
+                     batch_size=batch_size, max_new_tokens=max_new_tokens,
+                     question_key="question", image_key="image_path",
+                     compute_dtype=compute_dtype)
+    out = []
+    with open(tmp) as f:
+        for rec, line in zip(records, f):
+            rec = dict(rec)
+            rec["model_answer"] = json.loads(line)["text"]
+            out.append(rec)
+    with open(answers_file, "w") as f:
+        json.dump(out, f, indent=2)
+    os.remove(tmp)
+    return answers_file
+
+
+def run_amber(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
+              image_folder: str, answers_file: str, conv_mode: str,
+              batch_size: int = 4, max_new_tokens: int = 128,
+              compute_dtype=None) -> str:
+    """AMBER driver (reference model_vqa_amber.py:83-132): questions are a json
+    array with id/image/query; answers jsonl rows carry the capitalized
+    response in the AMBER evaluator's expected format."""
+    from . import harness
+
+    tmp = answers_file + ".raw.jsonl"
+    harness.run_eval(params, cfg, tokenizer, questions,
+                     image_folder=image_folder, answers_file=tmp,
+                     conv_mode=conv_mode, batch_size=batch_size,
+                     max_new_tokens=max_new_tokens, question_key="query",
+                     compute_dtype=compute_dtype)
+    with open(tmp) as f, open(answers_file, "w") as out:
+        for q, line in zip(questions, f):
+            r = json.loads(line)
+            out.write(json.dumps({"id": q["id"], "prompt": q["query"],
+                                  "response": r["text"].capitalize(),
+                                  "model_id": r["model_id"],
+                                  "metadata": {}}) + "\n")
+    os.remove(tmp)
+    return answers_file

@@ -66,6 +66,7 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
              max_new_tokens: int = 128, temperature: float = 0.0,
              num_beams: int = 1,
              seq_len: int = 0, question_key: str = "text",
+             image_key: str = "image",
              single_pred_prompt: bool = False,
              compute_dtype=None, progress: bool = True) -> str:
     """Generate answers for a question chunk; returns the answers file path.
@@ -104,7 +105,7 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
                 f"truncated {len(ids)} -> {seq_len} tokens (raise seq_len or "
                 f"tokenizer_model_max_length)")
             ids = ids[:seq_len]
-        img = Image.open(os.path.join(image_folder, q["image"])).convert("RGB")
+        img = Image.open(os.path.join(image_folder, q[image_key])).convert("RGB")
         crops, m, _ = process_anyres_image_host(img, tile=t_sz, max_crops=MC)
         return ids, crops, m
 
@@ -159,6 +160,62 @@ def run_eval(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
             if progress:
                 print(f"[eval] {min(s + B, len(questions))}/{len(questions)}",
                       flush=True)
+    return answers_file
+
+
+def run_text_qa(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
+                answers_file: str, conv_mode: str = "vicuna_v1",
+                model_id: str = "slime-tpu", batch_size: int = 4,
+                max_new_tokens: int = 1024, temperature: float = 0.7,
+                seq_len: int = 0, compute_dtype=None, seed: int = 0) -> str:
+    """Text-only QA driver (reference llava/eval/model_qa.py:14-54): no images,
+    default conversation template, sampled decoding. Questions are jsonl rows
+    with question_id/text/category; answers keep the reference jsonl format."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..generate import generate, trim_at_eos
+
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+    if not seq_len:
+        seq_len = cfg.tokenizer_model_max_length
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+
+    def prep(q):
+        conv = conv_lib.conv_templates[conv_mode].copy()
+        conv.append_message(conv.roles[0], q["text"])
+        conv.append_message(conv.roles[1], None)
+        ids = tokenizer(conv.get_prompt(), add_special_tokens=True).input_ids
+        return np.asarray(ids[:seq_len], np.int32)
+
+    rng = jax.random.PRNGKey(seed)
+    with open(answers_file, "w") as out:
+        for s in range(0, len(questions), batch_size):
+            chunk = questions[s:s + batch_size]
+            ids_list = [prep(q) for q in chunk]
+            B = len(chunk)
+            if B < batch_size:
+                ids_list += [ids_list[-1]] * (batch_size - B)
+            S = min(((max(len(i) for i in ids_list) + 63) // 64) * 64, seq_len)
+            input_ids = np.zeros((batch_size, S), np.int32)
+            attn = np.zeros((batch_size, S), bool)
+            for b, ids in enumerate(ids_list):
+                input_ids[b, :len(ids)] = ids[:S]
+                attn[b, :len(ids)] = True
+            rng, sub = jax.random.split(rng)
+            toks = generate(params, cfg, jnp.asarray(input_ids), jnp.asarray(attn),
+                            max_new_tokens=max_new_tokens, temperature=temperature,
+                            rng=sub, compute_dtype=compute_dtype)
+            for b, q in enumerate(chunk):
+                ids = trim_at_eos(np.asarray(toks)[b:b + 1], cfg.eos_token_id)[0]
+                out.write(json.dumps({
+                    "question_id": q.get("question_id", s + b),
+                    "text": tokenizer.decode(ids, skip_special_tokens=True).strip(),
+                    "answer_id": uuid.uuid4().hex[:22],
+                    "model_id": model_id,
+                    "metadata": {},
+                }) + "\n")
     return answers_file
 
 

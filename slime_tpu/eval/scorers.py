@@ -271,3 +271,98 @@ def score_anls(answers: List[Dict], gt: Dict[str, List[str]]) -> Dict:
     scores = [anls(a["text"], gt[str(a["question_id"])])
               for a in answers if str(a["question_id"]) in gt]
     return {"anls": 100.0 * sum(scores) / max(len(scores), 1), "n": len(scores)}
+
+
+# ---------------------------------------------------------------------------
+# ChartQA relaxed accuracy (reference model_vqa_chartqa.py:19-70; protocol from
+# the ChartQA paper §5.1: numeric answers within 5% relative error count as
+# correct, non-numeric need a case-insensitive exact match)
+# ---------------------------------------------------------------------------
+
+def _relaxed_float(text: str) -> Optional[float]:
+    try:
+        if text.endswith("%"):
+            return float(text.rstrip("%")) / 100.0
+        return float(text)
+    except ValueError:
+        return None
+
+
+def relaxed_correctness(target: str, prediction: str,
+                        max_relative_change: float = 0.05) -> bool:
+    """True if prediction matches target within 5% relative tolerance (numeric)
+    or exactly, case-insensitive (non-numeric). Argument order matches the
+    reference's call site — the model answer is passed as `target`, so the
+    relative change is normalized by the model's value — keeping scores
+    bit-comparable with reference runs."""
+    p, t = _relaxed_float(prediction), _relaxed_float(target)
+    if p is not None and t:
+        return abs(p - t) / abs(t) <= max_relative_change
+    return prediction.lower() == target.lower()
+
+
+def score_chartqa(entries: List[Dict]) -> Dict:
+    """entries: [{'answer': model output, 'annotation': gold str or [str]}]
+    (the ChartQA driver's output json). Relaxed accuracy, best over
+    annotations (reference evaluate_relaxed_accuracy, model_vqa_chartqa.py:60-70)."""
+    scores = []
+    for e in entries:
+        anns = e["annotation"]
+        if isinstance(anns, str):
+            anns = [anns]
+        scores.append(max(relaxed_correctness(e["answer"].strip(), a)
+                          for a in anns))
+    return {"relaxed_accuracy": sum(scores) / max(len(scores), 1),
+            "n": len(scores)}
+
+
+# ---------------------------------------------------------------------------
+# ScienceQA vs GPT-4 comparison (reference eval_science_qa_gpt4.py:28-103):
+# both sides parse "The answer is X.", unparsable GPT-4 answers fall back to
+# the model's pick, and an agreement upper bound is reported alongside.
+# ---------------------------------------------------------------------------
+
+_SQA_ANSWER_RE = re.compile(r"The answer is ([A-Z]).")
+
+
+def _sqa_pred_idx(letter: str, choices: Sequence, options: Sequence[str],
+                  rng) -> int:
+    if letter in options[:len(choices)]:
+        return options.index(letter)
+    return int(rng.integers(0, len(choices)))
+
+
+def score_scienceqa_gpt4(our_answers: List[Dict], gpt4_answers: Dict[str, str],
+                         problems: Dict[str, Dict],
+                         split_indices: Sequence[str], *,
+                         options: Sequence[str] = ("A", "B", "C", "D", "E"),
+                         seed: int = 0) -> Dict:
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    ours = {str(a["question_id"]): a for a in our_answers}
+    correct = incorrect = upper = gpt4_failed = 0
+    for pid in split_indices:
+        if pid not in ours or pid not in gpt4_answers:
+            continue
+        prob = problems[pid]
+        m = _SQA_ANSWER_RE.findall(ours[pid]["text"])
+        our_idx = _sqa_pred_idx(m[0] if len(m) == 1 else "FAILED",
+                                prob["choices"], options, rng)
+        m = _SQA_ANSWER_RE.findall(gpt4_answers[pid])
+        gpt4_letter = m[0] if len(m) == 1 else "FAILED"
+        if gpt4_letter == "FAILED":
+            gpt4_failed += 1
+            gpt4_idx = our_idx
+        else:
+            gpt4_idx = _sqa_pred_idx(gpt4_letter, prob["choices"], options, rng)
+        if gpt4_idx == prob["answer"]:
+            correct += 1
+        else:
+            incorrect += 1
+        if gpt4_idx == prob["answer"] or our_idx == prob["answer"]:
+            upper += 1
+    total = max(correct + incorrect, 1)
+    return {"total": correct + incorrect, "correct": correct,
+            "accuracy": 100.0 * correct / total,
+            "accuracy_upperbound": 100.0 * upper / total,
+            "gpt4_failed": gpt4_failed}

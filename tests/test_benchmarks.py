@@ -79,3 +79,63 @@ def test_webpage_renderer(tmp_path):
                                   title="t & t")
     s = open(p).read()
     assert "7 / 9" in s and "&lt;b&gt;dog&lt;/b&gt;" in s and "t &amp; t" in s
+
+
+def _fake_run_eval(questions, question_key):
+    """Monkeypatch stand-in for harness.run_eval: echoes 'ans:<question>'."""
+    def fake(params, cfg, tokenizer, qs, *, answers_file, **kw):
+        assert kw.get("question_key", "text") == question_key
+        with open(answers_file, "w") as f:
+            for i, q in enumerate(qs):
+                f.write(json.dumps({"question_id": q.get("id", i),
+                                    "text": f"ans:{q[question_key]}",
+                                    "model_id": "slime-tpu"}) + "\n")
+        return answers_file
+    return fake
+
+
+def test_run_chartqa_format(tmp_path, monkeypatch):
+    from slime_tpu.eval import harness
+    qs = [{"image": "a.png", "question": "total?", "answer": "10"},
+          {"image": "b.png", "question": "max?", "answer": ["x", "y"]}]
+    monkeypatch.setattr(harness, "run_eval", _fake_run_eval(qs, "question"))
+    out = tmp_path / "chartqa.json"
+    m = bm.run_chartqa(None, None, None, qs, image_folder="",
+                       answers_file=str(out), conv_mode="v1")
+    entries = json.load(open(out))
+    assert entries == [{"answer": "ans:total?", "annotation": "10"},
+                       {"answer": "ans:max?", "annotation": ["x", "y"]}]
+    assert m["n"] == 2 and m["relaxed_accuracy"] == 0.0
+
+
+def test_run_amber_format(tmp_path, monkeypatch):
+    from slime_tpu.eval import harness
+    qs = [{"id": 7, "image": "a.png", "query": "describe this"}]
+    monkeypatch.setattr(harness, "run_eval", _fake_run_eval(qs, "query"))
+    out = tmp_path / "amber.jsonl"
+    bm.run_amber(None, None, None, qs, image_folder="",
+                 answers_file=str(out), conv_mode="v1")
+    rows = [json.loads(l) for l in open(out)]
+    # AMBER expects the capitalized response (model_vqa_amber.py:128)
+    assert rows[0] == {"id": 7, "prompt": "describe this",
+                       "response": "Ans:describe this",
+                       "model_id": "slime-tpu", "metadata": {}}
+
+
+def test_run_mmhal_format(tmp_path, monkeypatch):
+    from slime_tpu.eval import harness
+    recs = [{"question": "how many cats?", "image_path": "/x/a.png",
+             "image_content": ["Cat"], "gt_answer": "two"}]
+
+    def fake(params, cfg, tokenizer, qs, *, answers_file, **kw):
+        assert kw["image_key"] == "image_path"
+        with open(answers_file, "w") as f:
+            f.write(json.dumps({"question_id": 0, "text": "one cat"}) + "\n")
+        return answers_file
+
+    monkeypatch.setattr(harness, "run_eval", fake)
+    out = tmp_path / "mmhal.json"
+    bm.run_mmhal(None, None, None, recs, answers_file=str(out), conv_mode="v1")
+    rec = json.load(open(out))[0]
+    assert rec["model_answer"] == "one cat"
+    assert rec["gt_answer"] == "two"  # original fields preserved for the judge

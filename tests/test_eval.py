@@ -206,3 +206,72 @@ def test_video_mme_frames_dir_resolution(tmp_path, monkeypatch):
     assert not np.allclose(expected[0], expected[1])
     np.testing.assert_allclose(seen_pix[0], expected[0])
     np.testing.assert_allclose(seen_pix[1], expected[1])
+
+
+def test_relaxed_correctness():
+    # numeric: 5% relative tolerance
+    assert scorers.relaxed_correctness("100", "103")
+    assert not scorers.relaxed_correctness("100", "106")
+    # percentages normalize to fractions
+    assert scorers.relaxed_correctness("50%", "0.51")
+    # non-numeric: case-insensitive exact match
+    assert scorers.relaxed_correctness("Blue", "blue")
+    assert not scorers.relaxed_correctness("blue", "light blue")
+    # zero target -> exact-match path (reference guards `target_float` truthy)
+    assert scorers.relaxed_correctness("0", "0")
+    assert not scorers.relaxed_correctness("0", "0.01")
+
+
+def test_score_chartqa():
+    entries = [
+        {"answer": "42 ", "annotation": "43"},          # within 5%
+        {"answer": "cat", "annotation": ["dog", "CAT"]},  # best-of list
+        {"answer": "10", "annotation": "20"},            # wrong
+    ]
+    m = scorers.score_chartqa(entries)
+    assert m["n"] == 3 and abs(m["relaxed_accuracy"] - 2 / 3) < 1e-9
+
+
+def test_score_scienceqa_gpt4():
+    problems = {
+        "p1": {"choices": ["a", "b"], "answer": 1},
+        "p2": {"choices": ["a", "b", "c"], "answer": 0},
+    }
+    ours = [{"question_id": "p1", "text": "The answer is B."},
+            {"question_id": "p2", "text": "The answer is C."}]
+    gpt4 = {"p1": "The answer is A.", "p2": "no parseable letter"}
+    m = scorers.score_scienceqa_gpt4(ours, gpt4, problems, ["p1", "p2"])
+    # p1: gpt4 says A (wrong); p2: gpt4 unparsable -> falls back to ours (C, wrong)
+    assert m["total"] == 2 and m["correct"] == 0
+    assert m["gpt4_failed"] == 1
+    # upper bound counts p1 where OUR answer (B) was right
+    assert m["accuracy_upperbound"] == 50.0
+
+
+def test_mmhal_parse_and_summarize():
+    from slime_tpu.eval import mmhal
+    assert mmhal.parse_rating("Good.\n- Rating: 5, very informative") == 5
+    assert mmhal.parse_rating("rating: 6 or maybe Rating: 2") is None
+    assert mmhal.parse_rating("no score here") is None
+    # same rating repeated is still unique
+    assert mmhal.parse_rating("Rating: 3 ... final Rating: 3") == 3
+
+    reviews = [{"rating": r} for r in [6, 5, 1, None]]
+    s = mmhal.summarize(reviews)
+    assert s["n"] == 4
+    assert s["average_score"] == (6 + 5 + 1 + 0) / 4
+    assert s["hallucination_rate"] == 0.5  # ratings 1 and None(->0) are < 3
+    assert s["score_per_type"][0] == 6 and s["score_per_type"][3] == 0
+
+
+def test_mmhal_judge_prompt_and_fake_judge():
+    from slime_tpu.eval import mmhal
+    rec = {"question": "How many cats?", "image_content": ["Lynx", "Cat"],
+           "gt_answer": "two", "model_answer": "one"}
+    p = mmhal.build_judge_prompt(rec)
+    assert "Lynx, Cat" in p and "### Question\nHow many cats?" in p
+    reviews = mmhal.judge_responses(
+        [rec], lambda sys, usr: "Wrong count.\n- Rating: 1")
+    assert reviews[0]["rating"] == 1
+    s = mmhal.summarize(reviews)
+    assert s["hallucination_rate"] == 1.0
