@@ -199,6 +199,8 @@ def convert_clip_vision(sd: Dict[str, np.ndarray], cfg: VisionConfig,
         "pre_layernorm": _ln(sd, "pre_layrnorm"),  # HF's historical typo
         "layers": [],
     }
+    if "post_layernorm.weight" in sd:  # absent from pre-round-2 saves
+        params["post_layernorm"] = _ln(sd, "post_layernorm")
     for i in range(cfg.num_layers):
         b = f"encoder.layers.{i}"
         params["layers"].append({
@@ -422,6 +424,11 @@ def export_projector(p: Dict, cfg: SliMEConfig,
     out.update(export_resampler(p["attn"], f"{prefix}attn."))
     out[f"{prefix}w_gate"] = np.asarray(p["w_gate"])
     out[f"{prefix}w_noise"] = np.asarray(p["w_noise"])
+    # constant registered buffers the reference GatedBlock persists
+    # (multimodal_projector/builder.py:69-70); loaders ignore them, but the
+    # reference's strict state-dict load expects the keys to exist
+    out[f"{prefix}mean"] = np.zeros((1,), np.float32)
+    out[f"{prefix}std"] = np.ones((1,), np.float32)
     return out
 
 
@@ -491,6 +498,9 @@ def export_state_dict(params: Dict, cfg: SliMEConfig) -> Dict[str, np.ndarray]:
             np.asarray(v["position_embedding"])
         sd[f"{vp}pre_layrnorm.weight"] = np.asarray(v["pre_layernorm"]["weight"])
         sd[f"{vp}pre_layrnorm.bias"] = np.asarray(v["pre_layernorm"]["bias"])
+        if "post_layernorm" in v:
+            sd[f"{vp}post_layernorm.weight"] = np.asarray(v["post_layernorm"]["weight"])
+            sd[f"{vp}post_layernorm.bias"] = np.asarray(v["post_layernorm"]["bias"])
         for i, lp in enumerate(v["layers"]):
             b = f"{vp}encoder.layers.{i}"
             for nm, ours in (("layer_norm1", "layer_norm1"),

@@ -36,6 +36,10 @@ def init(rng, cfg: VisionConfig) -> Dict:
         "position_embedding": jax.random.normal(keys[2], (n_pos, cfg.hidden_size),
                                                 jnp.float32) * 0.02,
         "pre_layernorm": L.layer_norm_init(cfg.hidden_size),
+        # unused in forward (features are taken at a pre-final layer, matching
+        # the reference's mm_vision_select_layer=-2) but kept so HF CLIP
+        # checkpoints round-trip with their full key set
+        "post_layernorm": L.layer_norm_init(cfg.hidden_size),
         "layers": [],
     }
     for i in range(cfg.num_layers):
