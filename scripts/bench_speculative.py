@@ -23,21 +23,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def make_corpus(rng, vocab, n_seqs, seq_len, *, determinism=0.85):
-    """2nd-order Markov language: each (a, b) context has one 'preferred' next
-    token (probability `determinism`) and a handful of alternatives."""
-    pref = rng.integers(0, vocab, (vocab, vocab))
-    alts = rng.integers(0, vocab, (vocab, vocab, 4))
+def make_language(rng, vocab):
+    """1st-order Markov language tables: each token has one 'preferred'
+    successor (high probability) and a handful of alternatives. 1st-order keeps
+    the rule LEARNABLE by a 2-layer draft (V mappings, not V^2) — acceptance
+    then measures draft/target agreement on a shared rule, which is the regime
+    speculative decoding is built for."""
+    pref = rng.integers(0, vocab, (vocab,))
+    alts = rng.integers(0, vocab, (vocab, 4))
+    return pref, alts
+
+
+def make_corpus(rng, lang, vocab, n_seqs, seq_len, *, determinism=0.85):
+    """Sample trajectories from the language. Train corpus and eval prompts
+    MUST share `lang` — two models only agree where the data taught them the
+    same rule; off-distribution prompts measure memorization noise instead."""
+    pref, alts = lang
     seqs = np.empty((n_seqs, seq_len), np.int32)
     for i in range(n_seqs):
-        a, b = rng.integers(0, vocab, 2)
+        b = rng.integers(0, vocab)
         for t in range(seq_len):
             if rng.random() < determinism:
-                c = pref[a, b]
+                c = pref[b]
             else:
-                c = alts[a, b, rng.integers(0, 4)]
+                c = alts[b, rng.integers(0, 4)]
             seqs[i, t] = c
-            a, b = b, c
+            b = c
     return seqs
 
 
@@ -102,7 +113,9 @@ def main():
 
     rng = np.random.default_rng(0)
     print("building corpus...", file=sys.stderr, flush=True)
-    corpus = make_corpus(rng, V, 512, S)
+    lang = make_language(rng, V)
+    # enough sequences that neither model can memorize its way past the rule
+    corpus = make_corpus(rng, lang, V, 4096, S)
 
     print("training target...", file=sys.stderr, flush=True)
     target = train_lm(t_cfg, corpus, steps=args.steps, batch=32, seed=0,
@@ -118,7 +131,8 @@ def main():
     tp = {"llm": target}
     dp = {"llm": draft}
 
-    prompts = make_corpus(np.random.default_rng(99), V, args.prompts, 16)
+    # held-out prompts from the SAME language (fresh trajectories, same tables)
+    prompts = make_corpus(np.random.default_rng(99), lang, V, args.prompts, 16)
 
     # --- plain jitted decode baseline on the target ---
     def plain_decode(params, ids, n):
@@ -177,7 +191,7 @@ def main():
         "metric": "speculative_acceptance_rate",
         "value": round(acc, 3),
         "unit": (f"accepted/proposed (K={args.k}, distilled 2L/256H draft vs "
-                 f"6L/512H target, {args.steps}-step synthetic-Markov training)"),
+                 f"6L/512H target, {args.steps}-step synthetic 1st-order-Markov training)"),
         "vs_baseline": None}))
     print(json.dumps({
         "metric": "speculative_vs_plain_tok_per_sec",

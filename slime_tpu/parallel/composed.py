@@ -1,0 +1,134 @@
+"""Composed parallelism: (data x fsdp x model) x pp in ONE train step.
+
+The reference fits SliME-70B only via LoRA + ZeRO-3 (reference README.md:72,
+DeepSpeed zero3.json); full-parameter 70B needs tensor + pipeline + data
+parallelism composed. Here the composition is native to the compiler:
+
+- ``pp``: the GPipe wavefront from parallel/pipeline.py, run as a
+  PARTIAL-manual jax.shard_map (``axis_names={"pp"}``) — the only axis where
+  the schedule (ppermute rotations) must be written by hand.
+- ``data`` / ``fsdp`` / ``model``: stay AUTOMATIC inside the wavefront body.
+  Every stage's layer weights keep their 2-D Megatron/ZeRO sharding from
+  parallel/mesh.py's rules, and XLA's SPMD partitioner inserts the
+  all-gathers / reduce-scatters / psums within each pipeline stage.
+
+So a stacked q_proj weight is laid out [L, out, in] -> P("pp", "model", "fsdp"):
+dim 0 split over pipeline stages, each stage's slice sharded Megatron-style.
+Gradients and Adam moments inherit the same layout (optax tree_maps preserve
+shardings), which is what makes the 70B fit work — see memory_plan.py for the
+bytes-per-device accounting.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import mesh as mesh_lib
+from .pipeline import make_pp_train_step, stack_layers, unstack_layers  # noqa: F401
+
+AXES = ("data", "fsdp", "model", "pp")
+
+
+def make_composed_mesh(n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
+                       n_pp: int = 1, devices=None) -> Mesh:
+    """4-axis mesh. Axis order puts ``model`` innermost-but-one so TP
+    collectives ride the fastest ICI links; ``pp`` neighbors map to adjacent
+    devices so the wavefront ppermute is nearest-neighbor."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n_data * n_fsdp * n_model * n_pp == n, \
+        (n_data, n_fsdp, n_model, n_pp, n)
+    arr = np.asarray(devices).reshape(n_data, n_fsdp, n_model, n_pp)
+    return Mesh(arr, AXES)
+
+
+def stacked_param_pspec(path, leaf, mesh: Optional[Mesh] = None,
+                        axis: str = "pp") -> P:
+    """PartitionSpec for a stack_layers() leaf [L, ...]: ``axis`` on dim 0
+    (pipeline stages), then the per-layer Megatron/ZeRO rule from
+    parallel/mesh.py shifted one dim right."""
+    # stacked paths look like "q_proj/weight"; the rules expect the full
+    # in-tree path, so anchor them at a representative layer
+    s = "llm/layers/0/" + mesh_lib._path_str(path)
+    shape = tuple(getattr(leaf, "shape", None) or np.shape(leaf))
+    return P(axis, *_rule_spec(s, shape[1:], mesh))
+
+
+def _rule_spec(path_str: str, dims, mesh: Optional[Mesh]):
+    """The tuple part of mesh_lib's rule lookup for an already-built path
+    string and a per-layer shape."""
+    import re
+
+    if len(dims) < 2:
+        return ()
+
+    def axis_size(name: str) -> int:
+        return mesh.shape[name] if mesh is not None else 1
+
+    for pat, spec in mesh_lib._RULES:
+        if re.search(pat, path_str):
+            if len(spec) > len(dims):
+                return ()
+            fixed = []
+            for d, ax in enumerate(spec):
+                if ax is None:
+                    fixed.append(None)
+                    continue
+                axes = (ax,) if isinstance(ax, str) else tuple(ax)
+                keep = tuple(a for a in axes
+                             if dims[d] % axis_size(a) == 0 and axis_size(a) > 1)
+                fixed.append(keep[0] if len(keep) == 1 else (keep or None))
+            return tuple(fixed)
+    return ()
+
+
+def stacked_param_shardings(mesh: Mesh, stacked, axis: str = "pp") -> Dict:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, stacked_param_pspec(path, leaf, mesh, axis)), stacked)
+
+
+def head_param_shardings(mesh: Mesh, head) -> Dict:
+    """embed_tokens / norm / lm_head: replicated over pp, rule-sharded over
+    fsdp/model (vocab-dim sharding per mesh.py's llm rules)."""
+    wrapped = {"llm": head}
+    sh = mesh_lib.param_shardings(mesh, wrapped)
+    return sh["llm"]
+
+
+def init_composed_train_state(params, tx, *, mesh: Mesh, axis: str = "pp"):
+    """Like pipeline.init_pp_train_state, but stage weights are ALSO sharded
+    over fsdp/model within each stage, and the head over fsdp/model."""
+    stacked = stack_layers(params)
+    stacked = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s),
+        stacked, stacked_param_shardings(mesh, stacked, axis))
+    head = {k: v for k, v in params.items() if k != "layers"}
+    head = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s),
+        head, head_param_shardings(mesh, head))
+    # optax init tree_maps zeros_like over the sharded params, so moments
+    # inherit every sharding — no re-placement needed
+    opt_state = tx.init((stacked, head))
+    return {"stacked": stacked, "head": head, "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def make_composed_train_step(cfg, tx, *, mesh: Mesh, axis: str = "pp",
+                             n_micro: Optional[int] = None):
+    """Train step on the 4-axis mesh. Identical code to the pp-only step —
+    the partial-manual shard_map in pipeline_forward leaves data/fsdp/model
+    automatic, so the same wavefront self-composes once the state/batch carry
+    composed shardings (init_composed_train_state / composed_batch)."""
+    return make_pp_train_step(cfg, tx, mesh=mesh, axis=axis, n_micro=n_micro)
+
+
+def composed_batch(mesh: Mesh, batch):
+    """Batch sharded over data x fsdp (replicated over model and pp)."""
+    sh = NamedSharding(mesh, P(("data", "fsdp")))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

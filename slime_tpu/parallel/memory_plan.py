@@ -1,0 +1,179 @@
+"""Per-device HBM accounting for composed-parallel training.
+
+Answers the question the reference punts on (it fits SliME-70B only with
+LoRA + ZeRO-3, reference README.md:72): which (data, fsdp, model, pp) mesh
+fits FULL-parameter 70B training on 16 GB v5e chips?
+
+Parameter / gradient / optimizer bytes are EXACT: the LLM param tree is built
+abstractly (jax.eval_shape — no allocation), every leaf gets its real
+PartitionSpec from parallel/mesh.py + parallel/composed.py, and local bytes are
+summed with the actual divisibility rules (a dim that doesn't divide falls back
+to replication, exactly as at runtime).
+
+Activation bytes are a documented model of the GPipe + remat schedule used by
+parallel/pipeline.py + jax.checkpoint:
+  - each in-flight microbatch stashes its stage-INPUT per layer for backward
+    (full per-layer remat: only layer boundaries are saved),
+  - the wavefront holds <= n_stages microbatches in flight,
+  - attention internals are recomputed (flash attention), so the per-layer
+    working set is O(Bm*S*H) not O(Bm*S^2),
+  - fp32 logits at [B, S, V/model] dominate the head; with
+    logit_positions-style loss chunking they drop to [B, S_chunk, V/model].
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+
+from ..config import LLMConfig
+from . import composed, mesh as mesh_lib
+
+
+def _local_bytes(shape, spec, axis_sizes: Dict[str, int], itemsize: int) -> int:
+    n = int(np.prod(shape)) if shape else 1
+    denom = 1
+    for d, ax in enumerate(spec):
+        if ax is None:
+            continue
+        axes = (ax,) if isinstance(ax, str) else tuple(ax)
+        for a in axes:
+            size = axis_sizes.get(a, 1)
+            if size > 1 and shape[d] % size == 0:
+                denom *= size
+    return n * itemsize // denom
+
+
+@dataclass
+class MemoryPlan:
+    params: int
+    grads: int
+    opt_moments: int
+    master_params: int
+    activations: int
+    logits: int
+    total: int
+    n_params: int
+    per_category_gb: Dict[str, float]
+
+    def fits(self, hbm_bytes: int = 16 * 2 ** 30, headroom: float = 0.9) -> bool:
+        return self.total <= hbm_bytes * headroom
+
+
+def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
+         n_pp: int = 1, batch: int = 8, seq: int = 2048,
+         param_bytes: int = 2, opt_bytes: int = 4, master_fp32: bool = True,
+         n_micro: Optional[int] = None, loss_chunk: Optional[int] = 256
+         ) -> MemoryPlan:
+    """Bytes/device for one training step of ``cfg`` on the given mesh.
+
+    param_bytes=2 (bf16 weights), opt_bytes=4 (fp32 Adam m+v), master_fp32
+    adds an fp32 weight copy (mixed-precision training); grads stored at
+    param precision (reduce-scattered into the fsdp shard like ZeRO-2/3).
+    """
+    from ..models import llama
+
+    axis_sizes = {"data": n_data, "fsdp": n_fsdp, "model": n_model, "pp": n_pp}
+
+    abstract = jax.eval_shape(
+        lambda: llama.init(jax.random.PRNGKey(0), cfg))
+
+    # stacked layers: [L, ...] leaves with P("pp", <rule dims>)
+    layer0 = abstract["layers"][0]
+    L = cfg.num_layers
+    stacked_bytes = 0
+    n_layer_params = 0
+
+    def _acc_layer(path, leaf):
+        nonlocal stacked_bytes, n_layer_params
+        shape = (L,) + tuple(leaf.shape)
+        spec = composed.stacked_param_pspec(path, _Shape(shape), None, "pp")
+        # re-evaluate divisibility against the real axis sizes
+        s = "llm/layers/0/" + mesh_lib._path_str(path)
+        inner = composed._rule_spec(s, shape[1:], _FakeMesh(axis_sizes))
+        spec = ("pp",) + tuple(inner)
+        stacked_bytes += _local_bytes(shape, spec, axis_sizes, param_bytes)
+        n_layer_params += int(np.prod(shape))
+
+    jax.tree_util.tree_map_with_path(_acc_layer, layer0)
+
+    head_bytes = 0
+    n_head_params = 0
+
+    def _acc_head(path, leaf):
+        nonlocal head_bytes, n_head_params
+        shape = tuple(leaf.shape)
+        spec = mesh_lib.param_pspec(path, leaf, _FakeMesh(axis_sizes))
+        head_bytes += _local_bytes(shape, spec, axis_sizes, param_bytes)
+        n_head_params += int(np.prod(shape))
+
+    head = {"llm": {k: v for k, v in abstract.items() if k != "layers"}}
+    jax.tree_util.tree_map_with_path(_acc_head, head)
+
+    params_local = stacked_bytes + head_bytes
+    n_params = n_layer_params + n_head_params
+    grads_local = params_local
+    # Adam m+v at opt precision: same sharding, scaled byte width
+    opt_local = 2 * params_local * opt_bytes // param_bytes
+    master_local = params_local * 4 // param_bytes if master_fp32 else 0
+
+    # --- activations (GPipe + per-layer remat) ---
+    H = cfg.hidden_size
+    n_micro = n_micro or 2 * n_pp
+    Bm = max(batch // n_micro, 1)
+    S_local = seq  # sequence not sharded in the pp train step
+    B_local = max(Bm // (n_data * n_fsdp), 1)
+    layers_per_stage = cfg.num_layers // max(n_pp, 1)
+    in_flight = min(n_micro, n_pp) if n_pp > 1 else 1
+    act_dtype = 2  # bf16 activations
+    # stashed layer inputs for backward + one layer's recompute working set
+    # (~4x the layer input for attention qkv + mlp intermediates, sharded
+    # over model)
+    stash = in_flight * layers_per_stage * B_local * S_local * H * act_dtype
+    working = 8 * B_local * S_local * max(H, cfg.intermediate_size // max(n_model, 1)) * act_dtype
+    act_local = stash + working
+
+    # --- logits ---
+    S_loss = loss_chunk or seq
+    logits_local = (max(batch // (n_data * n_fsdp), 1) * S_loss
+                    * cfg.vocab_size // max(n_model, 1) * 4)
+
+    total = (params_local + grads_local + opt_local + master_local
+             + act_local + logits_local)
+    gb = 2.0 ** 30
+    return MemoryPlan(
+        params=params_local, grads=grads_local, opt_moments=opt_local,
+        master_params=master_local, activations=act_local,
+        logits=logits_local, total=total, n_params=n_params,
+        per_category_gb={
+            "params": round(params_local / gb, 2),
+            "grads": round(grads_local / gb, 2),
+            "opt_moments": round(opt_local / gb, 2),
+            "master_params": round(master_local / gb, 2),
+            "activations": round(act_local / gb, 2),
+            "logits": round(logits_local / gb, 2),
+            "total": round(total / gb, 2),
+        })
+
+
+class _Shape:
+    def __init__(self, shape):
+        self.shape = shape
+
+
+class _FakeMesh:
+    """Duck-typed mesh exposing only .shape[axis] for the rule engine."""
+
+    def __init__(self, axis_sizes):
+        self.shape = axis_sizes
+
+
+def fit_table(cfg: LLMConfig, meshes, **kw):
+    """[(mesh_dict, MemoryPlan)] for candidate meshes — the 70B fit evidence."""
+    out = []
+    for m in meshes:
+        out.append((m, plan(cfg, **m, **kw)))
+    return out

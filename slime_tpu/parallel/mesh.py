@@ -76,16 +76,22 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_pspec(path, leaf) -> P:
+def param_pspec(path, leaf, mesh: Optional[Mesh] = None) -> P:
+    """Rule-derived PartitionSpec for one leaf. ``mesh`` (when given) prunes
+    axes that don't divide the corresponding dim — tiny test configs and
+    uneven shapes fall back to replication on that dim."""
     s = _path_str(path)
-    if np.ndim(leaf) < 2:
+    dims = tuple(getattr(leaf, "shape", None) or np.shape(leaf))
+    if len(dims) < 2:
         return P()  # vectors/scalars (norms, biases) replicate
+
+    def axis_size(name: str) -> int:
+        return mesh.shape[name] if mesh is not None else 1
+
     for pat, spec in _RULES:
         if re.search(pat, s):
-            if len(spec) > np.ndim(leaf):
+            if len(spec) > len(dims):
                 return P()
-            # drop axes that don't divide the dim (tiny configs / uneven shapes)
-            dims = np.shape(leaf)
             fixed = []
             for d, ax in enumerate(spec):
                 if ax is None:
@@ -93,31 +99,18 @@ def param_pspec(path, leaf) -> P:
                     continue
                 axes = (ax,) if isinstance(ax, str) else tuple(ax)
                 keep = tuple(a for a in axes
-                             if d < len(dims) and dims[d] % _axis_size(a) == 0
-                             and _axis_size(a) > 1)
+                             if d < len(dims) and dims[d] % axis_size(a) == 0
+                             and axis_size(a) > 1)
                 fixed.append(keep[0] if len(keep) == 1 else (keep or None))
             return P(*fixed)
     return P()  # replicate
 
 
-_CURRENT_MESH: Optional[Mesh] = None
-
-
-def _axis_size(name: str) -> int:
-    if _CURRENT_MESH is None:
-        return 1
-    return _CURRENT_MESH.shape[name]
-
-
 def param_shardings(mesh: Mesh, params) -> Dict:
     """NamedSharding pytree matching ``params``."""
-    global _CURRENT_MESH
-    _CURRENT_MESH = mesh
-    try:
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf)), params)
-    finally:
-        _CURRENT_MESH = None
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf, mesh)),
+        params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

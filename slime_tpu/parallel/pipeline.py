@@ -23,11 +23,15 @@ from ..models import llama
 from ..models import layers as L
 
 
-def _shard_map(mesh):
+def _shard_map(mesh, manual_axes=None):
+    """Partial-manual shard_map: manual over ``manual_axes`` (the pp axis),
+    auto-partitioned (GSPMD) over every other mesh axis — so the wavefront
+    composes with fsdp/model sharding inside each stage."""
     try:
         from jax import shard_map
-        return lambda f, i, o: shard_map(f, mesh=mesh, in_specs=i, out_specs=o,
-                                         check_vma=False)
+        return lambda f, i, o: shard_map(
+            f, mesh=mesh, in_specs=i, out_specs=o, check_vma=False,
+            axis_names=frozenset(manual_axes) if manual_axes else frozenset())
     except (ImportError, TypeError):  # pragma: no cover
         from jax.experimental.shard_map import shard_map as esm
         return lambda f, i, o: esm(f, mesh=mesh, in_specs=i, out_specs=o,
@@ -102,7 +106,7 @@ def pipeline_forward(params, embeds, cfg, *, mesh: Mesh, axis: str = "pp",
         return outs[None]
 
     lp_spec = jax.tree_util.tree_map(lambda _: P(axis), stacked)
-    fn = _shard_map(mesh)(local_fn, (lp_spec, P()), P(axis))
+    fn = _shard_map(mesh, {axis})(local_fn, (lp_spec, P()), P(axis))
     outs = fn(stacked, micro)                       # [n, M, Bm, S, H]
     x = outs[-1].reshape(B, S, H)
 

@@ -1,0 +1,87 @@
+"""Composed (data x fsdp x model) x pp parallelism: one train step on a 4-axis
+virtual mesh must match the single-device step numerically, with stage weights
+genuinely sharded over fsdp/model WITHIN each pipeline stage."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from slime_tpu.config import LLMConfig
+from slime_tpu.models import llama
+from slime_tpu.parallel import composed
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+
+
+def _cfg():
+    return LLMConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_layers=4, num_heads=4, num_kv_heads=2, head_dim=16,
+                     max_position_embeddings=128)
+
+
+def _batch(cfg, B=8, S=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(4, cfg.vocab_size, (B, S)).astype(np.int32)
+    return {"input_ids": ids, "labels": ids.copy()}
+
+
+def test_stacked_pspec_composition():
+    mesh = composed.make_composed_mesh(1, 2, 2, 2)
+    cfg = _cfg()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    stacked = composed.stack_layers({"layers": params["layers"]})
+    sh = composed.stacked_param_shardings(mesh, stacked)
+    # q_proj [L, out, in] -> pp on layers, Megatron (model, fsdp) within stage
+    assert sh["q_proj"]["weight"].spec == P("pp", "model", "fsdp")
+    assert sh["o_proj"]["weight"].spec == P("pp", "fsdp", "model")
+    # per-layer vectors: stage-sharded, replicated within the stage
+    assert sh["input_layernorm"]["weight"].spec == P("pp")
+
+
+@pytest.mark.slow
+def test_composed_train_step_matches_single_device():
+    cfg = _cfg()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-3)
+    batch = _batch(cfg)
+
+    mesh = composed.make_composed_mesh(1, 2, 2, 2)
+    state = composed.init_composed_train_state(params, tx, mesh=mesh)
+    step = composed.make_composed_train_step(cfg, tx, mesh=mesh, n_micro=4)
+    sharded_batch = composed.composed_batch(
+        mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+    state, metrics = step(state, sharded_batch)
+    state, metrics2 = step(state, sharded_batch)
+    composed_losses = (float(metrics["loss"]), float(metrics2["loss"]))
+
+    # single-device oracle: same math, no mesh
+    from slime_tpu.constants import IGNORE_INDEX
+
+    def loss_fn(p, b):
+        logits = llama.forward(p, llama.embed(p, b["input_ids"]), cfg)[0]
+        shift_logits = logits[:, :-1]
+        shift_labels = b["labels"][:, 1:]
+        valid = shift_labels != IGNORE_INDEX
+        safe = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1)
+
+    opt = tx.init(params)
+    ref_losses = []
+    p = params
+    for _ in range(2):
+        l, g = jax.value_and_grad(loss_fn)(p, {k: jnp.asarray(v)
+                                               for k, v in batch.items()})
+        ref_losses.append(float(l))
+        upd, opt = tx.update(g, opt, p)
+        p = optax.apply_updates(p, upd)
+
+    np.testing.assert_allclose(composed_losses, ref_losses, rtol=2e-3)
+    # loss must decrease through the composed optimizer path too
+    assert composed_losses[1] < composed_losses[0]

