@@ -110,3 +110,29 @@ def write_reviews(reviews: List[Dict], path: str) -> str:
         for r in reviews:
             f.write(json.dumps(r) + "\n")
     return path
+
+
+def generate_openai_answers(questions: List[Dict], *, judge_fn: Callable,
+                            max_tokens: int = 1024, model_id: str = "openai",
+                            max_retries: int = 3) -> List[Dict]:
+    """Baseline answers from an OpenAI-compatible model (reference
+    qa_baseline_gpt35.py:16-41): one answer row per question in the standard
+    answers-jsonl schema, '#ERROR#' after exhausted retries. judge_fn is the
+    same (system, user) -> text callable make_openai_judge returns."""
+    import uuid
+
+    out = []
+    for q in questions:
+        text = "#ERROR#"
+        for attempt in range(max_retries):
+            try:
+                text = judge_fn("You are a helpful assistant.",
+                                q.get("text", q.get("question", "")))
+                break
+            except Exception:
+                time.sleep(2 ** attempt)
+        out.append({"answer_id": uuid.uuid4().hex[:22],
+                    "question_id": q.get("question_id"),
+                    "model_id": model_id, "text": text,
+                    "metadata": {}})
+    return out

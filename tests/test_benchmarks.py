@@ -139,3 +139,13 @@ def test_run_mmhal_format(tmp_path, monkeypatch):
     rec = json.load(open(out))[0]
     assert rec["model_answer"] == "one cat"
     assert rec["gt_answer"] == "two"  # original fields preserved for the judge
+
+
+def test_generate_openai_answers_schema():
+    rows = gr.generate_openai_answers(
+        [{"question_id": 5, "text": "why?"}], judge_fn=lambda s, u: "because")
+    assert rows[0]["question_id"] == 5 and rows[0]["text"] == "because"
+    err = gr.generate_openai_answers(
+        [{"question_id": 6, "text": "x"}], max_retries=1,
+        judge_fn=lambda s, u: (_ for _ in ()).throw(RuntimeError()))
+    assert err[0]["text"] == "#ERROR#"
