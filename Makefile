@@ -4,7 +4,7 @@ test: native
 	python -m pytest tests/ -q
 
 test-fast: native
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow" -n auto --dist loadfile
 
 native:
 	$(MAKE) -C native

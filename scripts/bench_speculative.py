@@ -23,14 +23,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def make_language(rng, vocab):
-    """1st-order Markov language tables: each token has one 'preferred'
-    successor (high probability) and a handful of alternatives. 1st-order keeps
-    the rule LEARNABLE by a 2-layer draft (V mappings, not V^2) — acceptance
-    then measures draft/target agreement on a shared rule, which is the regime
-    speculative decoding is built for."""
-    pref = rng.integers(0, vocab, (vocab,))
-    alts = rng.integers(0, vocab, (vocab, 4))
+def make_language(rng, vocab, order=2):
+    """Markov language tables: each context (last `order` tokens) has one
+    'preferred' successor (high probability) and a handful of alternatives.
+
+    order=1 (vocab mappings) is learnable by BOTH models -> acceptance ~1.0
+    measures the mechanics. order=2 with a small vocab (vocab^2 mappings) is
+    the capacity-gap regime speculative decoding actually lives in: the target
+    learns the rule, the 4x-smaller draft only partially -> intermediate
+    acceptance, like a distilled draft on natural text."""
+    shape = (vocab,) * order
+    pref = rng.integers(0, vocab, shape)
+    alts = rng.integers(0, vocab, shape + (4,))
     return pref, alts
 
 
@@ -39,16 +43,17 @@ def make_corpus(rng, lang, vocab, n_seqs, seq_len, *, determinism=0.85):
     MUST share `lang` — two models only agree where the data taught them the
     same rule; off-distribution prompts measure memorization noise instead."""
     pref, alts = lang
+    order = pref.ndim
     seqs = np.empty((n_seqs, seq_len), np.int32)
     for i in range(n_seqs):
-        b = rng.integers(0, vocab)
+        ctx = tuple(rng.integers(0, vocab, order))
         for t in range(seq_len):
             if rng.random() < determinism:
-                c = pref[b]
+                c = pref[ctx]
             else:
-                c = alts[b, rng.integers(0, 4)]
+                c = alts[ctx][rng.integers(0, 4)]
             seqs[i, t] = c
-            b = c
+            ctx = ctx[1:] + (c,)
     return seqs
 
 
@@ -94,6 +99,8 @@ def main():
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--prompts", type=int, default=8)
+    ap.add_argument("--order", type=int, default=2, choices=(1, 2))
+    ap.add_argument("--vocab", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -103,7 +110,7 @@ def main():
     from slime_tpu.models import llama
     from slime_tpu.serve.speculative import speculative_generate
 
-    V, S = 256, 128
+    V, S = args.vocab, 128
     t_cfg = LLMConfig(vocab_size=V, hidden_size=512, intermediate_size=1408,
                       num_layers=6, num_heads=8, num_kv_heads=4, head_dim=64,
                       max_position_embeddings=512)
@@ -113,7 +120,7 @@ def main():
 
     rng = np.random.default_rng(0)
     print("building corpus...", file=sys.stderr, flush=True)
-    lang = make_language(rng, V)
+    lang = make_language(rng, V, order=args.order)
     # enough sequences that neither model can memorize its way past the rule
     corpus = make_corpus(rng, lang, V, 4096, S)
 
@@ -190,8 +197,9 @@ def main():
     print(json.dumps({
         "metric": "speculative_acceptance_rate",
         "value": round(acc, 3),
-        "unit": (f"accepted/proposed (K={args.k}, distilled 2L/256H draft vs "
-                 f"6L/512H target, {args.steps}-step synthetic 1st-order-Markov training)"),
+        "unit": (f"accepted/proposed (K={args.k}, distilled 2L/256H draft vs 6L/512H "
+                 f"target, order-{args.order} V={args.vocab} Markov, "
+                 f"{args.steps} steps)"),
         "vs_baseline": None}))
     print(json.dumps({
         "metric": "speculative_vs_plain_tok_per_sec",

@@ -18,6 +18,7 @@ same way.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -27,6 +28,20 @@ import jax.numpy as jnp
 
 from ..config import SliMEConfig
 from ..models import llama
+
+
+@partial(jax.jit, static_argnames=("cfg_llm", "cache_len", "compute_dtype"))
+def _prefill_jit(llm_params, input_ids, cfg_llm, cache_len, compute_dtype):
+    """Jitted prompt prefill -> (first greedy token, primed cache). Eager
+    dispatch here costs thousands of per-op round-trips at 8B scale over the
+    TPU tunnel; one compiled program costs one."""
+    S = input_ids.shape[1]
+    embeds = llama.embed(llm_params, input_ids).astype(compute_dtype)
+    logits, kvs = llama.forward(llm_params, embeds, cfg_llm,
+                                return_kv=True, compute_dtype=compute_dtype)
+    cache = llama.init_kv_cache(cfg_llm, 1, cache_len, dtype=compute_dtype)
+    cache = llama.prefill_into_cache(cache, kvs, jnp.full((1,), S))
+    return jnp.argmax(logits[0, S - 1]).astype(jnp.int32), cache
 
 
 def speculative_generate(params_target, cfg_target: SliMEConfig,
@@ -44,16 +59,10 @@ def speculative_generate(params_target, cfg_target: SliMEConfig,
     assert B == 1, "speculative decode is a bs=1 latency optimization"
     cache_len = S + max_new_tokens + K + 2  # verify chunks span K+1 positions
 
-    def _prefill(params, cfg_llm):
-        embeds = llama.embed(params["llm"], input_ids).astype(compute_dtype)
-        logits, kvs = llama.forward(params["llm"], embeds, cfg_llm,
-                                    return_kv=True, compute_dtype=compute_dtype)
-        cache = llama.init_kv_cache(cfg_llm, 1, cache_len, dtype=compute_dtype)
-        cache = llama.prefill_into_cache(cache, kvs, jnp.full((1,), S))
-        return jnp.argmax(logits[0, S - 1]).astype(jnp.int32), cache
-
-    t_first, t_cache = _prefill(params_target, tl)
-    _, d_cache = _prefill(params_draft, dl)
+    t_first, t_cache = _prefill_jit(params_target["llm"], input_ids, tl,
+                                    cache_len, compute_dtype)
+    _, d_cache = _prefill_jit(params_draft["llm"], input_ids, dl,
+                              cache_len, compute_dtype)
 
     @jax.jit
     def draft_k(params, cache, tok):
