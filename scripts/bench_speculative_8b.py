@@ -39,8 +39,7 @@ def main():
 
     from slime_tpu.config import LLMConfig, SliMEConfig
     from slime_tpu.models import llama
-    from slime_tpu.serve.speculative import speculative_generate
-
+    
     K = 4
     t_cfg = LLMConfig.llama3_8b()
     d_cfg = LLMConfig(vocab_size=t_cfg.vocab_size, hidden_size=2048,
@@ -147,38 +146,47 @@ def main():
     t_verify, _ = _time(lambda: int(verify_chunk(target, cache_t, chunk)[0]),
                         n=8)
 
-    # measured end-to-end worst case (random draft, acceptance ~0)
+    # measured end-to-end worst case (random draft, acceptance ~0), with the
+    # ON-DEVICE loop (speculative_generate_device: one host sync per call)
+    from slime_tpu.serve.speculative import speculative_generate_device
     tf = SliMEConfig(llm=t_cfg, eos_token_id=-1)
     df = SliMEConfig(llm=d_cfg, eos_token_id=-1)
     max_new = 32
-    speculative_generate({"llm": target}, tf, {"llm": draft}, df,
-                         ids, K=K, max_new_tokens=max_new,
-                         compute_dtype=dt)  # compile
+    speculative_generate_device({"llm": target}, tf, {"llm": draft}, df,
+                                ids, K=K, max_new_tokens=max_new,
+                                compute_dtype=dt)  # compile
     t0 = time.perf_counter()
-    toks, rate = speculative_generate({"llm": target}, tf, {"llm": draft}, df,
-                                      ids, K=K, max_new_tokens=max_new,
-                                      compute_dtype=dt)
+    toks, rate = speculative_generate_device(
+        {"llm": target}, tf, {"llm": draft}, df, ids, K=K,
+        max_new_tokens=max_new, compute_dtype=dt)
     t_e2e = time.perf_counter() - t0
     worst_tps = toks.shape[1] / t_e2e
-    n_rounds = max(1, int(np.ceil((toks.shape[1] - 1) / 1)))  # acc~0: 1/round
-    ovh = max(t_e2e / n_rounds - (K * t_draft + t_verify), 0.0)
+    # acc~0 -> one emitted token per round after the prefill token, so the
+    # measured run directly gives the per-round time of the on-device loop
+    # (draft K + verify + ingest; round time doesn't depend on acceptance).
+    # The STANDALONE t_verify above runs outside the loop without buffer
+    # donation and over-reads by the cache copy — trust the in-loop number.
+    n_rounds = max(toks.shape[1] - 1, 1)
+    round_ms = t_e2e / n_rounds * 1e3
 
     plain_tps = 1.0 / t_plain
-    curve = {f"e={e}": round(e / (K * t_draft + t_verify + ovh), 1)
+    curve = {f"e={e}": round(e / (round_ms / 1e3), 1)
              for e in range(1, K + 2)}
     print(json.dumps({
         "metric": "speculative_8b_components_ms",
-        "value": round(t_verify * 1e3, 2),
-        "unit": (f"t_verify(K+1=5 chunk); t_plain={t_plain * 1e3:.2f} "
-                 f"t_draft={t_draft * 1e3:.2f} round_ovh={ovh * 1e3:.2f} "
+        "value": round(round_ms, 2),
+        "unit": (f"in-loop round time (draft K={K} + verify + ingest); "
+                 f"t_plain={t_plain * 1e3:.2f} t_draft={t_draft * 1e3:.2f} "
+                 f"standalone t_verify={t_verify * 1e3:.2f} (copy-inflated) "
                  f"(int8 8B target, bf16 0.6B draft, one v5e)"),
         "vs_baseline": None}))
     print(json.dumps({
         "metric": "speculative_8b_tok_per_sec",
         "value": round(worst_tps, 1),
         "unit": (f"measured WORST case (random draft, acc={rate:.2f}); plain "
-                 f"{plain_tps:.1f} tok/s; implied at e emitted/round: {curve} "
-                 f"— breakeven where e/(K*t_draft+t_verify+ovh) > 1/t_plain"),
+                 f"{plain_tps:.1f} tok/s; implied at e emitted/round "
+                 f"(= e/round_time): {curve} — with the 0.99-acceptance "
+                 f"distilled-pair regime (bench_speculative.py) e~=K+1"),
         "vs_baseline": round(worst_tps / plain_tps, 3)}))
 
 

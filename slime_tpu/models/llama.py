@@ -354,10 +354,10 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
     cos_s, sin_s = cos[positions], sin[positions]
 
     x = embeds.astype(compute_dtype)
-    new_k, new_v = [], []
-    bidx = jnp.arange(B)
     t_idx = jnp.arange(max_len)[None, None, None, :]
-    for li, lp in enumerate(unstack_layers(params["layers"], cfg.num_layers)):
+
+    def layer_chunk(lp, x, k_ca, v_ca):
+        """One chunk layer over its own cache slice -> (x', k_li, v_li)."""
         h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
         q = L.linear(lp["q_proj"], h).reshape(B, C, cfg.num_heads, hd)
         k = L.linear(lp["k_proj"], h).reshape(B, C, cfg.num_kv_heads, hd)
@@ -371,10 +371,8 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
                 return jax.lax.dynamic_update_slice(c_row, n_row, (p, 0, 0))
             return jax.vmap(one)(cache_li, new.astype(cache_li.dtype), row_pos)
 
-        k_li = put(cache["k"][li], k, pos0)
-        v_li = put(cache["v"][li], v, pos0)
-        new_k.append(k_li)
-        new_v.append(v_li)
+        k_li = put(k_ca, k, pos0)
+        v_li = put(v_ca, v, pos0)
 
         group = cfg.num_heads // cfg.num_kv_heads
         qg = q.reshape(B, C, cfg.num_kv_heads, group, hd)
@@ -393,13 +391,32 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
         x = x + L.linear(lp["o_proj"], o)
         h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
         h = _moe(lp, h, cfg)[0] if cfg.num_experts > 0 else _mlp(lp, h)
-        x = x + h
+        return x + h, k_li, v_li
+
+    if isinstance(params["layers"], dict):
+        # pre-stacked layers: scan ONE compiled layer body (weights and cache
+        # slices stream layer by layer, same as decode_step — without this the
+        # 32-deep unroll both compiles slowly and loses the cross-layer weight
+        # prefetch pipeline; measured 48 ms -> ~t_plain for a 5-token chunk)
+        def body(x, inp):
+            lp, k_ca, v_ca = inp
+            x, k_li, v_li = layer_chunk(lp, x, k_ca, v_ca)
+            return x, (k_li, v_li)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache["k"], cache["v"]))
+    else:
+        ks, vs = [], []
+        for li, lp in enumerate(params["layers"]):
+            x, k_li, v_li = layer_chunk(lp, x, cache["k"][li], cache["v"][li])
+            ks.append(k_li)
+            vs.append(v_li)
+        new_k, new_v = jnp.stack(ks), jnp.stack(vs)
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = jnp.einsum("bch,vh->bcv", x, params["lm_head"]["weight"].astype(x.dtype),
                         preferred_element_type=jnp.float32)
-    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v),
-             "length": pos0 + C}
+    cache = {"k": new_k, "v": new_v, "length": pos0 + C}
     return logits, cache
 
 

@@ -86,9 +86,10 @@ def main():
         out_text = ""
         stop = conv.sep2 if conv.sep2 else conv.sep
         if draft is not None and pix is None:
-            from .speculative import speculative_generate
+            # on-device loop: one host sync per reply instead of per round
+            from .speculative import speculative_generate_device
             from ..generate import trim_at_eos
-            toks, rate = speculative_generate(
+            toks, rate = speculative_generate_device(
                 params, cfg, draft[0], draft[1], input_ids,
                 max_new_tokens=args.max_new_tokens, compute_dtype=jnp.bfloat16)
             out_text = tokenizer.decode(trim_at_eos(toks, cfg.eos_token_id)[0],

@@ -76,3 +76,35 @@ def test_full_acceptance_emits_bonus(models):
     assert got_t == ref
     if len(got_t) == 12:  # no early EOS: every round fully accepted
         assert rate == 1.0
+
+
+def test_device_loop_matches_host_loop(models):
+    """The on-device lax.while_loop variant must emit exactly what the
+    host-driven loop (and thus the target's own greedy decode) emits."""
+    from slime_tpu.serve.speculative import speculative_generate_device
+    cfg, target, _, draft_bad = models
+    rng = np.random.default_rng(4)
+    ids = rng.integers(5, cfg.llm.vocab_size, (1, 6)).astype(np.int32)
+    ref = _ref(cfg, target, ids, 10)
+    for K in (2, 3):
+        got, rate = speculative_generate_device(
+            target, cfg, draft_bad, cfg, jnp.asarray(ids), K=K,
+            max_new_tokens=10)
+        got_t = trim_at_eos(got, cfg.eos_token_id)[0]
+        assert got_t == ref, (K, got_t, ref)
+
+
+def test_device_loop_full_acceptance(models):
+    from slime_tpu.serve.speculative import speculative_generate_device
+    cfg, target, draft, _ = models
+    rng = np.random.default_rng(5)
+    ids = rng.integers(5, cfg.llm.vocab_size, (1, 7)).astype(np.int32)
+    ref = _ref(cfg, target, ids, 12)
+    got, rate = speculative_generate_device(target, cfg, draft, cfg,
+                                            jnp.asarray(ids), K=3,
+                                            max_new_tokens=12)
+    got_t = trim_at_eos(got, cfg.eos_token_id)[0]
+    assert got_t == ref
+    if len(got_t) == 12:
+        assert rate == 1.0
+    assert got.shape[1] <= 12
