@@ -6,6 +6,18 @@ test: native
 test-fast: native
 	python -m pytest tests/ -q -m "not slow" -n auto --dist loadfile
 
+# <5 min on a 1-core box: templates/preprocess/fusion/generation/speculative/
+# eval/checkpoint/serving/memory-plan correctness (201 tests, ~2.5 min)
+SMOKE = tests/test_conversation.py tests/test_anyres.py \
+        tests/test_preprocess_parity.py tests/test_data_pipeline.py \
+        tests/test_fusion.py tests/test_generate.py tests/test_speculative.py \
+        tests/test_eval.py tests/test_benchmarks.py tests/test_load_modes.py \
+        tests/test_serve.py tests/test_checkpoint_8b_keys.py \
+        tests/test_memory_plan.py
+
+test-smoke: native
+	python -m pytest $(SMOKE) -q -m "not slow"
+
 native:
 	$(MAKE) -C native
 

@@ -24,3 +24,17 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# Persistent XLA compilation cache: on repeat runs the heavy jit compiles
+# (8-device train steps, fusion graphs) load from disk instead of recompiling —
+# the suite is compile-dominated on small CI boxes. Override with
+# SLIME_COMPILE_CACHE=; disable by setting it empty.
+_cache = os.environ.get(
+    "SLIME_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_compile_cache"))
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -124,6 +124,7 @@ def test_forward_and_loss(tiny):
     assert int(aux["n_target_tokens"]) > 0
 
 
+@pytest.mark.slow
 def test_loss_grads_finite(tiny):
     cfg, params = tiny
     batch = _mk_batch(cfg)
@@ -245,6 +246,7 @@ def test_unpad_token_order_drops_padding():
     assert kept < n_loc  # some columns were padding
 
 
+@pytest.mark.slow
 def test_splice_fuzz(tiny):
     """Randomized splice configurations vs the python oracle: random image-token
     positions (including first/last), random padding masks, random crop counts,

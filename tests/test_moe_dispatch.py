@@ -121,6 +121,7 @@ def test_router_aux_matches_hf_formula(rng):
     assert abs(float(llama._router_aux(bal * 10, ti, E))) < 2 * K + 1
 
 
+@pytest.mark.slow
 def test_aux_loss_in_training(rng):
     """loss_fn adds coef*aux for MoE configs; the aux matches between scan and
     unrolled layer paths; dense configs are unaffected."""

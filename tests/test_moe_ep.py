@@ -78,6 +78,7 @@ def test_ep_tight_capacity_drops_are_bounded(rng):
     assert kept.sum() >= T // E  # at least one device-capacity worth kept
 
 
+@pytest.mark.slow
 def test_ep_grad_flows(rng):
     T, E, K, H, I = 64, 8, 2, 16, 24
     x, w1, w2, w3, topi, topw = _mk(rng, T, E, K, H, I)

@@ -43,6 +43,7 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (1, 8, 1), (2, 2, 2), (1, 4, 2)])
+@pytest.mark.slow
 def test_sharded_train_step_runs(tiny_setup, mesh_shape):
     cfg, params = tiny_setup
     tc = TrainConfig(total_steps=10, learning_rate=1e-4)
@@ -70,6 +71,7 @@ def test_sharded_loss_matches_single_device(tiny_setup):
     np.testing.assert_allclose(float(l_sh), float(l_single), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_frozen_params_do_not_move(tiny_setup):
     cfg, params = tiny_setup
     tc = TrainConfig(total_steps=10, learning_rate=1e-2,
@@ -121,6 +123,7 @@ def test_remat_matches_no_remat(tiny_setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mixtral_sparse_moe_sharded_step():
     """The sparse ragged_dot MoE path compiles and trains under the GSPMD mesh
     (experts FSDP/TP-sharded per parallel/mesh._RULES); loss stays finite and the

@@ -49,6 +49,7 @@ def test_pipeline_under_jit(setup):
                                atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_grad_matches(setup):
     """Backward through the wavefront scan + ppermute equals the standard
     forward's gradients."""
@@ -88,6 +89,7 @@ def test_bad_shapes_raise(setup):
         pipeline_forward(params6, embeds, cfg_bad, mesh=mesh)  # 6 % 4
 
 
+@pytest.mark.slow
 def test_pp_train_step_loss_decreases(setup):
     """Pipeline-parallel training: 6 steps of overfit on one batch drop the loss;
     first-step loss matches the non-pipelined loss_fn value."""

@@ -46,6 +46,7 @@ def test_ring_under_jit(rng):
     assert out.sharding.spec == P(None, None, "sp", None)
 
 
+@pytest.mark.slow
 def test_llama_forward_with_ring(rng):
     """A full decoder forward with ring attention (sequence sharded over 8 devices)
     matches the standard forward."""

@@ -39,6 +39,7 @@ def tiny():
     return cfg, params
 
 
+@pytest.mark.slow
 def test_overfit_single_batch(tiny, tmp_path):
     cfg, params = tiny
     tc = TrainConfig(total_steps=30, learning_rate=5e-3, warmup_ratio=0.1,
@@ -54,6 +55,7 @@ def test_overfit_single_batch(tiny, tmp_path):
     assert recs[-1]["loss"] < recs[0]["loss"] * 0.8, recs
 
 
+@pytest.mark.slow
 def test_staged_pipeline(tiny, tmp_path):
     cfg, params = tiny
     stages = [
@@ -121,6 +123,7 @@ def test_adapter_only_checkpoint(tiny, tmp_path):
     assert "model.mm_projector.projection.0.weight" in sd
 
 
+@pytest.mark.slow
 def test_resume_from_state_checkpoint(tiny, tmp_path):
     """Interrupt-and-resume: optimizer state and step counter round-trip."""
     cfg, params = tiny
@@ -144,6 +147,7 @@ def test_resume_from_state_checkpoint(tiny, tmp_path):
     assert int(tr2.state["step"]) == 6
 
 
+@pytest.mark.slow
 def test_async_save_roundtrip(tmp_path):
     """async_save=True persists a restorable train state (wait_for_saves joins)."""
     import jax
