@@ -126,7 +126,11 @@ def main():
     }
 
     # --- query: 672x672 image + 64-token prompt -> 64 greedy tokens ---
-    B, S_TEXT, NEW = 1, 64, 64
+    # SLIME_BENCH_BS>1 measures the batched-throughput operating point (the
+    # continuous-batching engine's shape): queries/min scales with the batch
+    # because decode amortizes the 8 GB weight stream across rows
+    B = int(os.environ.get("SLIME_BENCH_BS", "1"))
+    S_TEXT, NEW = 64, 64
     H = W = 672
     ids = rng.integers(5, cfg.llm.vocab_size, (B, S_TEXT)).astype(np.int32)
     ids[:, 2] = IMAGE_TOKEN_INDEX
@@ -136,7 +140,8 @@ def main():
 
     pre = make_device_anyres_fn((H, W))
     preproc = jax.jit(lambda im: jax.tree_util.tree_map(
-        lambda x: x[None], pre(im)))  # -> pixel_values [1,MC,3,336,336], crop_mask
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), pre(im)))
+    # -> pixel_values [B,MC,3,336,336], crop_mask [B,MC]
 
     def prefill(params, ids, attn, px, cmask):
         fused = slime.prepare_multimodal(params, cfg, ids, attn, px, cmask,
@@ -190,18 +195,22 @@ def main():
     ttft_ms /= queries
     dec_ms /= queries
 
-    qpm = queries / total_s * 60.0
+    qpm = queries * B / total_s * 60.0
     _log(f"per query: TTFT {ttft_ms:.0f} ms (anyres+encode+fusion+1649-tok "
          f"prefill), decode {dec_ms:.0f} ms ({NEW / (dec_ms / 1e3):.1f} tok/s)")
+    # the A100 estimate in the docstring is a bs=1 latency pipeline; a batched
+    # run is a different operating point (the reference stack would amortize
+    # under batching too), so vs_baseline is only claimed at bs=1
     print(json.dumps({
         "metric": "slime8b_e2e_vqa_queries_per_min_per_chip",
         "value": round(qpm, 2),
-        "unit": ("queries/min (672x672 anyres + CLIP-L encode + compress/select "
-                 f"+ 8B int8 prefill [TTFT {ttft_ms:.0f}ms] + {NEW} greedy tokens "
-                 f"[{NEW / (dec_ms / 1e3):.1f} tok/s], bs=1, one chip; baseline = "
-                 "A100-80G reference-stack estimate of 39.0 q/min, see bench.py "
-                 "docstring)"),
-        "vs_baseline": round(qpm / BASELINE_QUERIES_PER_MIN, 3),
+        "unit": (f"queries/min (bs={B}; 672x672 anyres + CLIP-L encode + "
+                 f"compress/select + 8B int8 prefill [TTFT {ttft_ms:.0f}ms] + "
+                 f"{NEW} greedy tokens [{NEW / (dec_ms / 1e3):.1f} tok/s/row], "
+                 "one chip; baseline = A100-80G reference-stack estimate of "
+                 "39.0 q/min at bs=1, see bench.py docstring)"),
+        "vs_baseline": (round(qpm / BASELINE_QUERIES_PER_MIN, 3)
+                        if B == 1 else None),
     }))
 
 
