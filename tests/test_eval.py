@@ -275,3 +275,34 @@ def test_mmhal_judge_prompt_and_fake_judge():
     assert reviews[0]["rating"] == 1
     s = mmhal.summarize(reviews)
     assert s["hallucination_rate"] == 1.0
+
+
+def test_run_text_qa_driver(tmp_path, monkeypatch):
+    """model_qa.py-equivalent: text-only prompts through the default template,
+    sampled decoding, reference answers-jsonl schema."""
+    import numpy as np
+
+    import slime_tpu.eval.harness as h
+    from slime_tpu.config import SliMEConfig
+    from .toy_tokenizer import ToyTokenizer
+
+    import slime_tpu.generate as gen_mod
+
+    seen = {}
+
+    def fake_generate(params, cfg, ids, attn, *a, **kw):
+        seen["temperature"] = kw.get("temperature")
+        seen["rng"] = kw.get("rng")
+        return np.full((ids.shape[0], 2), 9, np.int32)
+
+    # run_text_qa imports generate inside the function from ..generate
+    monkeypatch.setattr(gen_mod, "generate", fake_generate)
+    cfg = SliMEConfig.tiny()
+    out = h.run_text_qa({}, cfg, ToyTokenizer(),
+                        [{"question_id": 3, "text": "why ?", "category": "c"}],
+                        answers_file=str(tmp_path / "qa.jsonl"),
+                        conv_mode="v1", batch_size=1, max_new_tokens=2)
+    rows = [json.loads(l) for l in open(out)]
+    assert rows[0]["question_id"] == 3 and "answer_id" in rows[0]
+    assert seen["temperature"] == 0.7      # reference model_qa.py:37 sampling
+    assert seen["rng"] is not None         # seeded, split per batch
