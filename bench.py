@@ -93,11 +93,17 @@ def _int8_llm_params(cfg, rng):
         "up_proj": {"weight": q(I, H, "up_proj")},
         "down_proj": {"weight": q(H, I, "down_proj")},
     }
+    # int8 lm_head: ~1 GB of bf16 vocab projection becomes 0.5 GB of the
+    # per-step weight stream; the quant-aware logits path (llama._lm_head)
+    # fuses the dequant into the dot
+    lm_q = rng.integers(-127, 128, (cfg.vocab_size, H), dtype=np.int8)
+    lm_scale = np.full((cfg.vocab_size, 1), 0.02 / 127.0, np.float32)
     return {
         "embed_tokens": dense(cfg.vocab_size, H),
         "norm": {"weight": jnp.ones((H,), jnp.float32)},
         "layers": layers,
-        "lm_head": {"weight": dense(cfg.vocab_size, H)},
+        "lm_head": {"weight": {"q": jnp.asarray(lm_q),
+                               "scale": jnp.asarray(lm_scale)}},
     }
 
 

@@ -211,6 +211,20 @@ def unstack_layers(layers, num_layers: int):
             for i in range(num_layers)]
 
 
+def _lm_head(params, x):
+    """Final vocab projection, fp32 logits; quant-aware. An int8 lm_head is
+    ~0.5 GB less weight streaming per decode step at 128k-vocab scale, and
+    XLA fuses the int8->bf16 convert + scale into the dot operand (verified:
+    the int8-dequant matvec reads ~packed bytes, unlike int4's unpack chain
+    which materializes)."""
+    w = params["lm_head"]["weight"]
+    if isinstance(w, dict):
+        from ..ops.quantization import dequantize_weight
+        w = dequantize_weight(w)
+    return jnp.einsum("...h,vh->...v", x, w.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
 def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             use_pallas: Optional[bool] = None, return_kv: bool = False,
             compute_dtype=jnp.float32, remat: bool = False,
@@ -270,9 +284,7 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
         x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
         if logit_positions is not None:
             x = jnp.take_along_axis(x, logit_positions[:, None, None], axis=1)
-        logits = jnp.einsum("bsh,vh->bsv", x,
-                            params["lm_head"]["weight"].astype(x.dtype),
-                            preferred_element_type=jnp.float32)
+        logits = _lm_head(params, x)
         out = (logits, (kvs if return_kv else None))
         return out + (aux_sum / cfg.num_layers,) if return_aux else out
 
@@ -294,8 +306,7 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     if logit_positions is not None:
         x = jnp.take_along_axis(x, logit_positions[:, None, None], axis=1)
-    logits = jnp.einsum("bsh,vh->bsv", x, params["lm_head"]["weight"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
+    logits = _lm_head(params, x)
     out = (logits, (kvs if return_kv else None))
     return out + (aux_sum / cfg.num_layers,) if return_aux else out
 
@@ -414,8 +425,7 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
         new_k, new_v = jnp.stack(ks), jnp.stack(vs)
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
-    logits = jnp.einsum("bch,vh->bcv", x, params["lm_head"]["weight"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
+    logits = _lm_head(params, x)
     cache = {"k": new_k, "v": new_v, "length": pos0 + C}
     return logits, cache
 
@@ -490,7 +500,6 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
         new_k, new_v = jnp.stack(ks), jnp.stack(vs)
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
-    logits = jnp.einsum("boh,vh->bov", x, params["lm_head"]["weight"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)[:, 0]
+    logits = _lm_head(params, x)[:, 0]
     cache = {"k": new_k, "v": new_v, "length": pos + 1}
     return logits, cache

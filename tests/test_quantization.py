@@ -54,3 +54,39 @@ def test_tree_quantization(rng):
     a = np.asarray(deq["llm"]["layers"][0]["q_proj"]["weight"])
     b = np.asarray(params["llm"]["layers"][0]["q_proj"]["weight"])
     assert np.abs(a - b).mean() < 1e-3
+
+
+def test_quantized_lm_head_matches_fp():
+    """The logits path is quant-aware (llama._lm_head): an int8 lm_head must
+    produce near-identical logits and the same greedy decode on a tiny model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slime_tpu.config import LLMConfig
+    from slime_tpu.models import llama
+    from slime_tpu.ops.quantization import quantize_params
+
+    cfg = LLMConfig.tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    qp = dict(params)
+    qp["lm_head"] = quantize_params(params["lm_head"], bits=8, min_size=1)
+    assert isinstance(qp["lm_head"]["weight"], dict)
+
+    ids = np.random.default_rng(0).integers(5, cfg.vocab_size, (1, 8)).astype(np.int32)
+    emb = llama.embed(params, jnp.asarray(ids))
+    lg_fp, _ = llama.forward(params, emb, cfg)
+    lg_q, _ = llama.forward(qp, emb, cfg)
+    # int8 per-row absmax quantization: small relative logit error
+    err = float(jnp.max(jnp.abs(lg_fp - lg_q)) / (jnp.max(jnp.abs(lg_fp)) + 1e-9))
+    assert err < 0.02, err
+
+    # decode path too
+    cache = llama.init_kv_cache(cfg, 1, 16)
+    cache = dict(cache); cache["length"] = jnp.full((1,), 8, jnp.int32)
+    kvs_cache = llama.prefill_into_cache(
+        llama.init_kv_cache(cfg, 1, 16),
+        llama.forward(params, emb, cfg, return_kv=True)[1], jnp.full((1,), 8))
+    l1, _ = llama.decode_step(params, kvs_cache, jnp.asarray([3]), cfg)
+    l2, _ = llama.decode_step(qp, kvs_cache, jnp.asarray([3]), cfg)
+    assert int(jnp.argmax(l1)) == int(jnp.argmax(l2))
