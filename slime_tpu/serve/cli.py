@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--model-base", default=None)
     ap.add_argument("--load-8bit", action="store_true")
+    ap.add_argument("--quantize-lm-head", action="store_true",
+                    help="also int8-quantize the vocab projection (beyond the "
+                         "reference's bitsandbytes default; ~12%% less weight "
+                         "streaming per decode step at 128k vocab)")
     ap.add_argument("--load-4bit", action="store_true")
     ap.add_argument("--draft-model-path", default=None,
                     help="small same-tokenizer model for greedy speculative "
@@ -41,7 +45,8 @@ def main():
     cfg = SliMEConfig.load(args.model_path)
     params = ckpt.to_jax(ckpt.load_pretrained(args.model_path,
                                               model_base=args.model_base, cfg=cfg,
-                                              load_bits=8 if args.load_8bit else (4 if args.load_4bit else None)),
+                                              load_bits=8 if args.load_8bit else (4 if args.load_4bit else None),
+        quantize_lm_head=args.quantize_lm_head),
                          dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
     draft = None

@@ -135,3 +135,15 @@ def test_lora_load_merges(saved, tmp_path):
     # without model_base, a LoRA checkpoint must refuse to load silently wrong
     with pytest.raises(ValueError, match="model_base"):
         ckpt.load_pretrained(str(ldir), cfg=cfg)
+
+
+def test_quantize_lm_head_opt_in(saved):
+    """--quantize-lm-head: lm_head becomes a quant dict (opt-in; the default
+    matches bitsandbytes' llm_int8_skip_modules=[lm_head])."""
+    cfg, params, base = saved
+    from slime_tpu.ops.quantization import is_quantized
+    default = ckpt.load_pretrained(base, cfg=cfg, load_bits=8)
+    assert not is_quantized(default["llm"]["lm_head"]["weight"])
+    opted = ckpt.load_pretrained(base, cfg=cfg, load_bits=8,
+                                 quantize_lm_head=True)
+    assert is_quantized(opted["llm"]["lm_head"]["weight"])
