@@ -25,7 +25,10 @@ def main():
     ap.add_argument("--chunk-idx", type=int, default=0)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--max-new-tokens", type=int, default=128)
-    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="default: 0.0 (greedy) for VQA benchmarks, 0.7 for "
+                         "text-qa (reference model_qa.py); explicit values "
+                         "win, including 0")
     ap.add_argument("--num-beams", type=int, default=1)
     ap.add_argument("--single-pred-prompt", action="store_true")
     ap.add_argument("--seq-len", type=int, default=0,
@@ -74,25 +77,29 @@ def main():
             print(benchmarks.run_chartqa(
                 params, cfg, tokenizer, chunk, image_folder=args.image_folder,
                 answers_file=out, conv_mode=args.conv_mode,
-                batch_size=args.batch_size,
+                batch_size=args.batch_size, seq_len=args.seq_len,
                 max_new_tokens=args.max_new_tokens))
         elif args.benchmark == "mmhal":
             benchmarks.run_mmhal(params, cfg, tokenizer, chunk,
                                  answers_file=out, conv_mode=args.conv_mode,
                                  image_folder=args.image_folder,
                                  batch_size=args.batch_size,
+                                 seq_len=args.seq_len,
                                  max_new_tokens=args.max_new_tokens)
         elif args.benchmark == "amber":
             benchmarks.run_amber(params, cfg, tokenizer, chunk,
                                  image_folder=args.image_folder,
                                  answers_file=out, conv_mode=args.conv_mode,
                                  batch_size=args.batch_size,
+                                 seq_len=args.seq_len,
                                  max_new_tokens=args.max_new_tokens)
         else:  # text-qa
             harness.run_text_qa(params, cfg, tokenizer, chunk,
                                 answers_file=out, conv_mode=args.conv_mode,
                                 batch_size=args.batch_size,
-                                temperature=args.temperature or 0.7,
+                                seq_len=args.seq_len,
+                                temperature=(0.7 if args.temperature is None
+                                             else args.temperature),
                                 max_new_tokens=args.max_new_tokens)
         print(f"answers -> {out}")
         return
@@ -100,7 +107,7 @@ def main():
                      image_folder=args.image_folder, answers_file=out,
                      conv_mode=args.conv_mode, batch_size=args.batch_size,
                      max_new_tokens=args.max_new_tokens,
-                     temperature=args.temperature,
+                     temperature=args.temperature or 0.0,
                      num_beams=args.num_beams, seq_len=args.seq_len,
                      single_pred_prompt=args.single_pred_prompt)
     print(f"answers -> {out}")

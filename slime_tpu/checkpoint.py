@@ -86,13 +86,19 @@ def _lora_rank_alpha(model_path: str, lora_sd: Dict[str, np.ndarray]):
     """(r, alpha) from adapter_config.json, else inferred from factor shapes
     (alpha defaults to 2r, the reference's r=128/alpha=256 ratio)."""
     cfg_fp = os.path.join(model_path, "adapter_config.json")
+    ac = {}
     if os.path.exists(cfg_fp):
         with open(cfg_fp) as f:
             ac = json.load(f)
         if "r" in ac:
             return int(ac["r"]), int(ac.get("lora_alpha", 2 * ac["r"]))
-    r = next(v.shape[0] for k, v in lora_sd.items() if ".lora_A." in k)
-    return int(r), int(2 * r)
+    r = next((v.shape[0] for k, v in lora_sd.items() if ".lora_A." in k), None)
+    if r is None:
+        raise ValueError(
+            f"cannot infer LoRA rank for {model_path}: adapter_config.json has "
+            "no 'r' and no '.lora_A.' factors were found in the adapter state "
+            "dict — unsupported adapter naming?")
+    return int(r), int(ac.get("lora_alpha", 2 * r))
 
 
 # ----------------------------------------------------------------------------------
@@ -360,12 +366,14 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
         from .ops.quantization import quantize_params
         params["llm"]["layers"] = quantize_params(params["llm"]["layers"],
                                                   bits=load_bits, min_size=1024)
-        if quantize_lm_head:
-            # opt-in beyond the reference: int8 lm_head cuts ~12% of the
-            # per-step weight stream at 128k vocab (llama._lm_head is
-            # quant-aware); logits shift by <2% relative on tiny-model parity
-            params["llm"]["lm_head"] = quantize_params(
-                params["llm"]["lm_head"], bits=8, min_size=1024)
+    if quantize_lm_head:
+        # opt-in beyond the reference (works with or without load_bits): int8
+        # lm_head cuts ~12% of the per-step weight stream at 128k vocab
+        # (llama._lm_head is quant-aware); logits shift <2% relative on
+        # tiny-model parity
+        from .ops.quantization import quantize_params
+        params["llm"]["lm_head"] = quantize_params(
+            params["llm"]["lm_head"], bits=8, min_size=1024)
     return params
 
 

@@ -246,7 +246,7 @@ def mmbench_to_submission(answers_file: str, tsv_path: str, dst_xlsx_or_json: st
 def run_chartqa(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
                 image_folder: str, answers_file: str, conv_mode: str,
                 batch_size: int = 4, max_new_tokens: int = 100,
-                compute_dtype=None) -> Dict:
+                seq_len: int = 0, compute_dtype=None) -> Dict:
     """ChartQA driver (reference model_vqa_chartqa.py:135-186): questions are
     jsonl rows with image/question/answer; output is a json ARRAY of
     {'answer', 'annotation'} pairs and the relaxed accuracy is returned."""
@@ -258,6 +258,7 @@ def run_chartqa(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
                      image_folder=image_folder, answers_file=tmp,
                      conv_mode=conv_mode, batch_size=batch_size,
                      max_new_tokens=max_new_tokens, question_key="question",
+                     seq_len=seq_len,
                      single_pred_prompt=True, compute_dtype=compute_dtype)
     outputs = []
     with open(tmp) as f:
@@ -273,7 +274,7 @@ def run_chartqa(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
 def run_mmhal(params, cfg: SliMEConfig, tokenizer, records: List[Dict], *,
               answers_file: str, conv_mode: str, image_folder: str = "",
               batch_size: int = 2, max_new_tokens: int = 1024,
-              compute_dtype=None) -> str:
+              seq_len: int = 0, compute_dtype=None) -> str:
     """MMHal-Bench response driver (reference model_vqa_mmhal.py:40-95):
     records carry question/image_path/image_content/gt_answer; each gains a
     'model_answer' field and the whole record list is dumped as json for the
@@ -285,7 +286,7 @@ def run_mmhal(params, cfg: SliMEConfig, tokenizer, records: List[Dict], *,
                      answers_file=tmp, conv_mode=conv_mode,
                      batch_size=batch_size, max_new_tokens=max_new_tokens,
                      question_key="question", image_key="image_path",
-                     compute_dtype=compute_dtype)
+                     seq_len=seq_len, compute_dtype=compute_dtype)
     out = []
     with open(tmp) as f:
         for rec, line in zip(records, f):
@@ -301,7 +302,7 @@ def run_mmhal(params, cfg: SliMEConfig, tokenizer, records: List[Dict], *,
 def run_amber(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
               image_folder: str, answers_file: str, conv_mode: str,
               batch_size: int = 4, max_new_tokens: int = 128,
-              compute_dtype=None) -> str:
+              seq_len: int = 0, compute_dtype=None) -> str:
     """AMBER driver (reference model_vqa_amber.py:83-132): questions are a json
     array with id/image/query; answers jsonl rows carry the capitalized
     response in the AMBER evaluator's expected format."""
@@ -312,7 +313,7 @@ def run_amber(params, cfg: SliMEConfig, tokenizer, questions: List[Dict], *,
                      image_folder=image_folder, answers_file=tmp,
                      conv_mode=conv_mode, batch_size=batch_size,
                      max_new_tokens=max_new_tokens, question_key="query",
-                     compute_dtype=compute_dtype)
+                     seq_len=seq_len, compute_dtype=compute_dtype)
     with open(tmp) as f, open(answers_file, "w") as out:
         for q, line in zip(questions, f):
             r = json.loads(line)

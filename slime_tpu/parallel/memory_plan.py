@@ -90,8 +90,6 @@ def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
     def _acc_layer(path, leaf):
         nonlocal stacked_bytes, n_layer_params
         shape = (L,) + tuple(leaf.shape)
-        spec = composed.stacked_param_pspec(path, _Shape(shape), None, "pp")
-        # re-evaluate divisibility against the real axis sizes
         s = "llm/layers/0/" + mesh_lib._path_str(path)
         inner = composed._rule_spec(s, shape[1:], _FakeMesh(axis_sizes))
         spec = ("pp",) + tuple(inner)
@@ -157,11 +155,6 @@ def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
             "logits": round(logits_local / gb, 2),
             "total": round(total / gb, 2),
         })
-
-
-class _Shape:
-    def __init__(self, shape):
-        self.shape = shape
 
 
 class _FakeMesh:

@@ -40,8 +40,10 @@ def _shard_map(mesh, manual_axes=None):
 
 def stack_layers(params):
     """[L, ...] stacked layer pytree from params["layers"] (list of per-layer
-    trees) — the layout PP shards over the pp axis."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["layers"])
+    trees) — the layout PP shards over the pp axis. Same convention as the
+    serving path's pre-stacked storage (delegates to llama.stack_layers)."""
+    layers = params["layers"]
+    return layers if isinstance(layers, dict) else llama.stack_layers(layers)
 
 
 def pipeline_forward(params, embeds, cfg, *, mesh: Mesh, axis: str = "pp",
@@ -177,6 +179,6 @@ def init_pp_train_state(params, tx, *, mesh: Mesh, axis: str = "pp"):
 
 
 def unstack_layers(stacked, num_layers: int):
-    """Inverse of stack_layers: [L, ...] pytree -> list of per-layer trees."""
-    return [jax.tree_util.tree_map(lambda x: x[i], stacked)
-            for i in range(num_layers)]
+    """Inverse of stack_layers: [L, ...] pytree -> list of per-layer trees
+    (delegates to llama.unstack_layers — one stacking convention)."""
+    return llama.unstack_layers(stacked, num_layers)

@@ -37,11 +37,14 @@ def _prefill_jit(llm_params, input_ids, cfg_llm, cache_len, compute_dtype):
     TPU tunnel; one compiled program costs one."""
     S = input_ids.shape[1]
     embeds = llama.embed(llm_params, input_ids).astype(compute_dtype)
+    # logits only at the last position: full-sequence fp32 logits at 128k
+    # vocab are ~0.9 GB per 1k prompt tokens of pure waste (see generate.py)
     logits, kvs = llama.forward(llm_params, embeds, cfg_llm,
-                                return_kv=True, compute_dtype=compute_dtype)
+                                return_kv=True, compute_dtype=compute_dtype,
+                                logit_positions=jnp.full((1,), S - 1))
     cache = llama.init_kv_cache(cfg_llm, 1, cache_len, dtype=compute_dtype)
     cache = llama.prefill_into_cache(cache, kvs, jnp.full((1,), S))
-    return jnp.argmax(logits[0, S - 1]).astype(jnp.int32), cache
+    return jnp.argmax(logits[0, 0]).astype(jnp.int32), cache
 
 
 def speculative_generate(params_target, cfg_target: SliMEConfig,
@@ -215,8 +218,10 @@ def _spec_loop_device(tp, dp, t_cache, d_cache, first_tok, *, tl, dl, K,
         base_t["length"] = t_cache["length"] - (K + 1) + e
         base_d = dict(d_cache)
         base_d["length"] = base_t["length"]
+        # count the full acc (pre budget/eos cut), matching the host loop's
+        # acceptance-rate semantics
         return (base_t, base_d, cur, out, n_out,
-                n_acc + jnp.minimum(acc, e), n_prop + K, done)
+                n_acc + acc, n_prop + K, done)
 
     out0 = jnp.zeros((BUF,), jnp.int32).at[0].set(first_tok)
     carry = (t_cache, d_cache, first_tok,
