@@ -46,6 +46,22 @@ def main():
                     help="merge chunk files matching answers-file pattern and score")
     args = ap.parse_args()
 
+    if args.benchmark in ("chartqa", "mmhal", "amber"):
+        # These drivers replicate the reference protocols, which are greedy
+        # bs>1; sampling/beam flags would be silently ignored — refuse them.
+        ignored = []
+        if args.temperature not in (None, 0.0):
+            ignored.append(f"--temperature={args.temperature}")
+        if args.num_beams != 1:
+            ignored.append(f"--num-beams={args.num_beams}")
+        if args.single_pred_prompt:
+            ignored.append("--single-pred-prompt")
+        if ignored:
+            ap.error(f"{', '.join(ignored)} not supported by the "
+                     f"'{args.benchmark}' driver (it runs the reference "
+                     "greedy protocol); drop the flag(s) or use "
+                     "--benchmark generic")
+
     from slime_tpu.eval import harness, scorers
 
     if args.merge:

@@ -563,14 +563,31 @@ def save_checkpoint(path: str, params: Dict, cfg: SliMEConfig,
 
 
 def to_jax(params, dtype=None):
-    """numpy pytree -> jnp arrays (optionally casting floats)."""
+    """numpy pytree -> jnp arrays (optionally casting floats).
+
+    Quantized leaves ({"q"/"q4", "scale"} dicts from ops.quantization) are kept
+    intact: casting their fp32 'scale' to bf16 would add ~0.2-0.4% avoidable
+    dequant error on every int8/int4 weight.
+    """
+    import jax
     import jax.numpy as jnp
 
-    def conv(x):
+    from .ops.quantization import is_quantized
+
+    def conv(x, *, keep_fp32=False):
         a = jnp.asarray(x)
-        if dtype is not None and a.dtype in (jnp.float32, jnp.float64, jnp.float16):
+        if (dtype is not None and not keep_fp32
+                and a.dtype in (jnp.float32, jnp.float64, jnp.float16)):
             a = a.astype(dtype)
         return a
 
-    import jax
-    return jax.tree_util.tree_map(conv, params)
+    def walk(node):
+        if is_quantized(node):
+            return {k: conv(v, keep_fp32=(k == "scale")) for k, v in node.items()}
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return conv(node)
+
+    return walk(params)

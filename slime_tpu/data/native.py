@@ -27,15 +27,22 @@ def build_native(force: bool = False) -> bool:
     """Compile the shared library with make; returns success. Rebuilds when the
     C++ source is newer than the .so (a stale binary must never shadow edits)."""
     cpp = os.path.join(_NATIVE_DIR, "slime_preprocess.cpp")
-    if (os.path.exists(_SO) and not force
-            and not (os.path.exists(cpp)
-                     and os.path.getmtime(cpp) > os.path.getmtime(_SO))):
+    stale = (os.path.exists(_SO) and os.path.exists(cpp)
+             and os.path.getmtime(cpp) > os.path.getmtime(_SO))
+    if os.path.exists(_SO) and not force and not stale:
         return True
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True, timeout=120)
         return os.path.exists(_SO)
     except Exception:
+        if stale:
+            # The .cpp changed and the rebuild failed: a stale binary must
+            # never shadow edits, so refuse it (callers fall back to PIL).
+            import warnings
+            warnings.warn("native rebuild failed with a stale libslime_preprocess.so; "
+                          "refusing the stale binary (PIL fallback will be used)")
+            return False
         return os.path.exists(_SO)
 
 

@@ -215,25 +215,54 @@ def convert_seed(answers_file: str, dst: str) -> str:
     return dst
 
 
-def mmbench_to_submission(answers_file: str, tsv_path: str, dst_xlsx_or_json: str) -> str:
-    """Map predicted letters back onto the MMBench sheet
-    (scripts/convert_mmbench_for_submission.py). Emits json (openpyxl-free)."""
-    from .scorers import parse_multichoice
+# Columns the reference drops before upload (convert_mmbench_for_submission.py:21).
+_MMBENCH_DROP = ("hint", "category", "source", "image", "comment", "l2-category")
+
+
+def mmbench_to_submission(answers_file: str, tsv_path: str, dst_xlsx: str) -> str:
+    """Map raw predictions back onto the MMBench sheet and write the eval
+    server's xlsx upload (scripts/convert_mmbench_for_submission.py:15-27):
+    all tsv columns minus the drop set, 'prediction' inserted at position 6,
+    prediction = the model's raw text keyed by index. Written with the stdlib
+    zip/XML writer in eval/xlsx.py (no pandas/openpyxl in this environment).
+
+    Legacy: a dst ending in .json emits the round-2 json artifact instead.
+    """
     rows = load_mmbench_tsv(tsv_path)
     preds: Dict[str, str] = {}
     for line in open(answers_file):
         r = json.loads(line)
         if r.get("round_id", 0) == 0:
-            letter = parse_multichoice(r["text"]) or ""
-            preds[str(r["question_id"])] = letter
-    out = []
-    for row in rows:
-        out.append({"index": row.get("index"), "question": row.get("question"),
-                    "A": row.get("A"), "B": row.get("B"), "C": row.get("C"),
-                    "D": row.get("D"), "prediction": preds.get(str(row.get("index")), "")})
-    with open(dst_xlsx_or_json, "w") as f:
-        json.dump(out, f)
-    return dst_xlsx_or_json
+            preds[str(r["question_id"])] = r["text"]
+
+    if dst_xlsx.endswith(".json"):
+        from .scorers import parse_multichoice
+        out = [{"index": row.get("index"), "question": row.get("question"),
+                "A": row.get("A"), "B": row.get("B"), "C": row.get("C"),
+                "D": row.get("D"),
+                "prediction": parse_multichoice(preds.get(str(row.get("index")), "")) or ""}
+               for row in rows]
+        with open(dst_xlsx, "w") as f:
+            json.dump(out, f)
+        return dst_xlsx
+
+    from .xlsx import write_xlsx
+    src_cols = list(rows[0].keys()) if rows else ["index", "question", "A", "B", "C", "D"]
+    cols = [c for c in src_cols if c not in _MMBENCH_DROP]
+    cols.insert(min(6, len(cols)), "prediction")
+
+    def cell(row: Dict, col: str):
+        if col == "prediction":
+            return preds.get(str(row.get("index")), None)
+        v = row.get(col)
+        if col == "index" and v is not None:  # server matches numerically
+            try:
+                return int(v)
+            except ValueError:
+                return v
+        return v
+
+    return write_xlsx(dst_xlsx, cols, [[cell(row, c) for c in cols] for row in rows])
 
 
 # ----------------------------------------------------------------------------------

@@ -310,6 +310,9 @@ def score_chartqa(entries: List[Dict]) -> Dict:
         anns = e["annotation"]
         if isinstance(anns, str):
             anns = [anns]
+        if not anns:  # empty annotation list scores 0 instead of aborting
+            scores.append(False)
+            continue
         scores.append(max(relaxed_correctness(e["answer"].strip(), a)
                           for a in anns))
     return {"relaxed_accuracy": sum(scores) / max(len(scores), 1),
@@ -366,3 +369,76 @@ def score_scienceqa_gpt4(our_answers: List[Dict], gpt4_answers: Dict[str, str],
             "accuracy": 100.0 * correct / total,
             "accuracy_upperbound": 100.0 * upper / total,
             "gpt4_failed": gpt4_failed}
+
+
+def score_scienceqa_gpt4_requery(our_answers: List[Dict],
+                                 requery_answers: List[Dict],
+                                 gpt4_answers: Dict[str, str],
+                                 problems: Dict[str, Dict],
+                                 split_indices: Sequence[str], *,
+                                 options: Sequence[str] = ("A", "B", "C", "D", "E"),
+                                 seed: int = 0) -> Dict:
+    """Requery ensemble (reference eval_science_qa_gpt4_requery.py:40-148):
+    a second "requery" pass re-asks questions the model got wrong; per problem
+    the requery answer wins when it parses, else the original answer stands.
+    Returns the requery accuracy plus the reference's side stats (our/GPT-4
+    accuracies, GPT-4 parse-failure rate, our+GPT-4 upper bound) and the
+    per-problem chosen indices under 'results' (the sqa_results payload)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    ours = {str(a["question_id"]): a for a in our_answers}
+    requery = {str(a["question_id"]): a for a in requery_answers}
+    stats = {"total": 0, "our_correct": 0, "gpt4_correct": 0,
+             "gpt4_failed": 0, "gpt4_ourvisual_correct": 0,
+             "requery_correct": 0, "correct_upperbound": 0,
+             "missing_requery": 0}
+    chosen: Dict[str, int] = {}
+    for pid in split_indices:
+        if pid not in ours or pid not in gpt4_answers:
+            continue
+        prob = problems[pid]
+
+        def parse(text: str) -> str:
+            m = _SQA_ANSWER_RE.findall(text)
+            return m[0] if len(m) == 1 else "FAILED"
+
+        our_letter = parse(ours[pid]["text"])
+        if pid in requery:
+            requery_letter = parse(requery[pid]["text"])
+        else:
+            stats["missing_requery"] += 1
+            requery_letter = "FAILED"
+        gpt4_letter = parse(gpt4_answers[pid])
+
+        our_idx = _sqa_pred_idx(our_letter, prob["choices"], options, rng)
+        gpt4_idx = _sqa_pred_idx(gpt4_letter, prob["choices"], options, rng)
+        requery_idx = _sqa_pred_idx(requery_letter, prob["choices"], options, rng)
+
+        stats["total"] += 1
+        if gpt4_letter == "FAILED":
+            stats["gpt4_failed"] += 1
+            if gpt4_idx == prob["answer"]:
+                stats["gpt4_correct"] += 1
+            if our_idx == prob["answer"]:
+                stats["gpt4_ourvisual_correct"] += 1
+        elif gpt4_idx == prob["answer"]:
+            stats["gpt4_correct"] += 1
+            stats["gpt4_ourvisual_correct"] += 1
+        if our_idx == prob["answer"]:
+            stats["our_correct"] += 1
+        pick = our_idx if requery_letter == "FAILED" else requery_idx
+        chosen[pid] = pick
+        if pick == prob["answer"]:
+            stats["requery_correct"] += 1
+        if gpt4_idx == prob["answer"] or our_idx == prob["answer"]:
+            stats["correct_upperbound"] += 1
+    total = max(stats["total"], 1)
+    return {"acc": 100.0 * stats["requery_correct"] / total,
+            "correct": stats["requery_correct"], "count": stats["total"],
+            "results": chosen,
+            "our_accuracy": 100.0 * stats["our_correct"] / total,
+            "gpt4_accuracy": 100.0 * stats["gpt4_correct"] / total,
+            "gpt4_failed": stats["gpt4_failed"],
+            "gpt4_ourvisual_accuracy": 100.0 * stats["gpt4_ourvisual_correct"] / total,
+            "accuracy_upperbound": 100.0 * stats["correct_upperbound"] / total,
+            "missing_requery": stats["missing_requery"]}

@@ -38,6 +38,61 @@ def test_converters(tmp_path):
     assert json.load(open(sd))[1]["prediction"] == "cat"
 
 
+def test_xlsx_roundtrip(tmp_path):
+    from slime_tpu.eval.xlsx import read_xlsx, write_xlsx
+    p = write_xlsx(str(tmp_path / "t.xlsx"), ["index", "question", "prediction"],
+                   [[1, "what <is> & this?", "A"],
+                    [2, "trailing space ", None],
+                    [3, "num", 4.5]])
+    rows = read_xlsx(p)
+    assert rows[0] == ["index", "question", "prediction"]
+    assert rows[1] == ["1", "what <is> & this?", "A"]
+    assert rows[2][1] == "trailing space " and rows[2][2] is None
+    assert rows[3][2] == "4.5"
+    # it must be a real zip with the OOXML parts a reader looks for, and every
+    # part must be well-formed XML (openpyxl is absent in this env; ElementTree
+    # is the strictest available parser)
+    import xml.etree.ElementTree as ET
+    import zipfile
+    z = zipfile.ZipFile(p)
+    names = z.namelist()
+    for part in ("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                 "xl/_rels/workbook.xml.rels", "xl/styles.xml",
+                 "xl/worksheets/sheet1.xml"):
+        assert part in names
+        ET.fromstring(z.read(part))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    assert len(sheet.find(f"{ns}sheetData").findall(f"{ns}row")) == 4
+
+
+def test_mmbench_to_submission_xlsx(tmp_path):
+    tsv = tmp_path / "mmbench.tsv"
+    cols = ["index", "question", "hint", "A", "B", "C", "D", "answer",
+            "category", "l2-category", "image", "source", "comment"]
+    with open(tsv, "w") as f:
+        f.write("\t".join(cols) + "\n")
+        f.write("\t".join(["7", "color?", "h", "red", "blue", "", "", "A",
+                           "c", "l2", "img64", "s", "cm"]) + "\n")
+        f.write("\t".join(["9", "shape?", "h", "round", "flat", "", "", "B",
+                           "c", "l2", "img64", "s", "cm"]) + "\n")
+    ans = tmp_path / "a.jsonl"
+    with open(ans, "w") as f:
+        f.write(json.dumps({"question_id": 7, "text": "The answer is A.",
+                            "round_id": 0}) + "\n")
+        f.write(json.dumps({"question_id": 7, "text": "rotated",
+                            "round_id": 1}) + "\n")  # non-zero rounds ignored
+    out = bm.mmbench_to_submission(str(ans), str(tsv), str(tmp_path / "sub.xlsx"))
+    from slime_tpu.eval.xlsx import read_xlsx
+    rows = read_xlsx(out)
+    # reference drops hint/category/source/image/comment/l2-category and
+    # inserts 'prediction' at position 6 (convert_mmbench_for_submission.py:21-22)
+    assert rows[0] == ["index", "question", "A", "B", "C", "D", "prediction",
+                       "answer"]
+    assert rows[1][0] == "7" and rows[1][6] == "The answer is A."
+    assert rows[2][0] == "9" and rows[2][6] is None  # unanswered stays empty
+
+
 def test_scienceqa_prompt():
     p = bm.scienceqa_prompt({"question": "Which is heavier?",
                              "choices": ["rock", "feather"], "hint": "think",

@@ -230,6 +230,9 @@ def test_score_chartqa():
     ]
     m = scorers.score_chartqa(entries)
     assert m["n"] == 3 and abs(m["relaxed_accuracy"] - 2 / 3) < 1e-9
+    # an empty annotation list scores 0 instead of raising (ADVICE r2)
+    m = scorers.score_chartqa(entries + [{"answer": "x", "annotation": []}])
+    assert m["n"] == 4 and abs(m["relaxed_accuracy"] - 2 / 4) < 1e-9
 
 
 def test_score_scienceqa_gpt4():
@@ -246,6 +249,35 @@ def test_score_scienceqa_gpt4():
     assert m["gpt4_failed"] == 1
     # upper bound counts p1 where OUR answer (B) was right
     assert m["accuracy_upperbound"] == 50.0
+
+
+def test_score_scienceqa_gpt4_requery():
+    problems = {
+        "p1": {"choices": ["a", "b"], "answer": 1},
+        "p2": {"choices": ["a", "b", "c"], "answer": 0},
+        "p3": {"choices": ["a", "b"], "answer": 0},
+    }
+    ours = [{"question_id": "p1", "text": "The answer is A."},   # wrong
+            {"question_id": "p2", "text": "The answer is A."},   # right
+            {"question_id": "p3", "text": "The answer is B."}]   # wrong
+    # requery fixes p1, is unparsable for p2 (falls back to ours), missing p3
+    requery = [{"question_id": "p1", "text": "The answer is B."},
+               {"question_id": "p2", "text": "hmm not sure"}]
+    gpt4 = {"p1": "The answer is B.", "p2": "The answer is B.",
+            "p3": "The answer is A."}
+    m = scorers.score_scienceqa_gpt4_requery(ours, requery, gpt4, problems,
+                                             ["p1", "p2", "p3"])
+    # requery ensemble: p1 requery B (right), p2 falls back to ours A (right),
+    # p3 missing requery -> ours B (wrong)
+    assert m["count"] == 3 and m["correct"] == 2
+    assert abs(m["acc"] - 200 / 3) < 1e-9
+    assert m["missing_requery"] == 1
+    assert m["results"] == {"p1": 1, "p2": 0, "p3": 1}
+    assert abs(m["our_accuracy"] - 100 / 3) < 1e-9
+    # gpt4: p1 B right, p2 B wrong, p3 A right -> 2/3
+    assert abs(m["gpt4_accuracy"] - 200 / 3) < 1e-9
+    # upper bound (gpt4 or ours right): p1 yes, p2 yes, p3 yes
+    assert m["accuracy_upperbound"] == 100.0
 
 
 def test_mmhal_parse_and_summarize():

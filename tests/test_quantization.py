@@ -56,6 +56,23 @@ def test_tree_quantization(rng):
     assert np.abs(a - b).mean() < 1e-3
 
 
+def test_to_jax_preserves_quant_scales(rng):
+    """to_jax(dtype=bf16) must not cast fp32 'scale' leaves inside quantized
+    dicts — that would add ~0.2-0.4% dequant error to every int8/int4 weight
+    (ADVICE r2)."""
+    from slime_tpu import checkpoint as ckpt
+
+    w = rng.standard_normal((64, 32)).astype(np.float32) * 0.02
+    tree = {"llm": {"proj": {"weight": q.quantize_weight(jnp.asarray(w), 8)},
+                    "norm": {"weight": np.ones((32,), np.float32)}}}
+    out = ckpt.to_jax(tree, dtype=jnp.bfloat16)
+    qleaf = out["llm"]["proj"]["weight"]
+    assert q.is_quantized(qleaf)
+    assert qleaf["scale"].dtype == jnp.float32  # untouched
+    assert qleaf["q"].dtype == jnp.int8
+    assert out["llm"]["norm"]["weight"].dtype == jnp.bfloat16  # plain leaves cast
+
+
 def test_quantized_lm_head_matches_fp():
     """The logits path is quant-aware (llama._lm_head): an int8 lm_head must
     produce near-identical logits and the same greedy decode on a tiny model."""
