@@ -1,0 +1,97 @@
+"""Chunked next-token cross entropy: never materialize [B, S, V] logits.
+
+At 70B scale (V=128256) full-sequence fp32 logits are the difference between a
+training step fitting a 16 GB v5e chip and not (parallel/memory_plan.py's head
+term). The reference never has to solve this — it fits 70B only via LoRA +
+ZeRO-3 (reference README.md:72) where the head term is dwarfed by activations.
+Here the loss runs the lm_head projection chunk-by-chunk over the sequence
+inside a jax.lax.scan whose body is jax.checkpoint'ed: forward keeps only the
+scalar accumulators per chunk, backward rematerializes one chunk's logits at a
+time. Peak live logits: one [B, chunk, V] fp32 block (plus its softmax
+temporary) instead of [B, S, V].
+
+XLA sees a static-trip-count scan of MXU-sized matmuls — each chunk's
+[B*chunk, H] x [H, V] projection is large enough to tile well, and the lse /
+gather epilogue fuses into it.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import IGNORE_INDEX
+
+# One value shared by the executable step (parallel/pipeline.py) and the HBM
+# accounting (parallel/memory_plan.py) so the plan models the code as written.
+DEFAULT_LOSS_CHUNK = 256
+
+
+def _dense_nll(x, w, targets, valid):
+    logits = jnp.einsum("bsh,vh->bsv", x, w.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    safe = jnp.where(valid, targets, 0)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    nll = lse - gold
+    return (jnp.sum(jnp.where(valid, nll, 0.0)),
+            jnp.sum(valid).astype(jnp.int32))
+
+
+def chunked_cross_entropy(x: jnp.ndarray, lm_head_weight: jnp.ndarray,
+                          labels: jnp.ndarray, *,
+                          chunk: Optional[int] = DEFAULT_LOSS_CHUNK,
+                          ignore_index: int = IGNORE_INDEX,
+                          shift: bool = True
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sum_nll fp32 scalar, n_valid int32) for next-token prediction.
+
+    x [B, S, H]: FINAL hidden states (already rms-normed); lm_head_weight
+    [V, H]; labels [B, S]. With shift=True (HF semantics) position i predicts
+    labels[:, i+1] and the last position is ignored — callers pass unshifted
+    labels and never slice, so S stays chunk-divisible. chunk=None or
+    chunk >= S falls back to one dense projection.
+    """
+    B, S, H = x.shape
+    if shift:
+        targets = jnp.concatenate(
+            [labels[:, 1:], jnp.full((B, 1), ignore_index, labels.dtype)], axis=1)
+    else:
+        targets = labels
+    valid = targets != ignore_index
+
+    if chunk is None or chunk >= S:
+        return _dense_nll(x, lm_head_weight, targets, valid)
+
+    pad = (-S) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)),
+                          constant_values=ignore_index)
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    n = x.shape[1] // chunk
+    xs = x.reshape(B, n, chunk, H).swapaxes(0, 1)          # [n, B, C, H]
+    ts = targets.reshape(B, n, chunk).swapaxes(0, 1)
+    vs = valid.reshape(B, n, chunk).swapaxes(0, 1)
+
+    def body(carry, inp):
+        xc, tc, vc = inp
+        s, c = carry
+        ds, dc = _dense_nll(xc, lm_head_weight, tc, vc)
+        return (s + ds, c + dc), None
+
+    (total, count), _ = jax.lax.scan(
+        jax.checkpoint(body), (jnp.float32(0.0), jnp.int32(0)), (xs, ts, vs))
+    return total, count
+
+
+def chunked_ce_mean(x, lm_head_weight, labels, *,
+                    chunk: Optional[int] = DEFAULT_LOSS_CHUNK,
+                    ignore_index: int = IGNORE_INDEX, shift: bool = True):
+    """Mean-over-valid-tokens variant (the training objective)."""
+    total, count = chunked_cross_entropy(
+        x, lm_head_weight, labels, chunk=chunk, ignore_index=ignore_index,
+        shift=shift)
+    return total / jnp.maximum(count, 1)

@@ -120,12 +120,80 @@ def init_composed_train_state(params, tx, *, mesh: Mesh, axis: str = "pp"):
 
 
 def make_composed_train_step(cfg, tx, *, mesh: Mesh, axis: str = "pp",
-                             n_micro: Optional[int] = None):
+                             n_micro: Optional[int] = None,
+                             loss_chunk: Optional[int] = None):
     """Train step on the 4-axis mesh. Identical code to the pp-only step —
     the partial-manual shard_map in pipeline_forward leaves data/fsdp/model
     automatic, so the same wavefront self-composes once the state/batch carry
     composed shardings (init_composed_train_state / composed_batch)."""
-    return make_pp_train_step(cfg, tx, mesh=mesh, axis=axis, n_micro=n_micro)
+    return make_pp_train_step(cfg, tx, mesh=mesh, axis=axis, n_micro=n_micro,
+                              loss_chunk=loss_chunk)
+
+
+def lower_composed_abstract(cfg, *, n_data: int = 1, n_fsdp: int = 8,
+                            n_model: int = 4, n_pp: int = 4, batch: int = 32,
+                            seq: int = 2048, n_micro: Optional[int] = None,
+                            loss_chunk: Optional[int] = None, devices=None,
+                            param_dtype=None):
+    """Shape-only lower the FULL composed train step (loss + grads + AdamW) for
+    ``cfg`` on an (n_data, n_fsdp, n_model, n_pp) mesh — no parameters are ever
+    allocated (jax.eval_shape params, ShapeDtypeStruct batch). This is the
+    compiler check behind the 70B fit table: the claimed (fsdp=8, tp=4, pp=4)
+    config traces through the wavefront shard_map, the composed shardings, the
+    chunked loss, and the optimizer update, so divisibility/rank/spec errors
+    surface without 128 real chips (tests/test_memory_plan.py).
+
+    State shardings are attached INSIDE the jit via with_sharding_constraint
+    (optimizer state then inherits them through optax's tree_maps), which
+    avoids reconstructing optax's state pytree by hand. Returns the Lowered —
+    .compile() then runs XLA's SPMD partitioner too (the strongest no-hardware
+    check; measured 15s for 70B on 128 virtual CPU devices).
+
+    param_dtype defaults to bf16 (the training layout). NOTE for CPU
+    compile-checks: pass jnp.float32 — the CPU backend's AllReducePromotion
+    pass crashes on bf16 gradient all-reduces (XLA CPU bug, hit at lower+
+    compile only on CPU; TPU compiles bf16 fine).
+    """
+    import optax
+
+    from ..models import llama
+
+    mesh = make_composed_mesh(n_data, n_fsdp, n_model, n_pp, devices=devices)
+    tx = optax.adamw(1e-4)
+    # jitted steps inline when called inside another trace
+    inner = make_composed_train_step(cfg, tx, mesh=mesh, n_micro=n_micro,
+                                     loss_chunk=loss_chunk)
+
+    if param_dtype is None:
+        param_dtype = jnp.bfloat16
+    abstract_params = jax.eval_shape(
+        lambda: llama.init(jax.random.PRNGKey(0), cfg))
+    abstract_params = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, param_dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating) else s, abstract_params)
+
+    def full_step(params, batch):
+        stacked = stack_layers(params)
+        stacked = jax.lax.with_sharding_constraint(
+            stacked, stacked_param_shardings(mesh, stacked))
+        head = {k: v for k, v in params.items() if k != "layers"}
+        head = jax.lax.with_sharding_constraint(
+            head, head_param_shardings(mesh, head))
+        opt_state = tx.init((stacked, head))
+        state = {"stacked": stacked, "head": head, "opt_state": opt_state,
+                 "step": jnp.zeros((), jnp.int32)}
+        return inner(state, batch)
+
+    batch_abstract = {
+        "input_ids": jax.ShapeDtypeStruct(
+            (batch, seq), jnp.int32,
+            sharding=NamedSharding(mesh, P(("data", "fsdp")))),
+        "labels": jax.ShapeDtypeStruct(
+            (batch, seq), jnp.int32,
+            sharding=NamedSharding(mesh, P(("data", "fsdp")))),
+    }
+    with mesh:
+        return jax.jit(full_step).lower(abstract_params, batch_abstract)
 
 
 def composed_batch(mesh: Mesh, batch):

@@ -15,10 +15,14 @@ parallel/pipeline.py + jax.checkpoint:
   - each in-flight microbatch stashes its stage-INPUT per layer for backward
     (full per-layer remat: only layer boundaries are saved),
   - the wavefront holds <= n_stages microbatches in flight,
+  - the wavefront's ``outs`` accumulator ([n_micro, Bm, S, H] per stage) and
+    its ppermute double buffer are counted explicitly,
   - attention internals are recomputed (flash attention), so the per-layer
     working set is O(Bm*S*H) not O(Bm*S^2),
-  - fp32 logits at [B, S, V/model] dominate the head; with
-    logit_positions-style loss chunking they drop to [B, S_chunk, V/model].
+  - the loss is the CHUNKED cross entropy the step actually runs
+    (ops/loss.py, default DEFAULT_LOSS_CHUNK — the same constant this plan
+    defaults to): peak logits are one [B, chunk, V/model] fp32 block, counted
+    2x for the softmax/backward temporary that lives alongside it.
 """
 from __future__ import annotations
 
@@ -66,15 +70,24 @@ class MemoryPlan:
 def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
          n_pp: int = 1, batch: int = 8, seq: int = 2048,
          param_bytes: int = 2, opt_bytes: int = 4, master_fp32: bool = True,
-         n_micro: Optional[int] = None, loss_chunk: Optional[int] = 256
+         n_micro: Optional[int] = None, loss_chunk: Optional[int] = "default"
          ) -> MemoryPlan:
     """Bytes/device for one training step of ``cfg`` on the given mesh.
 
     param_bytes=2 (bf16 weights), opt_bytes=4 (fp32 Adam m+v), master_fp32
     adds an fp32 weight copy (mixed-precision training); grads stored at
     param precision (reduce-scattered into the fsdp shard like ZeRO-2/3).
+
+    loss_chunk defaults to ops.loss.DEFAULT_LOSS_CHUNK — the value
+    make_pp_train_step actually uses — so plan and step stay in agreement
+    (tests/test_memory_plan.py asserts this). Pass None to model a dense
+    (unchunked) loss.
     """
     from ..models import llama
+    from ..ops.loss import DEFAULT_LOSS_CHUNK
+
+    if loss_chunk == "default":
+        loss_chunk = DEFAULT_LOSS_CHUNK
 
     axis_sizes = {"data": n_data, "fsdp": n_fsdp, "model": n_model, "pp": n_pp}
 
@@ -132,12 +145,19 @@ def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
     # over model)
     stash = in_flight * layers_per_stage * B_local * S_local * H * act_dtype
     working = 8 * B_local * S_local * max(H, cfg.intermediate_size // max(n_model, 1)) * act_dtype
-    act_local = stash + working
+    # the wavefront's outs accumulator [n_micro, Bm, S, H] (each stage keeps a
+    # private copy under the partial-manual shard_map; batch dims stay sharded
+    # over data*fsdp inside) + the ppermute in/out double buffer [Bm, S, H]
+    outs_buf = n_micro * B_local * S_local * H * act_dtype
+    ppermute_buf = 2 * B_local * S_local * H * act_dtype
+    act_local = stash + working + outs_buf + ppermute_buf
 
-    # --- logits ---
+    # --- loss head (chunked CE, ops/loss.py) ---
+    # one [B_loss, chunk, V/model] fp32 logits block live at a time; 2x for
+    # the logsumexp/softmax-grad temporary next to it during backward remat
     S_loss = loss_chunk or seq
-    logits_local = (max(batch // (n_data * n_fsdp), 1) * S_loss
-                    * cfg.vocab_size // max(n_model, 1) * 4)
+    logits_local = 2 * (max(batch // (n_data * n_fsdp), 1) * S_loss
+                        * cfg.vocab_size // max(n_model, 1) * 4)
 
     total = (params_local + grads_local + opt_local + master_local
              + act_local + logits_local)

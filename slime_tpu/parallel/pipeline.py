@@ -48,13 +48,16 @@ def stack_layers(params):
 
 def pipeline_forward(params, embeds, cfg, *, mesh: Mesh, axis: str = "pp",
                      n_micro: Optional[int] = None, positions=None,
-                     stacked=None):
+                     stacked=None, return_hidden: bool = False):
     """Decoder forward with layers pipelined over ``axis``.
 
     embeds [B, S, H] (replicated); B is split into n_micro microbatches (default:
     2 * n_stages). Returns fp32 logits [B, S, V] identical (up to fp reordering)
-    to llama.forward. ``stacked`` overrides the stacked layer tree (pass one
-    already sharded with P(axis) on dim 0 to keep each stage's weights local).
+    to llama.forward — or, with return_hidden=True, the final rms-normed hidden
+    states [B, S, H] so the caller can run a chunked lm_head projection
+    (ops/loss.py) without ever materializing full-sequence logits. ``stacked``
+    overrides the stacked layer tree (pass one already sharded with P(axis) on
+    dim 0 to keep each stage's weights local).
     """
     n = mesh.shape[axis]
     B, S, H = embeds.shape
@@ -113,17 +116,28 @@ def pipeline_forward(params, embeds, cfg, *, mesh: Mesh, axis: str = "pp",
     x = outs[-1].reshape(B, S, H)
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    if return_hidden:
+        return x
     return jnp.einsum("bsh,vh->bsv", x,
                       params["lm_head"]["weight"].astype(x.dtype),
                       preferred_element_type=jnp.float32)
 
 
 def make_pp_train_step(cfg, tx, *, mesh: Mesh, axis: str = "pp",
-                       n_micro: Optional[int] = None):
+                       n_micro: Optional[int] = None,
+                       loss_chunk: Optional[int] = None):
     """Pipeline-parallel LLM training step (text-only): next-token cross entropy
     through pipeline_forward, AdamW via the given optax transform. Layers stay
     sharded over ``axis`` throughout (grads inherit the stacked P(axis) layout,
     so optimizer moments live on their stage too).
+
+    The loss is CHUNKED (ops/loss.py, default chunk DEFAULT_LOSS_CHUNK): the
+    lm_head projection + softmax run over ``loss_chunk``-token sequence slices
+    inside a rematerialized scan, so peak logits are [B, chunk, V] fp32 rather
+    than [B, S, V] — this is the term that decides the 70B fit in
+    parallel/memory_plan.py, and the plan defaults to the same constant.
+    Pass loss_chunk explicitly to override (None here means "use the default";
+    to force the dense path pass loss_chunk >= seq).
 
     Returns step(state, batch) -> (state, metrics) with
     state = {"stacked", "head", "opt_state", "step"}: ``stacked`` is the
@@ -132,22 +146,19 @@ def make_pp_train_step(cfg, tx, *, mesh: Mesh, axis: str = "pp",
     Build the state with init_pp_train_state()."""
     import optax
 
-    from ..constants import IGNORE_INDEX
+    from ..ops.loss import DEFAULT_LOSS_CHUNK, chunked_ce_mean
+
+    if loss_chunk is None:
+        loss_chunk = DEFAULT_LOSS_CHUNK
 
     def loss_fn(trainable, batch):
         stacked, head = trainable
         params = dict(head)
-        logits = pipeline_forward(params, llama.embed(params, batch["input_ids"]),
+        hidden = pipeline_forward(params, llama.embed(params, batch["input_ids"]),
                                   cfg, mesh=mesh, axis=axis, n_micro=n_micro,
-                                  stacked=stacked)
-        shift_logits = logits[:, :-1]
-        shift_labels = batch["labels"][:, 1:]
-        valid = shift_labels != IGNORE_INDEX
-        safe = jnp.where(valid, shift_labels, 0)
-        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
-            jnp.sum(valid), 1)
+                                  stacked=stacked, return_hidden=True)
+        return chunked_ce_mean(hidden, params["lm_head"]["weight"],
+                               batch["labels"], chunk=loss_chunk)
 
     @jax.jit
     def step(state, batch):

