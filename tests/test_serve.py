@@ -168,3 +168,104 @@ def test_worker_expiry():
         for n in dead:
             del c.workers[n]
     assert "http://dead" not in c.workers
+
+
+# ---------------------------------------------------------------------------
+# Gradio web server's plain functions (VERDICT r2 #8): everything controller-
+# facing is testable without gradio installed — model listing, image
+# hashing/logging, template routing, streamed chat assembly against the live
+# test stack. Reference: llava/serve/gradio_web_server.py:154-310.
+# ---------------------------------------------------------------------------
+
+def test_gradio_get_model_list(stack):
+    from slime_tpu.serve import gradio_web_server as gws
+
+    cport, wport, cfg, tok = stack
+    assert gws.get_model_list(f"http://localhost:{cport}") == ["slime-tiny"]
+
+
+def test_gradio_save_image_and_log(tmp_path, monkeypatch):
+    from PIL import Image
+
+    from slime_tpu.serve import gradio_web_server as gws
+
+    img = Image.new("RGB", (32, 20), (200, 10, 10))
+    b64 = gws.save_image(img, out_dir=str(tmp_path))
+    import base64
+    import hashlib
+    data = base64.b64decode(b64)
+    h = hashlib.md5(data).hexdigest()
+    assert (tmp_path / f"{h}.png").exists()          # hashed, persisted
+    # idempotent: same content -> same file, no duplicate
+    gws.save_image(img, out_dir=str(tmp_path))
+    assert len(list(tmp_path.iterdir())) == 1
+
+    monkeypatch.setattr(gws, "get_conv_log_filename",
+                        lambda: str(tmp_path / "conv.json"))
+    gws.log_record({"type": "upvote", "model": "m"})
+    rec = json.loads(open(tmp_path / "conv.json").read().strip())
+    assert rec["type"] == "upvote"
+
+
+def test_gradio_template_routing():
+    """Per-model conversation-template selection, the add_text logic
+    (gradio_web_server.py:154-176): llama3 names route to the llama3 template,
+    image goes in only on the first turn."""
+    from slime_tpu.conversation import conv_mode_from_model_name, conv_templates
+
+    mode = conv_mode_from_model_name("slime-llama3-8b")
+    assert mode == "llama3"
+    conv = conv_templates[mode].copy()
+    conv.append_message(conv.roles[0], "<image>\nwhat is this?")
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert "<image>" in p and p.rstrip().endswith("<|end_header_id|>")
+
+
+def test_gradio_stream_chat_against_live_stack(stack):
+    """stream_chat drives the controller's /worker_generate_stream proxy and
+    yields cumulative partial texts."""
+    from slime_tpu.conversation import conv_templates
+    from slime_tpu.serve import gradio_web_server as gws
+
+    cport, wport, cfg, tok = stack
+    conv = conv_templates["v1"].copy()
+    conv.append_message(conv.roles[0], "hello world what is")
+    conv.append_message(conv.roles[1], None)
+    texts = list(gws.stream_chat(f"http://localhost:{cport}", "slime-tiny",
+                                 conv, None, temperature=0.0,
+                                 max_new_tokens=4))
+    assert texts, "no streamed chunks"
+    assert all(isinstance(t, str) for t in texts)
+    from slime_tpu.serve.protocol import SERVER_ERROR_MSG
+    assert texts[-1] != SERVER_ERROR_MSG
+
+
+def test_gradio_stream_chat_error_path(tmp_path, monkeypatch):
+    """Unreachable controller -> the SERVER_ERROR_MSG sentinel, and the chat
+    is still logged."""
+    from slime_tpu.conversation import conv_templates
+    from slime_tpu.serve import gradio_web_server as gws
+    from slime_tpu.serve.protocol import SERVER_ERROR_MSG
+
+    monkeypatch.setattr(gws, "get_conv_log_filename",
+                        lambda: str(tmp_path / "conv.json"))
+    conv = conv_templates["v1"].copy()
+    conv.append_message(conv.roles[0], "hi")
+    conv.append_message(conv.roles[1], None)
+    texts = list(gws.stream_chat("http://localhost:1", "m", conv, None))
+    assert texts == [SERVER_ERROR_MSG]
+    assert (tmp_path / "conv.json").exists()
+
+
+def test_gradio_build_demo_gate():
+    """Without gradio installed, build_demo raises the documented ImportError
+    (the HTTP API stays functional)."""
+    from slime_tpu.serve import gradio_web_server as gws
+    try:
+        import gradio  # noqa: F401
+        pytest.skip("gradio installed here; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="gradio is not installed"):
+        gws.build_demo("http://localhost:1")
