@@ -29,12 +29,21 @@ is an optimistic analytic estimate of the same query on one A100-80G:
     2 * 8.03e9 * 1216 = 19.5 TF at 60% MFU = 104 ms
   - decode: 64 tokens via HF generate, bs=1 fp16 KV-cache: the 4.37-era stack
     (per-step Python dispatch, no CUDA graphs, unfused sampling) measures
-    30-45 tok/s on A100-80G for 8B models; generous 45 tok/s = 1,422 ms
+    30-45 tok/s on A100-80G for 8B models. External anchors (from published
+    sources known offline; this env has zero egress to re-verify): the vLLM
+    SOSP'23 paper's HF-transformers A100 baselines and HF's own 2023
+    "Optimizing LLMs for production" material put unoptimized fp16 bs=1
+    7-8B decode in the ~30-40 tok/s band; TensorRT-LLM marketing of the era
+    quoted HF baselines near the low end of that band. Rather than pick one
+    number, the estimate is BRACKETED:
+      generous  45 tok/s -> 1,422 ms decode -> total 1,538 ms -> 39.0 q/min
+      pessimistic 30 tok/s -> 2,133 ms decode -> total 2,249 ms -> 26.7 q/min
   - CPU PIL anyres amortized across dataloader workers: 0
-  Total ~= 1,538 ms/query -> 39.0 queries/min. Numbers > 1.0 beat that estimate
-  per chip. (Note our prefill is LONGER than the reference's: static shapes pad
-  to the full 1,649-token budget; the baseline is credited with its shorter
-  ragged sequence.)
+  vs_baseline is claimed against the GENEROUS end (39.0 q/min) — the harder
+  target; vs_baseline_pessimistic reports the other end. Numbers > 1.0 beat
+  the estimate per chip. (Note our prefill is LONGER than the reference's:
+  static shapes pad to the full 1,649-token budget; the baseline is credited
+  with its shorter ragged sequence.)
 
 The secondary vision-path microbenchmark from r01 lives on in bench_vision.py;
 decode-only microbenchmarks in bench_decode.py / bench_8b_int8.py.
@@ -48,7 +57,8 @@ import time
 
 import numpy as np
 
-BASELINE_QUERIES_PER_MIN = 39.0  # A100-80G reference-stack estimate (docstring)
+BASELINE_QUERIES_PER_MIN = 39.0        # generous end (45 tok/s decode)
+BASELINE_QPM_PESSIMISTIC = 26.7        # pessimistic end (30 tok/s decode)
 
 
 def _log(msg):
@@ -202,6 +212,59 @@ def main():
     dec_ms /= queries
 
     qpm = queries * B / total_s * 60.0
+
+    if os.environ.get("SLIME_BENCH_PHASES") == "1":
+        # Device-time split (VERDICT r2 #10): stage-fenced timings so TTFT is
+        # decomposable. Each fence costs one tunnel RTT; the RTT itself is
+        # measured first (scalar round trip) and reported so readers can
+        # subtract it. jax.profiler traces don't survive the axon tunnel,
+        # hence fences instead.
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(jnp.zeros(()))
+        rtt_ms = (time.perf_counter() - t0) / 3 * 1e3
+
+        fuse = jax.jit(lambda p, ids, attn, px, cm: slime.prepare_multimodal(
+            p, cfg, ids, attn, px, cm, training=False,
+            compute_dtype=jnp.bfloat16).embeds)
+
+        def _prefill_only(params, embeds, lengths):
+            idx = jnp.maximum(lengths - 1, 0)
+            logits, _ = llama.forward(params["llm"], embeds, cfg.llm,
+                                      return_kv=True,
+                                      compute_dtype=jnp.bfloat16,
+                                      scan_layers=True, logit_positions=idx)
+            return jnp.argmax(logits[:, 0], -1)
+
+        jpre_only = jax.jit(_prefill_only)
+        fused = slime.prepare_multimodal(params, cfg, ids, attn, px, cmask,
+                                         training=False,
+                                         compute_dtype=jnp.bfloat16)
+
+        def fence(f, *a):
+            r = f(*a)
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            float(jnp.sum(leaf[..., :1].astype(jnp.float32)))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = f(*a)
+                leaf = jax.tree_util.tree_leaves(r)[0]
+                float(jnp.sum(leaf[..., :1].astype(jnp.float32)))
+                best = min(best, time.perf_counter() - t0)
+            return best * 1e3
+
+        phases = {
+            "rtt_ms": round(rtt_ms, 1),
+            "anyres_preprocess_ms": round(fence(preproc, img) - rtt_ms, 1),
+            "vision_fusion_ms": round(
+                fence(fuse, params, ids, attn, px, cmask) - rtt_ms, 1),
+            "llm_prefill_ms": round(
+                fence(jpre_only, params, fused.embeds, fused.lengths) - rtt_ms, 1),
+            "decode_64_ms": round(dec_ms, 1),
+            "ttft_measured_ms": round(ttft_ms, 1),
+        }
+        print(json.dumps({"metric": "phase_split", **phases}))
     _log(f"per query: TTFT {ttft_ms:.0f} ms (anyres+encode+fusion+1649-tok "
          f"prefill), decode {dec_ms:.0f} ms ({NEW / (dec_ms / 1e3):.1f} tok/s)")
     # the A100 estimate in the docstring is a bs=1 latency pipeline; a batched
@@ -213,10 +276,13 @@ def main():
         "unit": (f"queries/min (bs={B}; 672x672 anyres + CLIP-L encode + "
                  f"compress/select + 8B int8 prefill [TTFT {ttft_ms:.0f}ms] + "
                  f"{NEW} greedy tokens [{NEW / (dec_ms / 1e3):.1f} tok/s/row], "
-                 "one chip; baseline = A100-80G reference-stack estimate of "
-                 "39.0 q/min at bs=1, see bench.py docstring)"),
+                 "one chip; baseline = A100-80G reference-stack estimate, "
+                 "bracketed 26.7-39.0 q/min at bs=1 [30-45 tok/s HF decode]; "
+                 "vs_baseline uses the GENEROUS 39.0 end — see docstring)"),
         "vs_baseline": (round(qpm / BASELINE_QUERIES_PER_MIN, 3)
                         if B == 1 else None),
+        "vs_baseline_pessimistic": (round(qpm / BASELINE_QPM_PESSIMISTIC, 3)
+                                    if B == 1 else None),
     }))
 
 

@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Speculative decoding on NATURAL-LANGUAGE data (VERDICT r2 #4).
+
+The r2 acceptance numbers came from a synthetic Markov language; this bench
+uses real English harvested from the machine itself (no network): license
+texts, package READMEs/markdown, and the docstrings of the installed
+transformers/jax/numpy packages — several MB of human-written prose. A real
+BPE tokenizer (tokenizers lib, vocab 2048) is trained on it; then a target LM
+and a ~20x-smaller draft LM are trained on the same corpus, and speculative
+decoding is measured on held-out prompts:
+
+  - acceptance rate (draft tokens kept / proposed) at K=4
+  - end-to-end tok/s: speculative_generate_device vs the plain jitted decode
+    of the same target
+
+Prints one JSON line per measurement; recorded in STATUS.md.
+"""
+import argparse
+import glob
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def harvest_corpus(max_bytes: int = 8_000_000) -> str:
+    """English text available offline: licenses, package markdown, and
+    package docstrings (transformers alone carries megabytes of prose)."""
+    import ast
+
+    chunks = []
+    total = 0
+
+    def add(text):
+        nonlocal total
+        if text and len(text) > 200:
+            chunks.append(text)
+            total += len(text)
+
+    for pat in ("/usr/share/common-licenses/*",
+                "/opt/venv/lib/python3.12/site-packages/**/*.md",
+                "/opt/skills/guides/*.md"):
+        for f in sorted(glob.glob(pat, recursive=True)):
+            try:
+                add(open(f, errors="ignore").read())
+            except OSError:
+                pass
+            if total > max_bytes:
+                return "\n\n".join(chunks)
+
+    for pkg in ("transformers", "jax", "numpy", "optax", "flax"):
+        root = f"/opt/venv/lib/python3.12/site-packages/{pkg}"
+        for f in sorted(glob.glob(root + "/**/*.py", recursive=True)):
+            try:
+                tree = ast.parse(open(f, errors="ignore").read())
+            except (OSError, SyntaxError):
+                continue
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.Module, ast.FunctionDef,
+                                     ast.AsyncFunctionDef, ast.ClassDef)):
+                    add(ast.get_docstring(node) or "")
+            if total > max_bytes:
+                return "\n\n".join(chunks)
+    return "\n\n".join(chunks)
+
+
+def train_tokenizer(text: str, vocab: int):
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab, min_frequency=2,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        special_tokens=["<unk>"])
+    lines = text.splitlines()
+    tok.train_from_iterator(lines, trainer)
+    return tok
+
+
+def train_lm(cfg_llm, ids_flat, *, steps, batch, seq, lr, seed, label):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from slime_tpu.models import llama
+
+    params = llama.init(jax.random.PRNGKey(seed), cfg_llm)
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(100, steps // 10), steps))
+    opt = tx.init(params)
+    rng = np.random.default_rng(seed)
+    n = ids_flat.shape[0] - seq - 1
+
+    def loss_fn(p, ids):
+        emb = llama.embed(p, ids[:, :-1])
+        logits, _ = llama.forward(p, emb, cfg_llm)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(lp, ids[:, 1:, None], -1)[..., 0]
+        return jnp.mean(nll)
+
+    @jax.jit
+    def step(p, opt, ids):
+        l, g = jax.value_and_grad(loss_fn)(p, ids)
+        up, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, up), opt, l
+
+    t0 = time.time()
+    for it in range(steps):
+        starts = rng.integers(0, n, (batch,))
+        ids = np.stack([ids_flat[s:s + seq + 1] for s in starts])
+        params, opt, l = step(params, opt, jnp.asarray(ids))
+        if it % 200 == 0 or it == steps - 1:
+            print(f"  {label} step {it}: loss {float(l):.3f} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+    return params
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from slime_tpu.config import LLMConfig, SliMEConfig
+    from slime_tpu.models import llama
+    from slime_tpu.serve.speculative import speculative_generate_device
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--vocab", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--prompts", type=int, default=8)
+    ap.add_argument("--max-new", type=int, default=128)
+    args = ap.parse_args()
+
+    print("harvesting corpus...", file=sys.stderr, flush=True)
+    text = harvest_corpus()
+    print(f"  {len(text) / 1e6:.1f} MB", file=sys.stderr, flush=True)
+    tok = train_tokenizer(text, args.vocab)
+    ids_flat = np.asarray(tok.encode(text).ids, np.int32)
+    print(f"  {ids_flat.size / 1e6:.1f}M tokens", file=sys.stderr, flush=True)
+    n_test = 20_000
+    train_ids, test_ids = ids_flat[:-n_test], ids_flat[-n_test:]
+
+    tcfg = LLMConfig(vocab_size=args.vocab, hidden_size=512,
+                     intermediate_size=1408, num_layers=8, num_heads=8,
+                     num_kv_heads=4, head_dim=64, max_position_embeddings=1024)
+    dcfg = LLMConfig(vocab_size=args.vocab, hidden_size=160,
+                     intermediate_size=448, num_layers=2, num_heads=4,
+                     num_kv_heads=2, head_dim=40, max_position_embeddings=1024)
+
+    tparams = train_lm(tcfg, train_ids, steps=args.steps, batch=32, seq=256,
+                       lr=6e-4, seed=0, label="target")
+    dparams = train_lm(dcfg, train_ids, steps=args.steps, batch=32, seq=256,
+                       lr=1e-3, seed=1, label="draft")
+
+    import dataclasses
+    t_wrap = dataclasses.replace(SliMEConfig.tiny(), llm=tcfg)
+    d_wrap = dataclasses.replace(SliMEConfig.tiny(), llm=dcfg)
+
+    rng = np.random.default_rng(9)
+    K, NEW = args.k, args.max_new
+
+    # plain jitted decode of the same target (the baseline speculative must beat)
+    def plain_decode(params, ids, n):
+        from slime_tpu.serve.speculative import _prefill_jit
+        tok0, cache = _prefill_jit(params, ids, tcfg, ids.shape[1] + n + 2,
+                                   jnp.float32)
+
+        def body(i, carry):
+            cache, tok, out = carry
+            lg, cache = llama.decode_step(params, cache, tok[None], tcfg)
+            nxt = jnp.argmax(lg[0], -1).astype(jnp.int32)
+            return cache, nxt, out.at[i].set(nxt)
+        f = jax.jit(lambda cache, tok: jax.lax.fori_loop(
+            0, n, body, (cache, tok, jnp.zeros((n,), jnp.int32))))
+        _, _, out = f(cache, tok0)
+        return out
+
+    rates, spec_ts, plain_ts = [], [], []
+    for pi in range(args.prompts):
+        s = int(rng.integers(0, n_test - 200))
+        prompt = jnp.asarray(test_ids[s:s + 64][None], jnp.int32)
+
+        t0 = time.perf_counter()
+        toks, rate = speculative_generate_device(
+            {"llm": tparams}, t_wrap, {"llm": dparams}, d_wrap, prompt,
+            K=K, max_new_tokens=NEW, eos_id=-1)
+        spec_dt = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = plain_decode(tparams, prompt, NEW)
+        int(out[-1])
+        plain_dt = time.perf_counter() - t0
+
+        # exactness: speculative emits the target's own greedy tokens
+        exact = np.array_equal(toks[0][1:], np.asarray(out)[:toks.shape[1] - 1])
+        rates.append(rate)
+        spec_ts.append(toks.shape[1] / spec_dt)
+        plain_ts.append(NEW / plain_dt)
+        print(f"  prompt {pi}: acceptance {rate:.3f} exact={exact} "
+              f"spec {spec_ts[-1]:.0f} tok/s vs plain {plain_ts[-1]:.0f}",
+              file=sys.stderr, flush=True)
+        assert exact, "speculative output diverged from target greedy"
+
+    print(json.dumps({
+        "metric": "speculative_acceptance_natural_text",
+        "value": round(float(np.mean(rates)), 4),
+        "unit": (f"accepted/proposed, K={K}, English corpus "
+                 f"({len(text) / 1e6:.1f} MB, vocab {args.vocab}), "
+                 f"8L/512H target vs 2L/160H draft, held-out prompts"),
+        "spec_tok_s_median": round(float(np.median(spec_ts)), 1),
+        "plain_tok_s_median": round(float(np.median(plain_ts)), 1),
+        "speedup": round(float(np.median(spec_ts) / np.median(plain_ts)), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

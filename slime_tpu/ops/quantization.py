@@ -19,7 +19,9 @@ import numpy as np
 
 
 def quantize_weight(w: jnp.ndarray, bits: int = 8) -> Dict:
-    """w [out, in] fp -> {"q"| "q4": int8 [out, in(/2 for int4)], "scale": [out, 1]}.
+    """w [..., out, in] fp -> {"q"| "q4": int8 [..., out, in(/2 for int4)],
+    "scale": [..., out, 1]}. Works on pre-stacked [L, out, in] layer trees too
+    (packing/scales always along the LAST dim).
 
     The bit-width lives in the KEY ("q" = int8, "q4" = packed int4), not a leaf, so
     quantized trees pass through jit without tracing a static attribute."""
@@ -31,8 +33,8 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8) -> Dict:
     q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
     if bits == 4:
         # pack two nibbles per int8: even columns in low nibble
-        lo = q[:, 0::2] & 0xF
-        hi = (q[:, 1::2] & 0xF) << 4
+        lo = q[..., 0::2] & 0xF
+        hi = (q[..., 1::2] & 0xF) << 4
         q = (lo | hi).astype(jnp.int8)
         return {"q4": q, "scale": scale.astype(jnp.float32)}
     return {"q": q, "scale": scale.astype(jnp.float32)}
@@ -49,7 +51,7 @@ def dequantize_weight(qw: Dict) -> jnp.ndarray:
         lo = jnp.where(lo >= 8, lo - 16, lo)
         hi = ((q >> 4) & 0xF).astype(jnp.int8)
         hi = jnp.where(hi >= 8, hi - 16, hi)
-        out = jnp.stack([lo, hi], axis=-1).reshape(q.shape[0], -1)
+        out = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], -1)
     else:
         out = qw["q"]
     return out.astype(jnp.float32) * qw["scale"]

@@ -48,17 +48,20 @@ class Request:
 
 
 class _Slot:
-    __slots__ = ("req", "generated", "budget")
+    __slots__ = ("req", "generated", "budget", "draft")
 
     def __init__(self, req: Request):
         self.req = req
         self.generated: List[int] = []
         self.budget = req.max_new_tokens
+        self.draft = None      # lazy {"cache", "len"} when speculating
 
 
 class BatchDecodeEngine:
     def __init__(self, params, cfg: SliMEConfig, *, max_slots: int = 8,
-                 cache_len: int = 2048, compute_dtype=None, seed: int = 0):
+                 cache_len: int = 2048, compute_dtype=None, seed: int = 0,
+                 draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
+                 spec_k: int = 4):
         import jax
         import jax.numpy as jnp
 
@@ -66,6 +69,13 @@ class BatchDecodeEngine:
         self.jnp = jnp
         self.params = params
         self.cfg = cfg
+        # speculative draft (serve/speculative.py semantics, wired into the
+        # engine): used only in the bs=1 greedy idle regime, where weight
+        # streaming dominates and lookahead pays; exactness holds for ANY
+        # draft — it only changes how many target passes the tokens take.
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.spec_k = spec_k
         self.compute_dtype = compute_dtype or jnp.float32
         self.max_slots = max_slots
         self.cache_len = cache_len
@@ -158,6 +168,78 @@ class BatchDecodeEngine:
 
         self._step_k = jax.jit(_step_k, donate_argnums=(1,),
                                static_argnums=())
+
+        if draft_params is not None:
+            assert draft_cfg is not None
+            dl = draft_cfg.llm
+
+            def _draft_prefill(dparams, ids):
+                S = ids.shape[1]
+                embeds = llama.embed(dparams["llm"], ids).astype(self.compute_dtype)
+                logits, kvs = llama.forward(
+                    dparams["llm"], embeds, dl, return_kv=True,
+                    compute_dtype=self.compute_dtype,
+                    logit_positions=jnp.full((1,), S - 1))
+                dc = llama.init_kv_cache(dl, 1, cache_len, dtype=self.compute_dtype)
+                dc = llama.prefill_into_cache(dc, kvs, jnp.full((1,), S))
+                return dc
+
+            self._draft_prefill = jax.jit(_draft_prefill)
+
+            K = spec_k
+
+            def _spec_round(params, dparams, cache, d_cache, cur, slot,
+                            d_len):
+                """One draft-K/verify/rollback round for ``slot`` of the
+                batched cache (other slots' lengths pinned). Returns
+                (targets [K+1], n_accepted, cache, d_cache): targets[:acc+1]
+                are exactly the target's greedy tokens. ``d_len`` is the
+                draft cache's verified book position (host-tracked)."""
+                d_cache = dict(d_cache)
+                d_cache["length"] = jnp.full((1,), d_len, jnp.int32)
+
+                def dbody(i, carry):
+                    dc, tok, out = carry
+                    lg, dc = llama.decode_step(dparams["llm"], dc, tok, dl,
+                                               compute_dtype=self.compute_dtype)
+                    nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+                    return dc, nxt, out.at[i].set(nxt[0])
+
+                d_cache, _, props = jax.lax.fori_loop(
+                    0, K, dbody, (d_cache, cur[None],
+                                  jnp.zeros((K,), jnp.int32)))
+
+                # verify: one (K+1)-position chunk through the slot's row of
+                # the batched cache; inactive rows see garbage embeds but
+                # their lengths are restored below
+                old_len = cache["length"]
+                toks = jnp.concatenate([cur[None], props])           # [K+1]
+                emb1 = llama.embed(params["llm"], toks[None]).astype(
+                    self.compute_dtype)
+                embeds = jnp.zeros((self.max_slots,) + emb1.shape[1:],
+                                   emb1.dtype)
+                embeds = jax.lax.dynamic_update_slice(
+                    embeds, emb1, (slot, 0, 0))
+                logits, cache = llama.prefill_chunk(
+                    params["llm"], cache, embeds, cfg.llm,
+                    compute_dtype=self.compute_dtype)
+                targets = jnp.argmax(logits[slot], -1).astype(jnp.int32)
+
+                match = props == targets[:K]
+                acc = jnp.where(match.all(), K, jnp.argmin(match))
+
+                # rollback: slot's length = verified prefix; others untouched
+                new_len = old_len[slot] + acc + 1
+                cache["length"] = old_len.at[slot].set(new_len)
+                # draft ingests props[K-1] so a fully-accepted round leaves a
+                # complete cache; then roll back to the target's book position
+                _, d_cache = llama.decode_step(dparams["llm"], d_cache,
+                                               props[K - 1][None], dl,
+                                               compute_dtype=self.compute_dtype)
+                d_cache = dict(d_cache)
+                return targets, acc, cache, d_cache
+
+            self._spec_round = jax.jit(_spec_round, donate_argnums=(2, 3))
 
     # ------------------------------------------------------------------
     def register_prefix(self, input_ids, pixel_values=None, crop_mask=None,
@@ -358,6 +440,11 @@ class BatchDecodeEngine:
         active_mask[active] = True
 
         idle = (self._admission is None and self.pending.empty())
+        if (self.draft_params is not None and idle and len(active) == 1
+                and self.slots[active[0]].req.temperature == 0.0
+                and self.slots[active[0]].budget > 1):
+            if self._spec_tick(active[0]):
+                return sum(s is not None for s in self.slots)
         min_budget = min(self.slots[i].budget for i in active)
         k = min(self.multi_step, max(min_budget, 1)) if idle else 1
         if k > 1:
@@ -391,6 +478,57 @@ class BatchDecodeEngine:
             if s.budget <= 0 or int(self.cache["length"][i]) >= self.cache_len - 1:
                 self._retire(i)
         return sum(s is not None for s in self.slots)
+
+    def _spec_tick(self, i: int) -> bool:
+        """One speculative draft/verify round for the single active slot
+        ``i`` (bs=1 greedy idle regime). Returns True when handled; False
+        falls back to the plain step (e.g. multimodal draft seeding failed).
+
+        The draft is TEXT-ONLY: for multimodal requests its context replaces
+        the image sentinel with pad — that costs acceptance, never exactness
+        (rejected drafts are corrected by the verify chunk)."""
+        import numpy as np
+        jnp = self.jnp
+        s = self.slots[i]
+        eos = self.cfg.eos_token_id
+        if s.draft is None:
+            ids = np.asarray(s.req.input_ids).copy()
+            ids[ids < 0] = 0                     # image sentinel -> pad
+            ctx = np.concatenate([ids, np.asarray(s.generated[:-1], np.int32)])
+            if ctx.size == 0 or ctx.size + s.budget + self.spec_k + 2 >= self.cache_len:
+                return False                     # no room for lookahead
+            dc = self._draft_prefill(self.draft_params,
+                                     jnp.asarray(ctx[None], jnp.int32))
+            s.draft = {"cache": dc, "len": int(ctx.size)}
+
+        cur = self.cur_tokens[i]
+        targets, acc, self.cache, s.draft["cache"] = self._spec_round(
+            self.params, self.draft_params, self.cache, s.draft["cache"],
+            cur, i, s.draft["len"])
+        targets = np.asarray(targets)
+        acc = int(acc)
+        emit = []
+        for t in targets[: acc + 1].tolist():
+            if t == eos:
+                s.budget = 0
+                break
+            emit.append(int(t))
+            s.budget -= 1
+            if s.budget <= 0:
+                break
+        e = len(emit)
+        if e < acc + 1:
+            # budget/eos cut a full round short: the slot retires now, so the
+            # in-graph length advance past the cut is moot
+            s.budget = 0
+        s.draft["len"] += e
+        if emit:
+            s.generated.extend(emit)
+            s.req.out_queue.put(emit)
+            self.cur_tokens = self.cur_tokens.at[i].set(emit[-1])
+        if s.budget <= 0 or int(self.cache["length"][i]) >= self.cache_len - self.spec_k - 2:
+            self._retire(i)
+        return True
 
     # ------------------------------------------------------------------
     def run_forever(self, idle_sleep: float = 0.005) -> None:

@@ -56,6 +56,22 @@ def test_tree_quantization(rng):
     assert np.abs(a - b).mean() < 1e-3
 
 
+def test_stacked_3d_quantize_roundtrip(rng):
+    """Pre-stacked [L, out, in] layer trees quantize along the LAST dim (the
+    int4 nibble packing sliced axis 1 before r3 — wrong dim on 3D leaves)."""
+    w = jnp.asarray(rng.standard_normal((3, 16, 32)).astype(np.float32) * 0.02)
+    for bits, key, packed_in in ((8, "q", 32), (4, "q4", 16)):
+        qw = q.quantize_weight(w, bits)
+        assert qw[key].shape == (3, 16, packed_in)
+        assert qw["scale"].shape == (3, 16, 1)
+        deq = q.dequantize_weight(qw)
+        assert deq.shape == (3, 16, 32)
+        # per-layer slice == quantizing that layer alone (scan-path contract)
+        one = q.dequantize_weight(q.quantize_weight(w[1], bits))
+        np.testing.assert_allclose(np.asarray(deq[1]), np.asarray(one),
+                                   atol=1e-7)
+
+
 def test_to_jax_preserves_quant_scales(rng):
     """to_jax(dtype=bf16) must not cast fp32 'scale' leaves inside quantized
     dicts — that would add ~0.2-0.4% dequant error to every int8/int4 weight
