@@ -40,7 +40,7 @@ def main():
 
     from slime_tpu.config import LLMConfig
     from slime_tpu.models import llama
-    from slime_tpu.ops.quantization import quantize_weight
+    from slime_tpu.ops.quantization import quantize_weight, quantize_weight_nf4
 
     base = LLMConfig.llama3_8b()
     cfg = LLMConfig(**{**base.__dict__, "num_layers": LAYERS})
@@ -142,7 +142,25 @@ def main():
     del q8, q8h
     q4 = dict(params)
     q4["layers"] = quant_tree(params["layers"], 4)
-    run("int4", q4)
+    run("int4-absmax", q4)
+    del q4
+
+    def nf4_tree(layers):
+        out = {}
+        for k, v in layers.items():
+            w = v["weight"]
+            if w.ndim == 3 and "proj" in k:
+                qw = jax.jit(lambda x: quantize_weight_nf4(
+                    x.astype(jnp.float32), group=64))(w)
+                jax.block_until_ready(qw["scale"])
+                out[k] = {"weight": qw}
+            else:
+                out[k] = v
+        return out
+
+    qn = dict(params)
+    qn["layers"] = nf4_tree(params["layers"])
+    run("nf4-g64", qn)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,12 @@ def linear(p, x):
     unpacks nibbles in VMEM — measured ~19% faster than the XLA dequant path."""
     w = p["weight"]
     if isinstance(w, dict):
-        if "q4" in w and jax.default_backend() == "tpu":
+        # group-scaled int4 (scale [out, n_groups>1]) takes the XLA dequant
+        # path — the fused kernel applies scales per row after the dot, which
+        # is only valid per-row; group int4 trades ~15% decode speed for the
+        # accuracy documented in docs/Serving.md
+        if ("q4" in w and jax.default_backend() == "tpu"
+                and w["scale"].shape[-1] == 1):
             from ..ops.quant_matmul import quant_matmul
             lead = x.shape[:-1]
             y = quant_matmul(x.reshape(-1, x.shape[-1]), w)

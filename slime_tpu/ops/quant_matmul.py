@@ -52,6 +52,10 @@ def quant_matmul(x, qw: dict, *, block_out: int = 512, block_rows: int = 256,
     int4 = "q4" in qw
     q = qw["q4"] if int4 else qw["q"]
     scale = qw["scale"]
+    # the kernel applies scales per OUTPUT ROW after the dot; group-wise
+    # scales (scale [out, n_groups>1]) must dequantize before contraction —
+    # callers route those through the XLA path (models/layers.py)
+    assert scale.shape[-1] == 1, "quant_matmul requires per-row scales"
     if int4:
         # kernel expects even-columns-then-odd ordering (see _kernel_int4)
         x = jnp.concatenate([x[:, 0::2], x[:, 1::2]], axis=1)

@@ -6,8 +6,16 @@ weights stored as int8 (or int4 packed in int8 pairs) with fp32 per-output-chann
 scales; the matmul dequantizes inline — XLA fuses the scale multiply into the
 dot's epilogue, so HBM traffic drops 2-4x while the MXU still sees bf16 operands.
 
-NF4-style nonuniform quantization is approximated by symmetric int4 + absmax
-scaling (documented deviation; the reference's load path is also lossy).
+int4 comes in three schemes, chosen by measurement (scripts/
+bench_quant_accuracy.py at true 8B width, r3):
+  - "q4" per-row absmax: fastest decode (fused Pallas kernel) but ~15%
+    per-weight error on gaussian weights — a capacity/draft option only;
+  - "q4" group-G absmax: marginally better on gaussian (absmax ~ sqrt(log n));
+  - "nf4" group-64 codebook (the bitsandbytes NF4 table, QLoRA §3): the
+    information-theoretic fix — quantile codebook for normal weights, ~2x
+    lower RMS than uniform int4 — and the reference's own load_4bit path
+    (model/builder.py:32-41 -> bnb NF4 blocksize 64), so load_bits=4
+    defaults to it.
 """
 from __future__ import annotations
 
@@ -17,20 +25,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# bitsandbytes' NF4 data type: 16 quantiles of N(0,1) scaled to [-1, 1]
+# (QLoRA, Dettmers et al. 2023, Appendix E / bnb functional.py)
+NF4_CODEBOOK = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], np.float32)
+_NF4_MIDPOINTS = (NF4_CODEBOOK[1:] + NF4_CODEBOOK[:-1]) / 2
 
-def quantize_weight(w: jnp.ndarray, bits: int = 8) -> Dict:
+
+def quantize_weight(w: jnp.ndarray, bits: int = 8,
+                    group: Optional[int] = None) -> Dict:
     """w [..., out, in] fp -> {"q"| "q4": int8 [..., out, in(/2 for int4)],
-    "scale": [..., out, 1]}. Works on pre-stacked [L, out, in] layer trees too
-    (packing/scales always along the LAST dim).
+    "scale": [..., out, n_groups]}. Works on pre-stacked [L, out, in] layer
+    trees too (packing/scales always along the LAST dim).
+
+    group=None: one absmax scale per output row (n_groups == 1). group=G:
+    one scale per G input columns — the r3 accuracy measurement
+    (docs/Serving.md) shows per-row absmax int4 destroys logits (~89%
+    relative error at 8B width) while group-128 int4 lands within ~2x of
+    int8; this is the same reason bitsandbytes' NF4 uses blocksize 64.
 
     The bit-width lives in the KEY ("q" = int8, "q4" = packed int4), not a leaf, so
     quantized trees pass through jit without tracing a static attribute."""
     assert bits in (4, 8)
     wf = jnp.asarray(w, jnp.float32)
-    absmax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
     qmax = 127.0 if bits == 8 else 7.0
-    scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+    if group is not None:
+        IN = wf.shape[-1]
+        assert IN % group == 0, (IN, group)
+        g = wf.reshape(*wf.shape[:-1], IN // group, group)
+        absmax = jnp.max(jnp.abs(g), axis=-1)                # [..., out, n_g]
+        scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
+        q = jnp.clip(jnp.round(g / scale[..., None]), -qmax, qmax)
+        q = q.reshape(wf.shape).astype(jnp.int8)
+    else:
+        absmax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
+        scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
+        q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
     if bits == 4:
         # pack two nibbles per int8: even columns in low nibble
         lo = q[..., 0::2] & 0xF
@@ -40,11 +74,42 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8) -> Dict:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def quantize_weight_nf4(w: jnp.ndarray, group: int = 64) -> Dict:
+    """w [..., out, in] -> {"nf4": packed idx int8 [..., out, in/2],
+    "scale": [..., out, in/group]}. Per-group absmax scaling + the NF4
+    codebook (nearest quantile), exactly bnb's Linear4bit storage layout in
+    spirit; packing matches the q4 convention (even columns low nibble)."""
+    wf = jnp.asarray(w, jnp.float32)
+    IN = wf.shape[-1]
+    assert IN % group == 0, (IN, group)
+    g = wf.reshape(*wf.shape[:-1], IN // group, group)
+    absmax = jnp.max(jnp.abs(g), axis=-1)
+    scale = jnp.where(absmax > 0, absmax, 1.0)
+    norm = (g / scale[..., None]).reshape(wf.shape)          # in [-1, 1]
+    idx = jnp.searchsorted(jnp.asarray(_NF4_MIDPOINTS), norm).astype(jnp.int8)
+    lo = idx[..., 0::2] & 0xF
+    hi = (idx[..., 1::2] & 0xF) << 4
+    return {"nf4": (lo | hi).astype(jnp.int8),
+            "scale": scale.astype(jnp.float32)}
+
+
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and ("q" in leaf or "q4" in leaf) and "scale" in leaf
+    return (isinstance(leaf, dict) and "scale" in leaf
+            and ("q" in leaf or "q4" in leaf or "nf4" in leaf))
 
 
 def dequantize_weight(qw: Dict) -> jnp.ndarray:
+    if "nf4" in qw:
+        p = qw["nf4"]
+        lo = (p & 0xF).astype(jnp.int32)
+        hi = ((p >> 4) & 0xF).astype(jnp.int32)
+        idx = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1], -1)
+        vals = jnp.take(jnp.asarray(NF4_CODEBOOK), idx)
+        scale = qw["scale"]
+        IN = vals.shape[-1]
+        group = IN // scale.shape[-1]
+        vals = vals.reshape(*vals.shape[:-1], scale.shape[-1], group)
+        return (vals * scale[..., None]).reshape(*scale.shape[:-1], IN)
     if "q4" in qw:
         q = qw["q4"]
         lo = (q & 0xF).astype(jnp.int8)
@@ -54,7 +119,14 @@ def dequantize_weight(qw: Dict) -> jnp.ndarray:
         out = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], -1)
     else:
         out = qw["q"]
-    return out.astype(jnp.float32) * qw["scale"]
+    scale = qw["scale"]
+    if scale.shape[-1] > 1:  # group-wise: expand each group scale over IN/n_g
+        IN = out.shape[-1]
+        group = IN // scale.shape[-1]
+        out = out.reshape(*out.shape[:-1], scale.shape[-1], group)
+        return (out.astype(jnp.float32) * scale[..., None]).reshape(
+            *scale.shape[:-1], IN)
+    return out.astype(jnp.float32) * scale
 
 
 def quantized_linear(qw: Dict, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
@@ -68,14 +140,23 @@ def quantized_linear(qw: Dict, x: jnp.ndarray, bias: Optional[jnp.ndarray] = Non
     return y
 
 
-def quantize_params(params, bits: int = 8, *, min_size: int = 1 << 16):
+def quantize_params(params, bits: int = 8, *, min_size: int = 1 << 16,
+                    scheme: str = "default"):
     """Quantize every 2-D weight leaf larger than min_size elements; other leaves
-    pass through. Returns a tree where such leaves become quant dicts."""
+    pass through. Returns a tree where such leaves become quant dicts.
+
+    scheme: "default" = per-row absmax for int8, NF4 group-64 for int4 (the
+    bitsandbytes-parity, accuracy-safe choice — see module docstring);
+    "absmax" forces uniform int4 per-row (fastest decode via the fused
+    kernel, documented quality cost)."""
+    use_nf4 = bits == 4 and scheme == "default"
 
     def conv(leaf):
         if (hasattr(leaf, "ndim") and leaf.ndim == 2
                 and leaf.size >= min_size
                 and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)):
+            if use_nf4 and leaf.shape[-1] % 64 == 0:
+                return quantize_weight_nf4(jnp.asarray(leaf), group=64)
             return quantize_weight(jnp.asarray(leaf), bits)
         return leaf
 

@@ -56,6 +56,84 @@ def test_tree_quantization(rng):
     assert np.abs(a - b).mean() < 1e-3
 
 
+def test_group_int4_roundtrip(rng):
+    """Group absmax int4: correct storage/round-trip; on gaussian weights the
+    error gain over per-row is small (absmax ~ sqrt(log n)) — which is WHY
+    the int4 accuracy default is NF4, not group absmax."""
+    w = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32) * 0.02)
+    err_row = q.quantization_error(w, bits=4)
+    qw_g = q.quantize_weight(w, 4, group=128)
+    assert qw_g["scale"].shape == (64, 4)
+    assert qw_g["q4"].shape == (64, 256)
+    err_g = float(jnp.mean(jnp.abs(q.dequantize_weight(qw_g)
+                                   - w.astype(jnp.float32))))
+    assert err_g < err_row, (err_g, err_row)
+    # column order preserved through pack/unpack with group scales
+    corr = np.corrcoef(np.asarray(q.dequantize_weight(qw_g)).ravel(),
+                       np.asarray(w).ravel())[0, 1]
+    assert corr > 0.99
+
+
+def test_nf4_roundtrip_beats_uniform_int4(rng):
+    """NF4 (group-64 codebook) vs uniform per-row int4 on gaussian weights:
+    the QLoRA design point — materially lower round-trip error."""
+    w = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32) * 0.02)
+    err_uniform = q.quantization_error(w, bits=4)
+    qw = q.quantize_weight_nf4(w, group=64)
+    assert qw["nf4"].shape == (64, 256) and qw["scale"].shape == (64, 8)
+    assert q.is_quantized(qw)
+    err_nf4 = float(jnp.mean(jnp.abs(q.dequantize_weight(qw)
+                                     - w.astype(jnp.float32))))
+    assert err_nf4 < err_uniform * 0.7, (err_nf4, err_uniform)
+    corr = np.corrcoef(np.asarray(q.dequantize_weight(qw)).ravel(),
+                       np.asarray(w).ravel())[0, 1]
+    assert corr > 0.994
+
+
+def test_nf4_linear_and_forward(rng):
+    from slime_tpu.models import layers as L
+    w = jnp.asarray(rng.standard_normal((32, 256)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    ref = x @ w.T
+    qw = q.quantize_weight_nf4(w, group=64)
+    out = q.quantized_linear(qw, x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.35)
+    # the generic linear() dispatch handles nf4 dicts (XLA dequant path)
+    out2 = L.linear({"weight": qw}, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-4)
+
+
+def test_group_int8_and_linear(rng):
+    w = jnp.asarray(rng.standard_normal((32, 256)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    ref = x @ w.T
+    for bits, atol in ((8, 0.05), (4, 0.6)):
+        qw = q.quantize_weight(w, bits, group=64)
+        out = q.quantized_linear(qw, x, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+def test_quantize_params_int4_defaults_to_nf4(rng):
+    tree = {"proj": {"weight": jnp.asarray(
+        rng.standard_normal((256, 512)).astype(np.float32))}}
+    qp = q.quantize_params(tree, bits=4, min_size=1)
+    assert "nf4" in qp["proj"]["weight"]                      # bnb parity
+    assert qp["proj"]["weight"]["scale"].shape == (256, 8)    # group=64
+    qp8 = q.quantize_params(tree, bits=8, min_size=1)
+    assert qp8["proj"]["weight"]["scale"].shape == (256, 1)   # per-row
+    qp_row = q.quantize_params(tree, bits=4, min_size=1, scheme="absmax")
+    assert "q4" in qp_row["proj"]["weight"]
+    assert qp_row["proj"]["weight"]["scale"].shape == (256, 1)
+
+
+def test_quant_matmul_rejects_group_scales(rng):
+    from slime_tpu.ops.quant_matmul import quant_matmul
+    w = jnp.asarray(rng.standard_normal((32, 256)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    with pytest.raises(AssertionError, match="per-row"):
+        quant_matmul(x, q.quantize_weight(w, 4, group=64), interpret=True)
+
+
 def test_stacked_3d_quantize_roundtrip(rng):
     """Pre-stacked [L, out, in] layer trees quantize along the LAST dim (the
     int4 nibble packing sliced axis 1 before r3 — wrong dim on 3D leaves)."""
