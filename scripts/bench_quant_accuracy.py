@@ -132,26 +132,41 @@ def main():
         print(json.dumps({"config": name, "layers": LAYERS, "positions": S,
                           **out}), flush=True)
 
-    q8 = dict(params)
-    q8["layers"] = quant_tree(params["layers"], 8)
-    run("int8", q8)
-    q8h = dict(q8)
-    q8h["lm_head"] = {"weight": jax.jit(lambda x: quantize_weight(
-        x.astype(jnp.float32), 8))(params["lm_head"]["weight"])}
-    run("int8+lm_head", q8h)
-    del q8, q8h
-    q4 = dict(params)
-    q4["layers"] = quant_tree(params["layers"], 4)
-    run("int4-absmax", q4)
-    del q4
+    only = os.environ.get("SLIME_QACC_ONLY", "").split(",")
+    want = lambda n: not only[0] or n in only
+
+    if want("int8") or want("int8+lm_head"):
+        q8 = dict(params)
+        q8["layers"] = quant_tree(params["layers"], 8)
+        if want("int8"):
+            run("int8", q8)
+        if want("int8+lm_head"):
+            q8h = dict(q8)
+            q8h["lm_head"] = {"weight": jax.jit(lambda x: quantize_weight(
+                x.astype(jnp.float32), 8))(params["lm_head"]["weight"])}
+            run("int8+lm_head", q8h)
+            del q8h
+        del q8
+    if want("int4-absmax"):
+        q4 = dict(params)
+        q4["layers"] = quant_tree(params["layers"], 4)
+        run("int4-absmax", q4)
+        del q4
+    if not want("nf4-g64"):
+        return
 
     def nf4_tree(layers):
+        # NF4's searchsorted/normalize temporaries are ~3x the fp32 leaf, so
+        # quantize per LAYER SLICE (bounds peak temp to one [out,in] matrix)
+        qj = jax.jit(lambda x: quantize_weight_nf4(x.astype(jnp.float32),
+                                                   group=64))
         out = {}
         for k, v in layers.items():
             w = v["weight"]
             if w.ndim == 3 and "proj" in k:
-                qw = jax.jit(lambda x: quantize_weight_nf4(
-                    x.astype(jnp.float32), group=64))(w)
+                slices = [qj(w[i]) for i in range(w.shape[0])]
+                qw = {kk: jnp.stack([s[kk] for s in slices])
+                      for kk in slices[0]}
                 jax.block_until_ready(qw["scale"])
                 out[k] = {"weight": qw}
             else:

@@ -29,7 +29,9 @@ class BatchedWorker:
     def __init__(self, *, controller_addr: Optional[str], worker_addr: str,
                  model_name: str, params, cfg: SliMEConfig, tokenizer,
                  max_slots: int = 8, cache_len: int = 2048,
-                 compute_dtype=None, register: bool = True):
+                 compute_dtype=None, register: bool = True,
+                 draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
+                 spec_k: int = 4):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name
@@ -37,7 +39,9 @@ class BatchedWorker:
         self.tokenizer = tokenizer
         self.engine = BatchDecodeEngine(params, cfg, max_slots=max_slots,
                                         cache_len=cache_len,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        draft_params=draft_params,
+                                        draft_cfg=draft_cfg, spec_k=spec_k)
         self.engine.start()
         if register and controller_addr:
             self.register_to_controller()
@@ -155,6 +159,10 @@ def main():
     ap.add_argument("--max-slots", type=int, default=8)
     ap.add_argument("--cache-len", type=int, default=2048)
     ap.add_argument("--no-register", action="store_true")
+    ap.add_argument("--draft-model-path", default=None,
+                    help="text-only draft for speculative rounds when a "
+                         "single greedy request is active (same tokenizer)")
+    ap.add_argument("--spec-k", type=int, default=4)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -166,12 +174,20 @@ def main():
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
     name = args.model_name or get_model_name_from_path(args.model_path)
     addr = f"http://{args.host}:{args.port}"
+    draft_params = draft_cfg = None
+    if args.draft_model_path:
+        draft_cfg = SliMEConfig.load(args.draft_model_path)
+        draft_params = ckpt.to_jax(
+            ckpt.load_pretrained(args.draft_model_path, cfg=draft_cfg),
+            dtype=jnp.bfloat16)
     worker = BatchedWorker(controller_addr=args.controller_address,
                            worker_addr=addr, model_name=name, params=params,
                            cfg=cfg, tokenizer=tokenizer,
                            max_slots=args.max_slots, cache_len=args.cache_len,
                            compute_dtype=jnp.bfloat16,
-                           register=not args.no_register)
+                           register=not args.no_register,
+                           draft_params=draft_params, draft_cfg=draft_cfg,
+                           spec_k=args.spec_k)
     srv = build_server(worker, args.host, args.port)
     print(f"batched worker {name} on {args.host}:{srv.port}")
     srv.serve_forever()

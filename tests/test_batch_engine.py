@@ -367,3 +367,41 @@ def test_spec_engine_disabled_under_batch(spec_setup):
     spec = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
                              draft_params=dparams, draft_cfg=dcfg, spec_k=3)
     assert run(spec) == run(plain)
+
+
+def test_batched_worker_with_draft_http(spec_setup):
+    """--draft-model-path plumbing: a BatchedWorker with a draft serves over
+    HTTP and its greedy output matches the draftless worker's."""
+    import threading
+    import requests as rq
+
+    from slime_tpu.serve.batched_worker import BatchedWorker, build_server
+    from slime_tpu.serve.protocol import iter_stream_response
+    from .toy_tokenizer import ToyTokenizer
+
+    cfg, params, dcfg, dparams = spec_setup
+
+    def run(draft):
+        tok = ToyTokenizer()
+        tok("hello world this is a longer seed sentence for vocab")
+        worker = BatchedWorker(
+            controller_addr=None, worker_addr="x", model_name="m",
+            params=params, cfg=cfg, tokenizer=tok, max_slots=2, cache_len=96,
+            register=False,
+            draft_params=dparams if draft else None,
+            draft_cfg=dcfg if draft else None, spec_k=3)
+        srv = build_server(worker, "localhost", 0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            r = rq.post(f"http://localhost:{srv.port}/worker_generate_stream",
+                        json={"prompt": "hello world this is",
+                              "max_new_tokens": 6, "temperature": 0.0},
+                        stream=True, timeout=300)
+            chunks = list(iter_stream_response(r))
+            assert chunks and chunks[-1]["error_code"] == 0
+            return chunks[-1]["text"]
+        finally:
+            worker.engine.stop()
+            srv.shutdown()
+
+    assert run(draft=True) == run(draft=False)
