@@ -54,17 +54,27 @@ def main():
     print(f"building bf16 {LAYERS}L 8B-width params (pre-stacked)...",
           file=sys.stderr, flush=True)
     L = LAYERS
-    stacked = {
-        "input_layernorm": {"weight": np.ones((L, H), ml_dtypes.bfloat16)},
-        "q_proj": {"weight": w(L, cfg.num_heads * HD, H)},
-        "k_proj": {"weight": w(L, cfg.num_kv_heads * HD, H)},
-        "v_proj": {"weight": w(L, cfg.num_kv_heads * HD, H)},
-        "o_proj": {"weight": w(L, cfg.num_heads * HD, H)},
-        "post_attention_layernorm": {"weight": np.ones((L, H), ml_dtypes.bfloat16)},
-        "gate_proj": {"weight": w(L, I, H)},
-        "up_proj": {"weight": w(L, I, H)},
-        "down_proj": {"weight": w(L, H, I)},
-    }
+    cache = f"/tmp/qacc_weights_{L}L.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        stacked = {k: {"weight": z[k].view(ml_dtypes.bfloat16)}
+                   for k in z.files}
+        print("  (from cache)", file=sys.stderr, flush=True)
+    else:
+        stacked = {
+            "input_layernorm": {"weight": np.ones((L, H), ml_dtypes.bfloat16)},
+            "q_proj": {"weight": w(L, cfg.num_heads * HD, H)},
+            "k_proj": {"weight": w(L, cfg.num_kv_heads * HD, H)},
+            "v_proj": {"weight": w(L, cfg.num_kv_heads * HD, H)},
+            "o_proj": {"weight": w(L, cfg.num_heads * HD, H)},
+            "post_attention_layernorm": {"weight": np.ones((L, H),
+                                                           ml_dtypes.bfloat16)},
+            "gate_proj": {"weight": w(L, I, H)},
+            "up_proj": {"weight": w(L, I, H)},
+            "down_proj": {"weight": w(L, H, I)},
+        }
+        np.savez(cache, **{k: v["weight"].view(np.uint16)
+                           for k, v in stacked.items()})
     params = {
         "embed_tokens": jnp.asarray(w(V, H)),
         "norm": {"weight": jnp.ones((H,), jnp.bfloat16)},

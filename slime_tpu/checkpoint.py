@@ -271,10 +271,16 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
                     cfg: Optional[SliMEConfig] = None,
                     vision_path: Optional[str] = None,
                     load_bits: Optional[int] = None,
-                    quantize_lm_head: bool = False) -> Dict:
+                    quantize_lm_head: bool = False,
+                    int4_scheme: str = "default") -> Dict:
     """Load a SliME checkpoint directory into a full param pytree
     {vision, projector, sampler, llm}. Mirrors load_pretrained_model
     (llava/model/builder.py:26-173) minus the GPU-quantization paths.
+
+    int4_scheme (load_bits=4 only): "default" = NF4 group-64 (the data type
+    the reference's bnb path loads; accuracy-safe), "absmax" = per-row
+    uniform int4 (fastest decode via the fused Pallas kernel; quality budget
+    in docs/Serving.md).
     """
     if cfg is None:
         cfg = SliMEConfig.load(model_path)
@@ -365,7 +371,8 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
         # default llm_int8_skip_modules=[lm_head].
         from .ops.quantization import quantize_params
         params["llm"]["layers"] = quantize_params(params["llm"]["layers"],
-                                                  bits=load_bits, min_size=1024)
+                                                  bits=load_bits, min_size=1024,
+                                                  scheme=int4_scheme)
     if quantize_lm_head:
         # opt-in beyond the reference (works with or without load_bits): int8
         # lm_head cuts ~12% of the per-step weight stream at 128k vocab

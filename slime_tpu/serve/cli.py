@@ -31,6 +31,12 @@ def main():
                          "reference's bitsandbytes default; ~12%% less weight "
                          "streaming per decode step at 128k vocab)")
     ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--int4-scheme", default="default",
+                    choices=["default", "absmax"],
+                    help="int4 data type: default = NF4 group-64 (accuracy-"
+                         "safe, the reference's bnb type); absmax = per-row "
+                         "uniform (fastest decode, quality budget in "
+                         "docs/Serving.md)")
     ap.add_argument("--draft-model-path", default=None,
                     help="small same-tokenizer model for greedy speculative "
                          "decoding (exact; text-only prompts)")
@@ -46,7 +52,7 @@ def main():
     params = ckpt.to_jax(ckpt.load_pretrained(args.model_path,
                                               model_base=args.model_base, cfg=cfg,
                                               load_bits=8 if args.load_8bit else (4 if args.load_4bit else None),
-        quantize_lm_head=args.quantize_lm_head),
+        quantize_lm_head=args.quantize_lm_head, int4_scheme=args.int4_scheme),
                          dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
     draft = None
