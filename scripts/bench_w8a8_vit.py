@@ -112,6 +112,17 @@ def time_encode(applyfn, args, iters=8, reps=3):
     return best
 
 tb = time_encode(lambda vp, pix: vit.apply(vp, pix, cfg), (vp, pix))
-print(f"bf16 encode: {tb*1e3:.1f} ms/call ({B/tb:.0f} crops/s)", flush=True)
+print(f"bf16 encode:        {tb*1e3:.1f} ms/call ({B/tb:.0f} crops/s)", flush=True)
 tq = time_encode(apply_q, (vp, qs, pix))
-print(f"w8a8 encode: {tq*1e3:.1f} ms/call ({B/tq:.0f} crops/s)  speedup {tb/tq:.2f}x", flush=True)
+print(f"w8a8 XLA encode:    {tq*1e3:.1f} ms/call ({B/tq:.0f} crops/s)  "
+      f"speedup {tb/tq:.2f}x", flush=True)
+
+# r3 fused path: quantize_tower + the Pallas W8A8 kernel (ops/w8a8_matmul.py)
+qtower = vit.quantize_tower(vp, cfg)
+gotp = jax.jit(lambda p, pix: vit.apply(p, pix, cfg))(qtower, pix)
+errp = float(jnp.mean(jnp.abs(gotp.astype(jnp.float32) - ref.astype(jnp.float32))))
+print(f"pallas feature err: mean|d| {errp:.4f} vs std {scale:.4f} -> "
+      f"rel {errp/scale:.4f}", flush=True)
+tp = time_encode(lambda p, pix: vit.apply(p, pix, cfg), (qtower, pix))
+print(f"w8a8 pallas encode: {tp*1e3:.1f} ms/call ({B/tp:.0f} crops/s)  "
+      f"speedup {tb/tp:.2f}x", flush=True)

@@ -272,6 +272,7 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
                     vision_path: Optional[str] = None,
                     load_bits: Optional[int] = None,
                     quantize_lm_head: bool = False,
+                    quantize_vision: bool = False,
                     int4_scheme: str = "default") -> Dict:
     """Load a SliME checkpoint directory into a full param pytree
     {vision, projector, sampler, llm}. Mirrors load_pretrained_model
@@ -381,6 +382,14 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
         from .ops.quantization import quantize_params
         params["llm"]["lm_head"] = quantize_params(
             params["llm"]["lm_head"], bits=8, min_size=1024)
+    if quantize_vision and "vision" in params:
+        # experimental W8A8 vision tower (beyond the reference, which keeps
+        # CLIP in fp16): per-row int8 weights + per-token int8 activations via
+        # the fused Pallas kernel. Halves vision weight memory; ~2% relative
+        # feature error, bounded in tests/test_w8a8.py. NOT a speed win on
+        # current v5e — measured verdict in ops/w8a8_matmul.py.
+        from .models import vit as vit_mod
+        params["vision"] = vit_mod.quantize_tower(params["vision"], cfg.vision)
     return params
 
 

@@ -57,6 +57,19 @@ def init(rng, cfg: VisionConfig) -> Dict:
     return params
 
 
+def _linear(p, x):
+    # W8A8 route (experimental): vision weights quantized by quantize_tower()
+    # carry per-row int8 quant dicts and run through the fused Pallas kernel.
+    # Halves vision weight memory; NOT faster on current v5e (Mosaic's int8
+    # dot caps below XLA's — measured verdict in ops/w8a8_matmul.py). Any
+    # other quant layout (int4/group scales) falls back to weight-only L.linear.
+    w = p["weight"]
+    if isinstance(w, dict) and "q" in w and w["scale"].shape[-1] == 1:
+        from ..ops.w8a8_matmul import w8a8_linear
+        return w8a8_linear(p, x)
+    return L.linear(p, x)
+
+
 def _attention(p, x, num_heads: int):
     # Routed through ops/encoder_attention.py: on TPU the single-tile Pallas
     # kernel keeps the [S,S] probabilities in VMEM (1.34x XLA at the CLIP-L
@@ -66,19 +79,60 @@ def _attention(p, x, num_heads: int):
 
     B, S, E = x.shape
     hd = E // num_heads
-    q = L.linear(p["q_proj"], x).reshape(B, S, num_heads, hd)
-    k = L.linear(p["k_proj"], x).reshape(B, S, num_heads, hd)
-    v = L.linear(p["v_proj"], x).reshape(B, S, num_heads, hd)
+    if "qkv" in p:
+        # quantize_tower packs q/k/v into one [3E, E] weight so a single
+        # activation read+quant feeds all three projections (x traffic at
+        # E=1024 is ~1/3 of the MXU time for a lone [E,E] projection)
+        qkv = _linear(p["qkv"], x).reshape(B, S, 3, num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:
+        q = _linear(p["q_proj"], x).reshape(B, S, num_heads, hd)
+        k = _linear(p["k_proj"], x).reshape(B, S, num_heads, hd)
+        v = _linear(p["v_proj"], x).reshape(B, S, num_heads, hd)
     out = encoder_attention(q, k, v, scale=1.0 / math.sqrt(hd))
-    return L.linear(p["out_proj"], out.reshape(B, S, E))
+    return _linear(p["out_proj"], out.reshape(B, S, E))
 
 
 def _block(p, x, cfg: VisionConfig):
     h = L.layer_norm(p["layer_norm1"], x, eps=cfg.layer_norm_eps)
     x = x + _attention(p, h, cfg.num_heads)
     h = L.layer_norm(p["layer_norm2"], x, eps=cfg.layer_norm_eps)
-    h = L.linear(p["fc2"], quick_gelu(L.linear(p["fc1"], h)))
+    h = _linear(p["fc2"], quick_gelu(_linear(p["fc1"], h)))
     return x + h
+
+
+def quantize_tower(params, cfg: VisionConfig):
+    """Quantize the encoder's linear weights to per-row int8 for the W8A8
+    encode path (only layers that run: up to ``select_layer``). q/k/v merge
+    into one packed "qkv" weight. Embeddings, layer norms, biases, and the
+    (unused) post_layernorm stay fp — they are <1% of encode FLOPs and the
+    patch embed sees raw pixel statistics. Accuracy budget: docs/Serving.md
+    (~2% relative feature error, bounded in tests/test_w8a8.py)."""
+    from ..ops.quantization import quantize_weight
+
+    out = {k: v for k, v in params.items() if k != "layers"}
+    n_run = cfg.num_layers + cfg.select_layer + 1 if cfg.select_layer < 0 \
+        else cfg.select_layer
+    layers = []
+    for i, lp in enumerate(params["layers"]):
+        if i >= n_run:
+            layers.append(lp)
+            continue
+        nl = {"layer_norm1": lp["layer_norm1"], "layer_norm2": lp["layer_norm2"]}
+        nl["qkv"] = {
+            "weight": quantize_weight(jnp.concatenate(
+                [lp[k]["weight"].astype(jnp.float32)
+                 for k in ("q_proj", "k_proj", "v_proj")], axis=0), 8),
+            "bias": jnp.concatenate(
+                [lp[k]["bias"].astype(jnp.float32)
+                 for k in ("q_proj", "k_proj", "v_proj")], axis=0),
+        }
+        for k in ("out_proj", "fc1", "fc2"):
+            nl[k] = {"weight": quantize_weight(lp[k]["weight"].astype(jnp.float32), 8),
+                     "bias": lp[k]["bias"].astype(jnp.float32)}
+        layers.append(nl)
+    out["layers"] = layers
+    return out
 
 
 def embed_patches(params, pixel_values, cfg: VisionConfig):

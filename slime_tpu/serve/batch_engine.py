@@ -61,7 +61,7 @@ class BatchDecodeEngine:
     def __init__(self, params, cfg: SliMEConfig, *, max_slots: int = 8,
                  cache_len: int = 2048, compute_dtype=None, seed: int = 0,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
-                 spec_k: int = 4):
+                 spec_k: int = 4, spec_rounds: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -76,6 +76,10 @@ class BatchDecodeEngine:
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.spec_k = spec_k
+        # draft/verify rounds folded into one device dispatch (host syncs
+        # through the tunnel cost a device-round each; bounded so pending
+        # admissions wait at most ~spec_rounds x round-time)
+        self.spec_rounds = max(1, spec_rounds)
         self.compute_dtype = compute_dtype or jnp.float32
         self.max_slots = max_slots
         self.cache_len = cache_len
@@ -187,17 +191,15 @@ class BatchDecodeEngine:
             self._draft_prefill = jax.jit(_draft_prefill)
 
             K = spec_k
+            R = self.spec_rounds
+            eos_id = cfg.eos_token_id
 
-            def _spec_round(params, dparams, cache, d_cache, cur, slot,
-                            d_len):
+            def _one_round(params, dparams, cache, d_cache, cur, slot):
                 """One draft-K/verify/rollback round for ``slot`` of the
                 batched cache (other slots' lengths pinned). Returns
                 (targets [K+1], n_accepted, cache, d_cache): targets[:acc+1]
-                are exactly the target's greedy tokens. ``d_len`` is the
-                draft cache's verified book position (host-tracked)."""
-                d_cache = dict(d_cache)
-                d_cache["length"] = jnp.full((1,), d_len, jnp.int32)
-
+                are exactly the target's greedy tokens. ``d_cache["length"]``
+                must already point at the draft's verified book position."""
                 def dbody(i, carry):
                     dc, tok, out = carry
                     lg, dc = llama.decode_step(dparams["llm"], dc, tok, dl,
@@ -239,7 +241,54 @@ class BatchDecodeEngine:
                 d_cache = dict(d_cache)
                 return targets, acc, cache, d_cache
 
-            self._spec_round = jax.jit(_spec_round, donate_argnums=(2, 3))
+            def _spec_rounds(params, dparams, cache, d_cache, cur, slot,
+                             d_len, budget):
+                """Up to R draft/verify rounds in ONE dispatch (host syncs
+                through the tunnel cost a full device round each — r2 measured
+                ~25 ms RTT vs a 21 ms 8B round, so one-round-per-dispatch
+                halves throughput). The on-device loop stops early on EOS,
+                budget exhaustion, or nearing cache capacity; in the cut round
+                the slot retires on the host, so the in-graph advance past the
+                cut is moot (same contract as the single-round path had).
+
+                Returns (toks [R, K+1], accs [R], n_rounds, cache, d_cache):
+                for each completed round r < n_rounds, toks[r, :accs[r]+1]
+                are exactly the target's greedy tokens."""
+                cap = self.cache_len - K - 2
+                d_len = jnp.asarray(d_len, jnp.int32)
+                budget = jnp.asarray(budget, jnp.int32)
+
+                def cond(carry):
+                    r, done = carry[0], carry[-1]
+                    return (r < R) & ~done
+
+                def body(carry):
+                    (r, cache, d_cache, cur, d_len, emitted, toks, accs,
+                     _done) = carry
+                    d_cache = dict(d_cache)
+                    d_cache["length"] = d_len[None]
+                    targets, acc, cache, d_cache = _one_round(
+                        params, dparams, cache, d_cache, cur, slot)
+                    toks = jax.lax.dynamic_update_slice(
+                        toks, targets[None], (r, 0))
+                    accs = accs.at[r].set(acc)
+                    n_emit = acc + 1
+                    pos = jnp.arange(K + 1)
+                    has_eos = jnp.any((pos <= acc) & (targets == eos_id))
+                    emitted = emitted + n_emit
+                    done = (has_eos | (emitted >= budget)
+                            | (cache["length"][slot] >= cap))
+                    return (r + 1, cache, d_cache, targets[acc],
+                            d_len + n_emit, emitted, toks, accs, done)
+
+                init = (jnp.int32(0), cache, d_cache, cur, d_len,
+                        jnp.int32(0), jnp.zeros((R, K + 1), jnp.int32),
+                        jnp.zeros((R,), jnp.int32), jnp.bool_(False))
+                (n, cache, d_cache, _cur, _dl, _em, toks, accs,
+                 _done) = jax.lax.while_loop(cond, body, init)
+                return toks, accs, n, cache, d_cache
+
+            self._spec_rounds = jax.jit(_spec_rounds, donate_argnums=(2, 3))
 
     # ------------------------------------------------------------------
     def register_prefix(self, input_ids, pixel_values=None, crop_mask=None,
@@ -480,9 +529,10 @@ class BatchDecodeEngine:
         return sum(s is not None for s in self.slots)
 
     def _spec_tick(self, i: int) -> bool:
-        """One speculative draft/verify round for the single active slot
-        ``i`` (bs=1 greedy idle regime). Returns True when handled; False
-        falls back to the plain step (e.g. multimodal draft seeding failed).
+        """Up to ``spec_rounds`` speculative draft/verify rounds for the
+        single active slot ``i`` (bs=1 greedy idle regime), folded into ONE
+        device dispatch. Returns True when handled; False falls back to the
+        plain step (e.g. multimodal draft seeding failed).
 
         The draft is TEXT-ONLY: for multimodal requests its context replaces
         the image sentinel with pad — that costs acceptance, never exactness
@@ -502,26 +552,34 @@ class BatchDecodeEngine:
             s.draft = {"cache": dc, "len": int(ctx.size)}
 
         cur = self.cur_tokens[i]
-        targets, acc, self.cache, s.draft["cache"] = self._spec_round(
+        toks, accs, n, self.cache, s.draft["cache"] = self._spec_rounds(
             self.params, self.draft_params, self.cache, s.draft["cache"],
-            cur, i, s.draft["len"])
-        targets = np.asarray(targets)
-        acc = int(acc)
+            cur, i, s.draft["len"], s.budget)
+        toks = np.asarray(toks)
+        accs = np.asarray(accs)
         emit = []
-        for t in targets[: acc + 1].tolist():
-            if t == eos:
-                s.budget = 0
+        cut = False                      # eos/budget landed mid-round
+        for r in range(int(n)):
+            acc = int(accs[r])
+            e_r = 0
+            for t in toks[r, : acc + 1].tolist():
+                if t == eos:
+                    s.budget = 0
+                    break
+                emit.append(int(t))
+                s.budget -= 1
+                e_r += 1
+                if s.budget <= 0:
+                    break
+            s.draft["len"] += e_r
+            if e_r < acc + 1:
+                cut = True
+            if cut or s.budget <= 0:
                 break
-            emit.append(int(t))
-            s.budget -= 1
-            if s.budget <= 0:
-                break
-        e = len(emit)
-        if e < acc + 1:
-            # budget/eos cut a full round short: the slot retires now, so the
-            # in-graph length advance past the cut is moot
+        if cut:
+            # budget/eos cut a round short: the slot retires now, so the
+            # in-graph cache/draft advance past the cut is moot
             s.budget = 0
-        s.draft["len"] += e
         if emit:
             s.generated.extend(emit)
             s.req.out_queue.put(emit)

@@ -155,6 +155,11 @@ def main():
     ap.add_argument("--model-base", default=None)
     ap.add_argument("--load-8bit", action="store_true")
     ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--quantize-vision", action="store_true",
+                    help="experimental W8A8 vision tower via the fused Pallas "
+                         "kernel (halves vision weight memory; ~2%% feature "
+                         "error; NOT faster on current v5e — see "
+                         "ops/w8a8_matmul.py)")
     ap.add_argument("--model-name", default=None)
     ap.add_argument("--max-slots", type=int, default=8)
     ap.add_argument("--cache-len", type=int, default=2048)
@@ -169,7 +174,8 @@ def main():
     cfg = SliMEConfig.load(args.model_path)
     params = ckpt.to_jax(ckpt.load_pretrained(args.model_path,
                                               model_base=args.model_base, cfg=cfg,
-                                              load_bits=8 if args.load_8bit else (4 if args.load_4bit else None)),
+                                              load_bits=8 if args.load_8bit else (4 if args.load_4bit else None),
+                                              quantize_vision=args.quantize_vision),
                          dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
     name = args.model_name or get_model_name_from_path(args.model_path)

@@ -31,6 +31,12 @@ def main():
                          "reference's bitsandbytes default; ~12%% less weight "
                          "streaming per decode step at 128k vocab)")
     ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--quantize-vision", action="store_true",
+                    help="experimental W8A8 vision tower: int8 weights + "
+                         "per-token int8 activations via the fused Pallas "
+                         "kernel (halves vision weight memory; ~2%% feature "
+                         "error; NOT faster on current v5e — measured "
+                         "verdict in ops/w8a8_matmul.py and docs/Serving.md)")
     ap.add_argument("--int4-scheme", default="default",
                     choices=["default", "absmax"],
                     help="int4 data type: default = NF4 group-64 (accuracy-"
@@ -52,7 +58,8 @@ def main():
     params = ckpt.to_jax(ckpt.load_pretrained(args.model_path,
                                               model_base=args.model_base, cfg=cfg,
                                               load_bits=8 if args.load_8bit else (4 if args.load_4bit else None),
-        quantize_lm_head=args.quantize_lm_head, int4_scheme=args.int4_scheme),
+        quantize_lm_head=args.quantize_lm_head, int4_scheme=args.int4_scheme,
+        quantize_vision=args.quantize_vision),
                          dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
     draft = None
