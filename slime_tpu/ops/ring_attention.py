@@ -9,8 +9,11 @@ attention with online-softmax merging — exact results, S/n memory per chip, an
 overlap-friendly communication.
 
 Implemented with shard_map + XLA collectives (the compiler schedules ppermute
-against compute); a Pallas RDMA variant (pltpu.make_async_remote_copy) is the
-round-2 upgrade path.
+against compute). The Pallas RDMA variant (in-kernel double-buffered
+pltpu.make_async_remote_copy with credit-token flow control) lives in
+ops/ring_attention_rdma.py, validated in interpreter mode on the virtual
+mesh; this collective version remains the production default until real
+multi-chip hardware can exercise the compiled RDMA path.
 """
 from __future__ import annotations
 
