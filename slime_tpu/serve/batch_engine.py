@@ -128,8 +128,14 @@ class BatchDecodeEngine:
 
         self._insert = jax.jit(_insert, donate_argnums=(0,))
 
-        def _step(params, cache, tokens, rng, temperature, active):
-            # temperature: per-slot [B]; 0 = greedy
+        B_slots = max_slots
+
+        def _step(params, cache, tokens, rng, meta):
+            # meta f32 [2B]: [temperature(B), active(B)] — host-side per-tick
+            # scalars bundled into ONE upload (each separate host->device
+            # transfer costs a tunnel round, measured comparable to the RTT)
+            temperature = meta[:B_slots]
+            active = meta[B_slots:2 * B_slots] > 0.5
             old_len = cache["length"]
             logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
                                               compute_dtype=self.compute_dtype)
@@ -139,14 +145,22 @@ class BatchDecodeEngine:
             t = jnp.maximum(temperature, 1e-6)[:, None]
             sampled = jax.random.categorical(rng, logits / t, axis=-1).astype(jnp.int32)
             nxt = jnp.where(temperature > 0, sampled, greedy)
-            return nxt, cache
+            # everything the host reads, in ONE array: each separate
+            # device->host pull costs a full tunnel RTT (~25 ms, measured
+            # comparable to the 8B step itself)
+            packed = jnp.concatenate([nxt, cache["length"]])
+            return nxt, packed, cache
 
         self._step = jax.jit(_step, donate_argnums=(1,))
 
-        def _step_k(params, cache, tokens, rng, temperature, active, k_steps):
+        def _step_k(params, cache, tokens, rng, meta):
             # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
             # when no admissions are pending). Emits [B, K] tokens; rows that hit
             # EOS mid-window keep sampling — the host discards post-EOS tokens.
+            # meta f32 [2B+1]: [temperature(B), active(B), k_steps]
+            temperature = meta[:B_slots]
+            active = meta[B_slots:2 * B_slots] > 0.5
+            k_steps = meta[2 * B_slots].astype(jnp.int32)
             old_len = cache["length"]
 
             def body(i, carry):
@@ -168,7 +182,8 @@ class BatchDecodeEngine:
                 0, k_steps, body, (cache, tokens, out0, rng))
             cache["length"] = jnp.where(active, cache["length"],
                                         old_len)
-            return out, tok, cache
+            packed = jnp.concatenate([out.reshape(-1), cache["length"]])
+            return packed, tok, cache
 
         self._step_k = jax.jit(_step_k, donate_argnums=(1,),
                                static_argnums=())
@@ -241,8 +256,8 @@ class BatchDecodeEngine:
                 d_cache = dict(d_cache)
                 return targets, acc, cache, d_cache
 
-            def _spec_rounds(params, dparams, cache, d_cache, cur, slot,
-                             d_len, budget):
+            def _spec_rounds(params, dparams, cache, d_cache, cur_tokens,
+                             meta):
                 """Up to R draft/verify rounds in ONE dispatch (host syncs
                 through the tunnel cost a full device round each — r2 measured
                 ~25 ms RTT vs a 21 ms 8B round, so one-round-per-dispatch
@@ -251,12 +266,19 @@ class BatchDecodeEngine:
                 the slot retires on the host, so the in-graph advance past the
                 cut is moot (same contract as the single-round path had).
 
-                Returns (toks [R, K+1], accs [R], n_rounds, cache, d_cache):
-                for each completed round r < n_rounds, toks[r, :accs[r]+1]
-                are exactly the target's greedy tokens."""
+                ``meta`` int32 [3] = [slot, d_len, budget] — the host-side
+                scalars of the dispatch in ONE upload. Returns (packed,
+                cur_tokens, cache, d_cache) where packed int32
+                [2 + R + R*(K+1)] = [n_rounds, slot cache length, accs[R],
+                toks[R*(K+1)]] — one array so the host syncs with ONE
+                tunnel pull; for each completed round r < n_rounds,
+                toks[r, :accs[r]+1] are exactly the target's greedy tokens.
+                cur_tokens[slot] advances to the last completed round's
+                bonus token (on eos/budget cuts the slot retires host-side,
+                so the stale advance is moot)."""
                 cap = self.cache_len - K - 2
-                d_len = jnp.asarray(d_len, jnp.int32)
-                budget = jnp.asarray(budget, jnp.int32)
+                slot, d_len, budget = meta[0], meta[1], meta[2]
+                cur = cur_tokens[slot]
 
                 def cond(carry):
                     r, done = carry[0], carry[-1]
@@ -284,11 +306,16 @@ class BatchDecodeEngine:
                 init = (jnp.int32(0), cache, d_cache, cur, d_len,
                         jnp.int32(0), jnp.zeros((R, K + 1), jnp.int32),
                         jnp.zeros((R,), jnp.int32), jnp.bool_(False))
-                (n, cache, d_cache, _cur, _dl, _em, toks, accs,
+                (n, cache, d_cache, new_cur, _dl, _em, toks, accs,
                  _done) = jax.lax.while_loop(cond, body, init)
-                return toks, accs, n, cache, d_cache
+                cur_tokens = cur_tokens.at[slot].set(new_cur)
+                packed = jnp.concatenate([
+                    n[None], cache["length"][slot][None], accs,
+                    toks.reshape(-1)])
+                return packed, cur_tokens, cache, d_cache
 
-            self._spec_rounds = jax.jit(_spec_rounds, donate_argnums=(2, 3))
+            self._spec_rounds = jax.jit(_spec_rounds,
+                                        donate_argnums=(2, 3, 4))
 
     # ------------------------------------------------------------------
     def register_prefix(self, input_ids, pixel_values=None, crop_mask=None,
@@ -496,19 +523,24 @@ class BatchDecodeEngine:
                 return sum(s is not None for s in self.slots)
         min_budget = min(self.slots[i].budget for i in active)
         k = min(self.multi_step, max(min_budget, 1)) if idle else 1
+        B = self.max_slots
+        # host-side per-tick scalars bundled into ONE upload (see _step)
+        meta = np.concatenate([temps, active_mask.astype(np.float32),
+                               np.asarray([k], np.float32)])
         if k > 1:
-            out, last, self.cache = self._step_k(
-                self.params, self.cache, self.cur_tokens, sub,
-                self.jnp.asarray(temps), self.jnp.asarray(active_mask),
-                self.jnp.asarray(k))
+            packed, last, self.cache = self._step_k(
+                self.params, self.cache, self.cur_tokens, sub, meta)
             self.cur_tokens = last
-            out_np = np.asarray(out)[:, :k]
+            packed = np.asarray(packed)      # ONE host pull for the dispatch
+            out_np = packed[:B * self.multi_step].reshape(B, self.multi_step)[:, :k]
+            lengths = packed[B * self.multi_step:]
         else:
-            nxt, self.cache = self._step(self.params, self.cache, self.cur_tokens,
-                                         sub, self.jnp.asarray(temps),
-                                         self.jnp.asarray(active_mask))
+            nxt, packed, self.cache = self._step(
+                self.params, self.cache, self.cur_tokens, sub, meta[:2 * B])
             self.cur_tokens = nxt
-            out_np = np.asarray(nxt)[:, None]
+            packed = np.asarray(packed)      # ONE host pull for the dispatch
+            out_np = packed[:B][:, None]
+            lengths = packed[B:]
 
         for i in active:
             s = self.slots[i]
@@ -524,7 +556,7 @@ class BatchDecodeEngine:
             if emit:
                 s.generated.extend(emit)
                 s.req.out_queue.put(emit)
-            if s.budget <= 0 or int(self.cache["length"][i]) >= self.cache_len - 1:
+            if s.budget <= 0 or int(lengths[i]) >= self.cache_len - 1:
                 self._retire(i)
         return sum(s is not None for s in self.slots)
 
@@ -551,12 +583,15 @@ class BatchDecodeEngine:
                                      jnp.asarray(ctx[None], jnp.int32))
             s.draft = {"cache": dc, "len": int(ctx.size)}
 
-        cur = self.cur_tokens[i]
-        toks, accs, n, self.cache, s.draft["cache"] = self._spec_rounds(
-            self.params, self.draft_params, self.cache, s.draft["cache"],
-            cur, i, s.draft["len"], s.budget)
-        toks = np.asarray(toks)
-        accs = np.asarray(accs)
+        meta = np.asarray([i, s.draft["len"], s.budget], np.int32)
+        packed, self.cur_tokens, self.cache, s.draft["cache"] = \
+            self._spec_rounds(self.params, self.draft_params, self.cache,
+                              s.draft["cache"], self.cur_tokens, meta)
+        R, K = self.spec_rounds, self.spec_k
+        packed = np.asarray(packed)          # ONE host pull for the dispatch
+        n, slot_len = packed[0], packed[1]
+        accs = packed[2:2 + R]
+        toks = packed[2 + R:].reshape(R, K + 1)
         emit = []
         cut = False                      # eos/budget landed mid-round
         for r in range(int(n)):
@@ -583,8 +618,9 @@ class BatchDecodeEngine:
         if emit:
             s.generated.extend(emit)
             s.req.out_queue.put(emit)
-            self.cur_tokens = self.cur_tokens.at[i].set(emit[-1])
-        if s.budget <= 0 or int(self.cache["length"][i]) >= self.cache_len - self.spec_k - 2:
+            # cur_tokens[i] already advanced in-graph; on a cut the slot
+            # retires below, so the in-graph value never being emit[-1] is moot
+        if s.budget <= 0 or int(slot_len) >= self.cache_len - self.spec_k - 2:
             self._retire(i)
         return True
 
