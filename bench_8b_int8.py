@@ -22,6 +22,10 @@ def main():
     from slime_tpu.models import llama
 
     bits = int(os.environ.get("SLIME_8B_BITS", "8"))
+    # int4 only: "absmax" = per-row "q4"; "group" = group-128 "q4g" (the
+    # quality-bearing int4 packing, ops/quantization.quantize_weight_q4g);
+    # "nf4" = NF4 group-64 codebook (the accuracy default, XLA dequant path)
+    scheme = os.environ.get("SLIME_INT4_SCHEME", "absmax")
     cfg = LLMConfig.llama3_8b()
     rng = np.random.default_rng(0)
 
@@ -29,6 +33,28 @@ def main():
         # quantize on HOST (numpy) so only int8/int4 bytes cross the tunnel
         w = rng.standard_normal((out_d, in_d)).astype(np.float32) * 0.02
         qmax = 127.0 if bits == 8 else 7.0
+        if bits == 4 and scheme == "nf4":
+            from slime_tpu.ops.quantization import NF4_CODEBOOK
+            G = 64
+            g = w.reshape(out_d, in_d // G, G)
+            absmax = np.abs(g).max(axis=-1)
+            scale = np.where(absmax > 0, absmax, 1.0).astype(np.float32)
+            norm = (g / scale[..., None]).reshape(out_d, in_d)
+            mids = (NF4_CODEBOOK[1:] + NF4_CODEBOOK[:-1]) / 2
+            idx = np.searchsorted(mids, norm).astype(np.int8)
+            packed = ((idx[:, 0::2] & 0xF) | ((idx[:, 1::2] & 0xF) << 4))
+            return {"nf4": jnp.asarray(packed.astype(np.int8)),
+                    "scale": jnp.asarray(scale)}
+        if bits == 4 and scheme == "group":
+            G = 128
+            g = w.reshape(out_d, in_d // G, G)
+            absmax = np.abs(g).max(axis=-1)
+            scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
+            qq = np.clip(np.round(g / scale[..., None]), -qmax, qmax)
+            pairs = qq.astype(np.int8).reshape(out_d, in_d // (2 * G), 2, G)
+            packed = ((pairs[:, :, 0] & 0xF) | ((pairs[:, :, 1] & 0xF) << 4))
+            packed = packed.astype(np.int8).reshape(out_d, in_d // 2)
+            return {"q4g": jnp.asarray(packed), "scale": jnp.asarray(scale)}
         absmax = np.abs(w).max(axis=-1, keepdims=True)
         scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
         qq = np.clip(np.round(w / scale), -qmax, qmax).astype(np.int8)
@@ -114,8 +140,9 @@ def main():
     int(tok[0])
     dt = time.perf_counter() - t0
 
+    tag = f"int{bits}" if bits == 8 or scheme == "absmax" else f"int4_{scheme}"
     print(json.dumps({
-        "metric": f"slime8b_int{bits}_decode_tok_per_sec",
+        "metric": f"slime8b_{tag}_decode_tok_per_sec",
         "value": round(NEW / dt, 2),
         "unit": f"tok/s (Llama-3-8B arch, int{bits} weights, bs=1, "
                 f"{S}-token prefill TTFT={ttft_ms:.0f}ms, single v5e chip)",

@@ -40,7 +40,9 @@ def main():
 
     from slime_tpu.config import LLMConfig
     from slime_tpu.models import llama
-    from slime_tpu.ops.quantization import quantize_weight, quantize_weight_nf4
+    from slime_tpu.ops.quantization import (quantize_weight,
+                                            quantize_weight_nf4,
+                                            quantize_weight_q4g)
 
     base = LLMConfig.llama3_8b()
     cfg = LLMConfig(**{**base.__dict__, "num_layers": LAYERS})
@@ -162,6 +164,24 @@ def main():
         q4["layers"] = quant_tree(params["layers"], 4)
         run("int4-absmax", q4)
         del q4
+    if want("int4-g128"):
+        # group-128 absmax in the q4g packing: this forward runs the fused
+        # Pallas group kernel (models/layers.py routes "q4g" on TPU), so the
+        # row is an accuracy AND kernel-correctness measurement at 8B width
+        qg = dict(params)
+        out = {}
+        for k, v in params["layers"].items():
+            wt = v["weight"]
+            if wt.ndim == 3 and "proj" in k:
+                qw = jax.jit(lambda x: quantize_weight_q4g(
+                    x.astype(jnp.float32), group=128))(wt)
+                jax.block_until_ready(qw["scale"])
+                out[k] = {"weight": qw}
+            else:
+                out[k] = v
+        qg["layers"] = out
+        run("int4-g128", qg)
+        del qg
     if not want("nf4-g64"):
         return
 

@@ -281,7 +281,8 @@ def load_pretrained(model_path: str, *, model_base: Optional[str] = None,
     int4_scheme (load_bits=4 only): "default" = NF4 group-64 (the data type
     the reference's bnb path loads; accuracy-safe), "absmax" = per-row
     uniform int4 (fastest decode via the fused Pallas kernel; quality budget
-    in docs/Serving.md).
+    in docs/Serving.md), "group" = group-128 absmax in the fused-kernel
+    "q4g" packing (group accuracy at fused-kernel decode speed).
     """
     if cfg is None:
         cfg = SliMEConfig.load(model_path)

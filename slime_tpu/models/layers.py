@@ -36,15 +36,17 @@ def linear(p, x):
     unpacks nibbles in VMEM — measured ~19% faster than the XLA dequant path."""
     w = p["weight"]
     if isinstance(w, dict):
-        # group-scaled int4 (scale [out, n_groups>1]) takes the XLA dequant
-        # path — the fused kernel applies scales per row after the dot, which
-        # is only valid per-row; group int4 trades ~15% decode speed for the
-        # accuracy documented in docs/Serving.md
-        if ("q4" in w and jax.default_backend() == "tpu"
-                and w["scale"].shape[-1] == 1):
-            from ..ops.quant_matmul import quant_matmul
+        # NF4 (codebook lookup) takes the XLA dequant path; per-row "q4" and
+        # group-scaled "q4g" have fused Pallas kernels on TPU. "q4g" is the
+        # quality-bearing int4: group-128 absmax accuracy (docs/Serving.md)
+        # at packed-nibble bandwidth.
+        if jax.default_backend() == "tpu" and (
+                ("q4" in w and w["scale"].shape[-1] == 1) or "q4g" in w):
+            from ..ops.quant_matmul import quant_matmul, quant_matmul_q4g
             lead = x.shape[:-1]
-            y = quant_matmul(x.reshape(-1, x.shape[-1]), w)
+            x2 = x.reshape(-1, x.shape[-1])
+            y = (quant_matmul_q4g(x2, w) if "q4g" in w
+                 else quant_matmul(x2, w))
             y = y.reshape(*lead, -1)
             if "bias" in p:
                 y = y + p["bias"].astype(x.dtype)

@@ -43,6 +43,90 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, block_out: int):
     o_ref[...] = (y * s_ref[...][:, 0][None, :]).astype(o_ref.dtype)
 
 
+def _kernel_int4_group(x_ref, w_ref, s_ref, o_ref, acc_ref, *, group: int):
+    """Group-scaled int4 (the "q4g" packing, ops/quantization.py): packed lane
+    block b holds group 2b in low nibbles and group 2b+1 in high nibbles, so
+    every slice below is ``group``-lane-aligned. Scales vary along the
+    contraction, so each group gets its own K=group dot and the scale applies
+    to that partial sum — the accumulator carries the k-grid reduction."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[...].astype(jnp.int32)       # [bo, bk/2]
+    # scales arrive TRANSPOSED [bk/group, bo]: a [bo, bk/group] block would
+    # have a last dim of bk/group (e.g. 8), which Mosaic's VMEM tiling
+    # rejects; transposed, both dims are tiling-compliant and the per-group
+    # row s[g] is a [bo] lane vector ready to scale the [br, bo] partial sum
+    s = s_ref[...]                              # [bk/group, bo]
+    acc = acc_ref[...]
+    n_blocks = packed.shape[1] // group
+    for b in range(n_blocks):
+        pg = packed[:, b * group:(b + 1) * group]
+        lo = (((pg & 0xF) ^ 8) - 8).astype(x_ref.dtype)       # group 2b
+        hi = ((((pg >> 4) & 0xF) ^ 8) - 8).astype(x_ref.dtype)  # group 2b+1
+        x0 = x_ref[:, (2 * b) * group:(2 * b + 1) * group]
+        x1 = x_ref[:, (2 * b + 1) * group:(2 * b + 2) * group]
+        y0 = jax.lax.dot_general(x0, lo, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        y1 = jax.lax.dot_general(x1, hi, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc = acc + y0 * s[2 * b][None, :] + y1 * s[2 * b + 1][None, :]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def quant_matmul_q4g(x, qw: dict, *, block_out: int = 512,
+                     block_rows: int = 256, block_in: int = 1024,
+                     interpret: bool = False) -> jnp.ndarray:
+    """x [B, IN] @ dequant(qw).T for group-scaled int4 ({"q4g", "scale"}).
+
+    The contraction joins the grid (k axis, "arbitrary") so the weight block
+    stays small; within a k step each 128-column group is a separate MXU dot
+    whose partial sum is scaled by its group scale before accumulation. This
+    is the quality-bearing int4 decode path: group-128 absmax keeps logits
+    usable (docs/Serving.md) at int4's weight-streaming bandwidth, where
+    per-row absmax ("q4") does not."""
+    q, scale = qw["q4g"], qw["scale"]
+    OUT, IN = q.shape[0], q.shape[1] * 2
+    n_g = scale.shape[-1]
+    group = IN // n_g
+    B = x.shape[0]
+    bo = min(block_out, OUT)
+    br = min(block_rows, B)
+    bk = min(block_in, IN)
+    assert IN % bk == 0 and bk % (2 * group) == 0, (IN, bk, group)
+    gpb = bk // group
+    # Mosaic VMEM tiling: a block's second-minor dim must be divisible by 8
+    # (or span the array); shrink the k-chunk to one step if the per-chunk
+    # group count is awkward
+    if gpb % 8 != 0 and bk != IN:
+        bk, gpb = IN, n_g
+    grid = (pl.cdiv(B, br), pl.cdiv(OUT, bo), IN // bk)
+    return pl.pallas_call(
+        functools.partial(_kernel_int4_group, group=group),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((br, bk), lambda r, i, k: (r, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bo, bk // 2), lambda r, i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bo), lambda r, i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, bo), lambda r, i, k: (r, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, OUT), x.dtype),
+        scratch_shapes=[pltpu.VMEM((br, bo), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, q, scale.astype(jnp.float32).T)
+
+
 def quant_matmul(x, qw: dict, *, block_out: int = 512, block_rows: int = 256,
                  interpret: bool = False) -> jnp.ndarray:
     """x [B, IN] @ dequant(qw).T -> [B, OUT]. qw from ops.quantization

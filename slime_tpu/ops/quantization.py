@@ -74,6 +74,32 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def quantize_weight_q4g(w: jnp.ndarray, group: int = 128) -> Dict:
+    """Group-wise absmax int4 with the fused-kernel packing: {"q4g": int8
+    [..., out, in/2], "scale": [..., out, in/group]}.
+
+    Packing: packed block b (a ``group``-wide lane chunk) holds group 2b in
+    its LOW nibbles and group 2b+1 in its HIGH nibbles — so with group=128
+    every per-group slice the Pallas kernel takes (packed block, x chunk) is
+    a 128-lane-aligned slice, and x needs no column permutation at all
+    (unlike "q4"'s even/odd pairing). Numerics are identical to
+    quantize_weight(bits=4, group=group) — only the byte layout differs —
+    so the accuracy measurements for group-G absmax int4
+    (docs/Serving.md) carry over unchanged."""
+    wf = jnp.asarray(w, jnp.float32)
+    IN = wf.shape[-1]
+    assert IN % (2 * group) == 0, (IN, group)
+    g = wf.reshape(*wf.shape[:-1], IN // group, group)
+    absmax = jnp.max(jnp.abs(g), axis=-1)                    # [..., out, n_g]
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(g / scale[..., None]), -7, 7).astype(jnp.int8)
+    pairs = q.reshape(*wf.shape[:-1], IN // (2 * group), 2, group)
+    lo = pairs[..., 0, :] & 0xF
+    hi = (pairs[..., 1, :] & 0xF) << 4
+    packed = (lo | hi).astype(jnp.int8).reshape(*wf.shape[:-1], IN // 2)
+    return {"q4g": packed, "scale": scale.astype(jnp.float32)}
+
+
 def quantize_weight_nf4(w: jnp.ndarray, group: int = 64) -> Dict:
     """w [..., out, in] -> {"nf4": packed idx int8 [..., out, in/2],
     "scale": [..., out, in/group]}. Per-group absmax scaling + the NF4
@@ -95,10 +121,25 @@ def quantize_weight_nf4(w: jnp.ndarray, group: int = 64) -> Dict:
 
 def is_quantized(leaf) -> bool:
     return (isinstance(leaf, dict) and "scale" in leaf
-            and ("q" in leaf or "q4" in leaf or "nf4" in leaf))
+            and ("q" in leaf or "q4" in leaf or "q4g" in leaf or "nf4" in leaf))
 
 
 def dequantize_weight(qw: Dict) -> jnp.ndarray:
+    if "q4g" in qw:
+        p = qw["q4g"]
+        scale = qw["scale"]
+        IN = p.shape[-1] * 2
+        n_g = scale.shape[-1]
+        group = IN // n_g
+        blocks = p.reshape(*p.shape[:-1], n_g // 2, group)
+        lo = (blocks & 0xF).astype(jnp.int8)
+        lo = jnp.where(lo >= 8, lo - 16, lo)
+        hi = ((blocks >> 4) & 0xF).astype(jnp.int8)
+        hi = jnp.where(hi >= 8, hi - 16, hi)
+        q = jnp.stack([lo, hi], axis=-2)         # [..., out, n_g/2, 2, group]
+        q = q.reshape(*scale.shape, group)       # [..., out, n_g, group]
+        return (q.astype(jnp.float32) * scale[..., None]).reshape(
+            *p.shape[:-1], IN)
     if "nf4" in qw:
         p = qw["nf4"]
         lo = (p & 0xF).astype(jnp.int32)
@@ -148,8 +189,10 @@ def quantize_params(params, bits: int = 8, *, min_size: int = 1 << 16,
     scheme: "default" = per-row absmax for int8, NF4 group-64 for int4 (the
     bitsandbytes-parity, accuracy-safe choice — see module docstring);
     "absmax" forces uniform int4 per-row (fastest decode via the fused
-    kernel, documented quality cost)."""
+    kernel, documented quality cost); "group" = group-128 absmax int4 in the
+    fused-kernel "q4g" packing (group accuracy AND a fused decode kernel)."""
     use_nf4 = bits == 4 and scheme == "default"
+    use_q4g = bits == 4 and scheme == "group"
 
     def conv(leaf):
         if (hasattr(leaf, "ndim") and leaf.ndim == 2
@@ -157,6 +200,8 @@ def quantize_params(params, bits: int = 8, *, min_size: int = 1 << 16,
                 and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)):
             if use_nf4 and leaf.shape[-1] % 64 == 0:
                 return quantize_weight_nf4(jnp.asarray(leaf), group=64)
+            if use_q4g and leaf.shape[-1] % 256 == 0:
+                return quantize_weight_q4g(jnp.asarray(leaf), group=128)
             return quantize_weight(jnp.asarray(leaf), bits)
         return leaf
 

@@ -38,11 +38,13 @@ def main():
                          "error; NOT faster on current v5e — measured "
                          "verdict in ops/w8a8_matmul.py and docs/Serving.md)")
     ap.add_argument("--int4-scheme", default="default",
-                    choices=["default", "absmax"],
+                    choices=["default", "absmax", "group"],
                     help="int4 data type: default = NF4 group-64 (accuracy-"
                          "safe, the reference's bnb type); absmax = per-row "
                          "uniform (fastest decode, quality budget in "
-                         "docs/Serving.md)")
+                         "docs/Serving.md); group = group-128 absmax via "
+                         "the fused q4g kernel (group accuracy at fused-"
+                         "kernel speed)")
     ap.add_argument("--draft-model-path", default=None,
                     help="small same-tokenizer model for greedy speculative "
                          "decoding (exact; text-only prompts)")

@@ -98,3 +98,25 @@ def test_int8_lm_head_at_8b_vocab(layer_setup):
     # random near-flat logits are the worst case for argmax stability; the
     # sharp (trained-like) regime measured on-chip agrees far higher
     assert agree > 0.5, agree
+
+
+@pytest.mark.slow
+def test_int4_g128_layer_error_at_8b_width(layer_setup):
+    """Group-128 absmax int4 (the fused q4g path) must improve on per-row
+    int4 — the quality claim behind --int4-scheme group. On gaussian weights
+    the per-layer gain is the absmax statistic sqrt(2 ln 4096)/sqrt(2 ln 128)
+    ~= 1.31x (measured 0.220 vs 0.298 = 1.35x); the band pins that ratio —
+    materially better than per-row, still int4-class (not silently int8)."""
+    from slime_tpu.ops.quantization import quantize_weight_q4g
+
+    cfg, layer, x, cos, sin, ref = layer_setup
+    ql = {k: ({"weight": quantize_weight_q4g(v["weight"], group=128)}
+              if v["weight"].ndim == 2 and "proj" in k else v)
+          for k, v in layer.items()}
+    out, _, _ = llama._layer_prefill(ql, x, cos, sin, cfg, False)
+    rel = float(jnp.mean(jnp.abs(out - ref)) / (jnp.std(ref) + 1e-9))
+    out4, _, _ = llama._layer_prefill(_quant_layer(layer, 4), x, cos, sin,
+                                      cfg, False)
+    rel4 = float(jnp.mean(jnp.abs(out4 - ref)) / (jnp.std(ref) + 1e-9))
+    assert rel < 0.85 * rel4, (rel, rel4)
+    assert rel > 0.02, rel  # still int4 — must not silently match int8
