@@ -58,10 +58,15 @@ def parse_args():
                     help="non-blocking Orbax train-state saves")
     ap.add_argument("--logging-steps", type=int, default=10)
     ap.add_argument("--seed", type=int, default=3407)
-    # LoRA
+    # LoRA / QLoRA (reference scripts/llama-lora/*.sh r=128 alpha=256; --bits
+    # 8/4 quantizes the frozen LLM base = the bitsandbytes kbit path,
+    # train.py:956-972)
     ap.add_argument("--lora-enable", action="store_true")
     ap.add_argument("--lora-r", type=int, default=128)
     ap.add_argument("--lora-alpha", type=int, default=256)
+    ap.add_argument("--bits", type=int, default=16, choices=[16, 8, 4],
+                    help="quantize the (frozen) LLM base for QLoRA; "
+                         "requires --lora-enable")
     # mesh
     ap.add_argument("--mesh-data", type=int, default=1)
     ap.add_argument("--mesh-fsdp", type=int, default=None)
@@ -100,13 +105,22 @@ def main():
                          "tokenizer_model_max_length": args.model_max_length})
 
     # weights: full checkpoint, or random-init fresh modules around a base LLM
+    if args.bits != 16 and not args.lora_enable:
+        raise SystemExit("--bits 8/4 trains a quantized base — only valid "
+                         "with --lora-enable (QLoRA); full finetuning of "
+                         "quantized weights is not a thing")
     has_weights = any(f.endswith((".safetensors", ".bin"))
                       for f in os.listdir(args.model_path))
     if has_weights:
         params = ckpt.to_jax(ckpt.load_pretrained(
-            args.model_path, model_base=args.model_base, cfg=cfg))
+            args.model_path, model_base=args.model_base, cfg=cfg,
+            load_bits=args.bits if args.bits != 16 else None))
     else:
         params = slime.init(jax.random.PRNGKey(args.seed), cfg)
+        if args.bits != 16:
+            from slime_tpu.ops.quantization import quantize_params
+            params["llm"]["layers"] = quantize_params(
+                params["llm"]["layers"], args.bits)
     # staged adapter warm-starts (reference initialize_vision_modules,
     # llava_arch.py:107-119)
     for pre, key, conv in (
@@ -158,10 +172,16 @@ def main():
         batch_mult = mesh.shape["data"] * mesh.shape["fsdp"]
     global_batch = args.per_device_batch_size * batch_mult
 
+    lora_state = None
+    if args.lora_enable:
+        from slime_tpu.train import lora as lora_lib
+        lora_state = lora_lib.init_lora(jax.random.PRNGKey(args.seed + 1),
+                                        params, r=args.lora_r,
+                                        alpha=args.lora_alpha)
     trainer = Trainer(params, cfg, tc, rc, mesh=mesh,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                       use_pallas=args.use_pallas_attention or None,
-                      remat=args.remat)
+                      remat=args.remat, lora=lora_state)
 
     def batches():
         for epoch in range(args.num_train_epochs):

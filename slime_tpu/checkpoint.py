@@ -579,6 +579,44 @@ def save_checkpoint(path: str, params: Dict, cfg: SliMEConfig,
         torch.save(to_torch(sd), os.path.join(path, "pytorch_model.bin"))
 
 
+def save_lora_checkpoint(path: str, params: Dict, lora_state: Dict,
+                         cfg: SliMEConfig) -> None:
+    """Write a reference-layout LoRA checkpoint directory: config.json +
+    adapter_config.json + adapter_model.bin (PEFT key names) +
+    non_lora_trainables.bin (projector/sampler trained outside PEFT).
+
+    This is the save side of the reference's LoRA split
+    (llava/train/train.py:1185-1196); load_pretrained(path, model_base=...)
+    merges it back (builder.py:52-91 semantics), and reference PEFT tooling
+    can consume the adapter files unchanged."""
+    from .train.lora import export_peft
+
+    os.makedirs(path, exist_ok=True)
+    cfg.save(path)
+    import torch
+
+    def to_torch(sd):
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+    targets = sorted({p.rsplit("/", 1)[-1] for p in lora_state["adapters"]})
+    with open(os.path.join(path, "adapter_config.json"), "w") as f:
+        json.dump({"peft_type": "LORA", "r": int(lora_state["rank"]),
+                   "lora_alpha": int(lora_state["alpha"]),
+                   "lora_dropout": 0.0, "bias": "none",
+                   "target_modules": targets,
+                   "task_type": "CAUSAL_LM"}, f, indent=2)
+    torch.save(to_torch(export_peft(lora_state)),
+               os.path.join(path, "adapter_model.bin"))
+    non_lora: Dict[str, np.ndarray] = {}
+    if "projector" in params:
+        non_lora.update(export_projector(params["projector"], cfg))
+    if "sampler" in params and cfg.has_sampler:
+        non_lora.update(export_sampler(params["sampler"], cfg))
+    if non_lora:
+        torch.save(to_torch(non_lora),
+                   os.path.join(path, "non_lora_trainables.bin"))
+
+
 def to_jax(params, dtype=None):
     """numpy pytree -> jnp arrays (optionally casting floats).
 

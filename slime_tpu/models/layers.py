@@ -33,7 +33,15 @@ def linear(p, x):
 
     Quant-aware: int8 dequant folds into the XLA matmul epilogue; int4 on TPU
     routes through the Pallas fused-dequant kernel (ops/quant_matmul.py), which
-    unpacks nibbles in VMEM — measured ~19% faster than the XLA dequant path."""
+    unpacks nibbles in VMEM — measured ~19% faster than the XLA dequant path.
+
+    LoRA-aware: a ``p["lora"] = {"A": [r, in], "B": [out, r], "s": scalar}``
+    entry (train.lora.attach) adds ``s * (x @ A.T) @ B.T`` — the factored
+    form, so the base weight is never materialized at full precision. This is
+    what makes QLoRA work: the quantized base streams through its normal
+    (fused-kernel or XLA-dequant) path while gradients flow only through the
+    two small adapter matmuls (reference: PEFT on a bitsandbytes base,
+    llava/train/train.py:1036-1052)."""
     w = p["weight"]
     if isinstance(w, dict):
         # NF4 (codebook lookup) takes the XLA dequant path; per-row "q4" and
@@ -48,15 +56,23 @@ def linear(p, x):
             y = (quant_matmul_q4g(x2, w) if "q4g" in w
                  else quant_matmul(x2, w))
             y = y.reshape(*lead, -1)
-            if "bias" in p:
-                y = y + p["bias"].astype(x.dtype)
-            return y
-        from ..ops.quantization import dequantize_weight
-        w = dequantize_weight(w)
-    y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            from ..ops.quantization import dequantize_weight
+            w = dequantize_weight(w)
+            y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
+    if "lora" in p:
+        la = p["lora"]
+        xa = jnp.einsum("...i,ri->...r", x, la["A"].astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y + jnp.einsum("...r,or->...o", xa, la["B"].astype(x.dtype),
+                           preferred_element_type=jnp.float32).astype(x.dtype) \
+            * la["s"].astype(x.dtype)
     return y
 
 

@@ -60,8 +60,20 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     # projector / sampler: small matmuls — shard the big dim on fsdp only
     (r"(projector|sampler)/.*/(in_proj_weight)$", P("model", None)),
     (r"(projector|sampler)/.*weight$",            P("fsdp", None)),
+    # LoRA adapter factors (train.lora trainable tree): shard the full-width
+    # dim, replicate the rank dim (r is small)
+    (r"adapters/.+/A$", P(None, "fsdp")),
+    (r"adapters/.+/B$", P("fsdp", None)),
     # biases, norms, queries, pos embeds, gates: replicated
 )
+
+# Quantized weights are dicts {"q"/"q4"/"q4g"/"nf4": [out, in(/2)],
+# "scale": [out, groups]} nested under the weight path — their leaves shard by
+# the BASE weight's rule: the packed int tensor keeps the full 2-D spec
+# (packing halves the in-dim, which the divisibility pruning absorbs), the
+# scale keeps only the out-dim axis. This is what lets QLoRA train and int8/
+# int4 serving run sharded (fsdp/tp) without replicating the quantized bulk.
+_QUANT_LEAVES = ("q", "q4", "q4g", "nf4")
 
 
 def _path_str(path) -> str:
@@ -76,34 +88,53 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _rule_spec(s: str) -> P:
+    """First matching rule's raw PartitionSpec for a path string (un-pruned)."""
+    for pat, spec in _RULES:
+        if re.search(pat, s):
+            return spec
+    return P()
+
+
+def _prune(spec: P, dims, mesh: Optional[Mesh]) -> P:
+    """Drop axes that don't divide the corresponding dim — tiny test configs
+    and uneven shapes fall back to replication on that dim."""
+    if len(spec) > len(dims):
+        return P()
+
+    def axis_size(name: str) -> int:
+        return mesh.shape[name] if mesh is not None else 1
+
+    fixed = []
+    for d, ax in enumerate(spec):
+        if ax is None:
+            fixed.append(None)
+            continue
+        axes = (ax,) if isinstance(ax, str) else tuple(ax)
+        keep = tuple(a for a in axes
+                     if d < len(dims) and dims[d] % axis_size(a) == 0
+                     and axis_size(a) > 1)
+        fixed.append(keep[0] if len(keep) == 1 else (keep or None))
+    return P(*fixed)
+
+
 def param_pspec(path, leaf, mesh: Optional[Mesh] = None) -> P:
-    """Rule-derived PartitionSpec for one leaf. ``mesh`` (when given) prunes
-    axes that don't divide the corresponding dim — tiny test configs and
-    uneven shapes fall back to replication on that dim."""
+    """Rule-derived PartitionSpec for one leaf (see _prune for mesh pruning)."""
     s = _path_str(path)
     dims = tuple(getattr(leaf, "shape", None) or np.shape(leaf))
     if len(dims) < 2:
         return P()  # vectors/scalars (norms, biases) replicate
 
-    def axis_size(name: str) -> int:
-        return mesh.shape[name] if mesh is not None else 1
+    # quantized-dict leaves resolve against the base weight's rule: the packed
+    # int tensor inherits the full spec, the scale only the out-dim axis
+    head, _, tail = s.rpartition("/")
+    if tail in _QUANT_LEAVES:
+        s = head
+    elif tail == "scale" and head.endswith("weight"):
+        base = _rule_spec(head)
+        return _prune(P(base[0] if len(base) >= 1 else None, None), dims, mesh)
 
-    for pat, spec in _RULES:
-        if re.search(pat, s):
-            if len(spec) > len(dims):
-                return P()
-            fixed = []
-            for d, ax in enumerate(spec):
-                if ax is None:
-                    fixed.append(None)
-                    continue
-                axes = (ax,) if isinstance(ax, str) else tuple(ax)
-                keep = tuple(a for a in axes
-                             if d < len(dims) and dims[d] % axis_size(a) == 0
-                             and axis_size(a) > 1)
-                fixed.append(keep[0] if len(keep) == 1 else (keep or None))
-            return P(*fixed)
-    return P()  # replicate
+    return _prune(_rule_spec(s), dims, mesh)
 
 
 def param_shardings(mesh: Mesh, params) -> Dict:

@@ -28,14 +28,28 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
 
 
+def weight_shape(w) -> Optional[tuple]:
+    """(out, in) of a linear weight — a 2-D array, or a quantized dict
+    ({"q"/"q4"/"q4g"/"nf4", "scale"}; packed 4-bit halves the stored in-dim).
+    None if it isn't a linear weight."""
+    if isinstance(w, dict):
+        for key, mult in (("q", 1), ("q4", 2), ("q4g", 2), ("nf4", 2)):
+            if key in w and np.ndim(w[key]) == 2:
+                o, i = w[key].shape
+                return (o, i * mult)
+        return None
+    return tuple(w.shape) if np.ndim(w) == 2 else None
+
+
 def find_linear_targets(params, patterns: Sequence[str] = DEFAULT_TARGETS) -> List[str]:
     """Paths of linear param dicts matching the target patterns (the reference's
-    find_all_linear_names walks Linear modules; here: dicts with a 2-D 'weight')."""
+    find_all_linear_names walks Linear modules; here: dicts with a 2-D — or
+    quantized, for QLoRA — 'weight')."""
     out = []
 
     def walk(node, path):
         if isinstance(node, dict):
-            if "weight" in node and np.ndim(node["weight"]) == 2:
+            if "weight" in node and weight_shape(node["weight"]) is not None:
                 s = "/".join(path)
                 if any(re.search(p, s) for p in patterns):
                     out.append(s)
@@ -55,8 +69,7 @@ def init_lora(rng, params, *, r: int = 128, alpha: int = 256,
     paths = find_linear_targets(params, targets)
     adapters = {}
     for i, p in enumerate(paths):
-        w = _get(params, p)["weight"]
-        out_dim, in_dim = w.shape
+        out_dim, in_dim = weight_shape(_get(params, p)["weight"])
         k = jax.random.fold_in(rng, i)
         adapters[p] = {
             "A": jax.random.normal(k, (r, in_dim), jnp.float32) * (1.0 / r),
@@ -87,6 +100,9 @@ def merge(params, lora_state: Dict):
     out = jax.tree_util.tree_map(jnp.asarray, out)
     for path, ab in lora_state["adapters"].items():
         w = _get(out, path)["weight"]
+        if isinstance(w, dict):   # QLoRA base: merge into the dequantized weight
+            from ..ops.quantization import dequantize_weight
+            w = dequantize_weight(w).astype(jnp.bfloat16)
         delta = (ab["B"].astype(jnp.float32) @ ab["A"].astype(jnp.float32)) * scale
         _set_weight(out, path, (w.astype(jnp.float32) + delta).astype(w.dtype))
     return out
@@ -104,10 +120,46 @@ def apply_to_params(params, lora_state: Optional[Dict]):
         if isinstance(node, dict):
             s = "/".join(path)
             if s in lora_state["adapters"] and "weight" in node:
+                if isinstance(node["weight"], dict):
+                    raise TypeError(
+                        f"{s}: quantized base weight — use lora.attach() "
+                        "(factored application) for QLoRA forwards")
                 ab = lora_state["adapters"][s]
                 delta = (ab["B"] @ ab["A"]) * scale
                 new = dict(node)
                 new["weight"] = node["weight"] + delta.astype(node["weight"].dtype)
+                return new
+            return {k: rebuild(v, path + [str(k)]) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rebuild(v, path + [str(i)]) for i, v in enumerate(node)]
+        return node
+
+    return rebuild(params, [])
+
+
+def attach(params, lora_state: Optional[Dict]):
+    """Factored forward application: returns a tree where each target linear
+    dict gains ``{"lora": {"A", "B", "s"}}`` and models.layers.linear adds
+    ``s * (x @ A.T) @ B.T`` after the base matmul.
+
+    Unlike apply_to_params (which materializes W + sB@A), this never touches
+    the base weight — so it works when the base is QUANTIZED (a
+    {"q"/"q4"/"q4g"/"nf4", "scale"} dict): the int8/int4 weight keeps its
+    fused-kernel path and the adapter contributes two rank-r matmuls. That is
+    the QLoRA recipe (quantized frozen base + trainable fp adapters), the
+    reference's bitsandbytes-base + PEFT combination
+    (llava/train/train.py:956-972 + 1036-1052)."""
+    if lora_state is None:
+        return params
+    scale = jnp.float32(lora_state["alpha"] / lora_state["rank"])
+
+    def rebuild(node, path):
+        if isinstance(node, dict):
+            s = "/".join(path)
+            if s in lora_state["adapters"] and "weight" in node:
+                ab = lora_state["adapters"][s]
+                new = dict(node)
+                new["lora"] = {"A": ab["A"], "B": ab["B"], "s": scale}
                 return new
             return {k: rebuild(v, path + [str(k)]) for k, v in node.items()}
         if isinstance(node, list):

@@ -116,3 +116,33 @@ def make_optimizer(params, tc: TrainConfig):
     if tc.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, tc.gradient_accumulation_steps)
     return tx, labels
+
+
+def make_lora_optimizer(trainable, tc: TrainConfig):
+    """Optimizer over the LoRA trainable tree ({"adapters": ..., "extras": ...}).
+
+    Mirrors the reference's LoRA runs: adapters at the base LR, the
+    mm_projector/sampler extras in the separate mm_projector_lr group
+    (llava_trainer.py:163-246 — LoRA-SFT keeps the projector trainable outside
+    PEFT, saved as non_lora_trainables.bin). Optimizer state exists ONLY for
+    this small tree — the frozen (possibly quantized) base carries no Adam
+    moments, which is what makes single-chip QLoRA of an 8B fit."""
+    def adamw(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(tc.max_grad_norm),
+            optax.adamw(make_schedule(tc, lr), b1=tc.adam_b1, b2=tc.adam_b2,
+                        eps=tc.adam_eps, weight_decay=tc.weight_decay,
+                        mask=_decay_mask(trainable)),
+        )
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: ("proj" if _path_str(path).startswith("extras/")
+                            else "base"),
+        trainable)
+    tx = optax.multi_transform(
+        {"base": adamw(tc.learning_rate),
+         "proj": adamw(tc.mm_projector_lr or tc.learning_rate)},
+        labels)
+    if tc.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, tc.gradient_accumulation_steps)
+    return tx, labels

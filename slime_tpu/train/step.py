@@ -48,6 +48,74 @@ def make_train_step(cfg: SliMEConfig, tc: TrainConfig, tx,
     return step
 
 
+def make_lora_train_step(cfg: SliMEConfig, tc: TrainConfig, tx, *,
+                         rank: int, alpha: int,
+                         use_pallas: Optional[bool] = None,
+                         compute_dtype=jnp.bfloat16, remat: bool = False,
+                         scan_layers: bool = False):
+    """LoRA/QLoRA step: only the adapter factors (+ projector/sampler extras)
+    are trained; the base — bf16 or QUANTIZED int8/int4 — is a frozen input.
+
+    step(state, base_params, batch, rng) -> (state, metrics). ``state`` holds
+    the small trainable tree {"adapters", "extras"} and its optimizer state;
+    ``base_params`` is passed (not donated, never updated) so the same buffers
+    serve every step. The forward applies adapters in factored form
+    (train.lora.attach -> layers.linear), so a quantized base keeps its
+    fused-kernel path — the QLoRA layout the reference gets from
+    bitsandbytes + PEFT (train.py:956-972, 1036-1052)."""
+    from . import lora as lora_lib
+
+    def loss(trainable, base_params, batch, rng):
+        params = dict(base_params)
+        params.update(trainable["extras"])
+        params = lora_lib.attach(
+            params, {"rank": rank, "alpha": alpha,
+                     "adapters": trainable["adapters"]})
+        return slime.loss_fn(params, cfg, batch, training=True, rng=rng,
+                             use_pallas=use_pallas, compute_dtype=compute_dtype,
+                             remat=remat, scan_layers=scan_layers)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, base_params, batch, rng):
+        (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(
+            state["params"], base_params, batch, rng)
+        updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        gnorm = optax.global_norm(grads)
+        new_state = {"params": new_params, "opt_state": new_opt,
+                     "step": state["step"] + 1}
+        return new_state, {"loss": l, "grad_norm": gnorm, **aux}
+
+    return step
+
+
+def init_lora_train_state(base_params, lora_state, tc: TrainConfig, mesh=None,
+                          train_extras=("projector", "sampler")):
+    """Build (sharded_base, state, tx) for the LoRA step.
+
+    The trainable tree is {"adapters": <lora factors>, "extras": <projector/
+    sampler subtrees>}; optimizer moments exist only for it. With a mesh, the
+    base shards by the usual rules (quantized dicts included) and the
+    trainable tree by the adapter/extras rules."""
+    from .optim import make_lora_optimizer
+
+    trainable = {"adapters": lora_state["adapters"],
+                 "extras": {k: base_params[k] for k in train_extras
+                            if k in base_params}}
+    base = {k: v for k, v in base_params.items()}
+    if mesh is not None:
+        base = mesh_lib.shard_params(mesh, base)
+        trainable = mesh_lib.shard_params(mesh, trainable)
+    else:
+        base = jax.tree_util.tree_map(jnp.asarray, base)
+        trainable = jax.tree_util.tree_map(jnp.array, trainable)
+    tx, _ = make_lora_optimizer(trainable, tc)
+    opt_state = tx.init(trainable)
+    state = {"params": trainable, "opt_state": opt_state,
+             "step": jnp.zeros((), jnp.int32)}
+    return base, state, tx
+
+
 def init_train_state(params, tc: TrainConfig, mesh=None):
     """Build (state, tx, step_fn closure inputs). With a mesh, params are sharded
     first so optimizer moments inherit the sharded layout."""

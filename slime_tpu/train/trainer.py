@@ -29,7 +29,13 @@ from ..config import SliMEConfig
 from ..parallel import mesh as mesh_lib
 from . import state_ckpt
 from .optim import TrainConfig
-from .step import init_train_state, make_train_step
+from .step import (init_lora_train_state, init_train_state,
+                   make_lora_train_step, make_train_step)
+
+
+def _to_host(tree):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, tree)
 
 
 @dataclasses.dataclass
@@ -47,7 +53,11 @@ class RunConfig:
 class Trainer:
     def __init__(self, params, cfg: SliMEConfig, tc: TrainConfig, rc: RunConfig,
                  *, mesh=None, compute_dtype=None, use_pallas=None,
-                 remat: bool = False):
+                 remat: bool = False, lora=None):
+        """``lora``: a train.lora.init_lora state enables LoRA mode — only the
+        adapters (+ projector/sampler) train; ``params`` may carry a QUANTIZED
+        llm subtree (checkpoint load_bits=8/4), giving QLoRA (the reference's
+        bitsandbytes-base + PEFT path, train.py:956-972 + 1036-1052)."""
         import jax
         import jax.numpy as jnp
 
@@ -56,15 +66,26 @@ class Trainer:
         self.rc = rc
         self.mesh = mesh
         self.compute_dtype = compute_dtype or jnp.bfloat16
-        self.state, self.tx = init_train_state(params, tc, mesh=mesh)
+        self.lora = lora
+        if lora is not None:
+            self.base, self.state, self.tx = init_lora_train_state(
+                params, lora, tc, mesh=mesh)
+            self._lora_step = make_lora_train_step(
+                cfg, tc, self.tx, rank=lora["rank"], alpha=lora["alpha"],
+                compute_dtype=self.compute_dtype, use_pallas=use_pallas,
+                remat=remat)
+            self.step_fn = lambda state, batch, rng: self._lora_step(
+                state, self.base, batch, rng)
+        else:
+            self.state, self.tx = init_train_state(params, tc, mesh=mesh)
+            self.step_fn = make_train_step(cfg, tc, self.tx,
+                                           compute_dtype=self.compute_dtype,
+                                           use_pallas=use_pallas, remat=remat)
         resume = rc.resume_from or state_ckpt.latest_checkpoint(rc.output_dir)
         if resume:
             self.state = state_ckpt.restore_train_state(resume, target=self.state)
             print(f"[train] resumed from {resume} at step {int(self.state['step'])}",
                   flush=True)
-        self.step_fn = make_train_step(cfg, tc, self.tx,
-                                       compute_dtype=self.compute_dtype,
-                                       use_pallas=use_pallas, remat=remat)
         self.rng = jax.random.PRNGKey(rc.seed)
         self.metrics_file = os.path.join(rc.output_dir, "metrics.jsonl")
         os.makedirs(rc.output_dir, exist_ok=True)
@@ -116,13 +137,28 @@ class Trainer:
         return {k: float(v) for k, v in m.items()}
 
     def save(self, path: str) -> None:
+        if self.lora is not None:
+            trainable = _to_host(self.state["params"])
+            lora_state = {"rank": self.lora["rank"], "alpha": self.lora["alpha"],
+                          "adapters": trainable["adapters"]}
+            ckpt_lib.save_lora_checkpoint(path, trainable["extras"],
+                                          lora_state, self.cfg)
+            return
         params = self.params_host()
         ckpt_lib.save_checkpoint(path, params, self.cfg,
                                  adapters_only=self.rc.adapters_only_save)
 
     def params_host(self):
-        import jax
-        return jax.tree_util.tree_map(np.asarray, self.state["params"])
+        if self.lora is not None:
+            # merged view: base + trained extras + trained adapters folded in
+            from . import lora as lora_lib
+            params = {k: v for k, v in self.base.items()}
+            params.update(self.state["params"]["extras"])
+            merged = lora_lib.merge(
+                params, {"rank": self.lora["rank"], "alpha": self.lora["alpha"],
+                         "adapters": self.state["params"]["adapters"]})
+            return _to_host(merged)
+        return _to_host(self.state["params"])
 
 
 def run_stage(params, cfg: SliMEConfig, tc: TrainConfig, rc: RunConfig,
