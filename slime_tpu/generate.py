@@ -83,14 +83,26 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
              max_new_tokens: int = 128, temperature: float = 0.0,
              top_p: float = 1.0, rng: Optional[jax.Array] = None,
              eos_id: Optional[int] = None, use_pallas: Optional[bool] = None,
-             compute_dtype=jnp.float32, cache_len: Optional[int] = None):
+             compute_dtype=jnp.float32, cache_len: Optional[int] = None,
+             mesh=None):
     """Multimodal generate. Returns generated token ids [B, <=max_new_tokens] (numpy),
     cut at EOS per row by the caller via ``trim_at_eos``.
+
+    ``mesh``: a parallel.mesh device mesh enables tensor-parallel inference —
+    params shard by the Megatron rules (pre-sharded params are used as-is),
+    the KV cache shards its kv-head dim on the ``model`` axis, and GSPMD
+    partitions prefill + the decode loop (one psum per o_proj/down_proj over
+    ICI). This is how a 70B serves across chips — a capability the reference
+    lacks entirely (its serving is one whole model per GPU worker).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if eos_id is None:
         eos_id = cfg.eos_token_id
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+        if not mesh_lib.on_mesh(params, mesh):
+            params = mesh_lib.shard_params(mesh, params)
     B, S = input_ids.shape
 
     if pixel_values is not None:
@@ -116,6 +128,9 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
     if cache_len is None:
         cache_len = L + max_new_tokens
     cache = llama.init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+        cache = mesh_lib.shard_kv_cache(mesh, cache)
     cache = llama.prefill_into_cache(cache, kvs, lengths)
 
     last_logits = logits[:, 0]
@@ -135,15 +150,20 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
                     max_new_tokens: int = 256, temperature: float = 0.0,
                     top_p: float = 1.0, rng: Optional[jax.Array] = None,
                     stop_strings=(), chunk: int = 16,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, mesh=None):
     """Streaming generation for serving: decode in jitted chunks, yield the text so
     far after each chunk (TextIteratorStreamer semantics without per-token host
     syncs). Single-sample (B == 1). Stops on EOS or any stop string.
+    ``mesh`` enables tensor-parallel decoding (see generate()).
     """
     from .data.tokenization import StopStringMatcher
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+        if not mesh_lib.on_mesh(params, mesh):
+            params = mesh_lib.shard_params(mesh, params)
     eos_id = cfg.eos_token_id
     matcher = StopStringMatcher(stop_strings, tokenizer) if stop_strings else None
 
@@ -167,6 +187,9 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
     cache = llama.init_kv_cache(cfg.llm, embeds.shape[0],
                                 embeds.shape[1] + max_new_tokens + 1,
                                 dtype=compute_dtype)
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+        cache = mesh_lib.shard_kv_cache(mesh, cache)
     cache = llama.prefill_into_cache(cache, kvs, lengths)
     last_logits = logits[:, 0]
     rng, sub = jax.random.split(rng)

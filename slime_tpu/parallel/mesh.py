@@ -167,3 +167,28 @@ def shard_params(mesh: Mesh, params):
 def shard_batch(mesh: Mesh, batch):
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def kv_cache_sharding(mesh: Mesh) -> Dict:
+    """Shardings for a decode KV cache [L, B, S, KVH, hd]: kv heads ride the
+    ``model`` (tensor-parallel) axis — matching the q/k/v projection rules, so
+    decode attention runs fully local per TP shard and only the o_proj/down_proj
+    psums cross chips (Megatron inference). ``length`` [B] replicates."""
+    kv = NamedSharding(mesh, P(None, None, None, "model", None))
+    return {"k": kv, "v": kv, "length": replicated(mesh)}
+
+
+def shard_kv_cache(mesh: Mesh, cache):
+    sh = kv_cache_sharding(mesh)
+    if cache["k"].shape[3] % mesh.shape["model"] != 0:  # GQA heads < TP degree
+        sh = {"k": replicated(mesh), "v": replicated(mesh),
+              "length": replicated(mesh)}
+    return {k: jax.device_put(v, sh[k]) for k, v in cache.items()}
+
+
+def on_mesh(params, mesh: Mesh) -> bool:
+    """True if the first array leaf already lives on ``mesh`` (pre-sharded)."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        s = getattr(leaf, "sharding", None)
+        return getattr(s, "mesh", None) == mesh
+    return False

@@ -61,12 +61,25 @@ class BatchDecodeEngine:
     def __init__(self, params, cfg: SliMEConfig, *, max_slots: int = 8,
                  cache_len: int = 2048, compute_dtype=None, seed: int = 0,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
-                 spec_k: int = 4, spec_rounds: int = 8):
+                 spec_k: int = 4, spec_rounds: int = 8, mesh=None):
+        """``mesh``: tensor-parallel serving — params shard by the Megatron
+        rules (parallel/mesh.py), the slot KV cache shards kv heads on the
+        ``model`` axis, and every jitted step runs SPMD across the mesh. One
+        engine then serves a model larger than a single chip (70B-class),
+        which the reference cannot do at all (one whole model per worker)."""
         import jax
         import jax.numpy as jnp
 
         self.jax = jax
         self.jnp = jnp
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            if not mesh_lib.on_mesh(params, mesh):
+                params = mesh_lib.shard_params(mesh, params)
+            if draft_params is not None and not mesh_lib.on_mesh(draft_params,
+                                                                 mesh):
+                draft_params = mesh_lib.shard_params(mesh, draft_params)
         self.params = params
         self.cfg = cfg
         # speculative draft (serve/speculative.py semantics, wired into the
@@ -87,6 +100,9 @@ class BatchDecodeEngine:
 
         self.cache = llama.init_kv_cache(cfg.llm, max_slots, cache_len,
                                          dtype=self.compute_dtype)
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            self.cache = mesh_lib.shard_kv_cache(mesh, self.cache)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[Request]" = queue.Queue()

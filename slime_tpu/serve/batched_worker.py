@@ -31,7 +31,7 @@ class BatchedWorker:
                  max_slots: int = 8, cache_len: int = 2048,
                  compute_dtype=None, register: bool = True,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
-                 spec_k: int = 4):
+                 spec_k: int = 4, mesh=None):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name
@@ -41,7 +41,8 @@ class BatchedWorker:
                                         cache_len=cache_len,
                                         compute_dtype=compute_dtype,
                                         draft_params=draft_params,
-                                        draft_cfg=draft_cfg, spec_k=spec_k)
+                                        draft_cfg=draft_cfg, spec_k=spec_k,
+                                        mesh=mesh)
         self.engine.start()
         if register and controller_addr:
             self.register_to_controller()
@@ -168,6 +169,10 @@ def main():
                     help="text-only draft for speculative rounds when a "
                          "single greedy request is active (same tokenizer)")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--tensor-parallel", type=int, default=1,
+                    help="shard the model over N chips (Megatron rules, "
+                         "parallel/mesh.py) — serve models wider than one "
+                         "chip; 1 = single-device")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -186,6 +191,13 @@ def main():
         draft_params = ckpt.to_jax(
             ckpt.load_pretrained(args.draft_model_path, cfg=draft_cfg),
             dtype=jnp.bfloat16)
+    mesh = None
+    if args.tensor_parallel > 1:
+        import jax
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(
+            1, 1, args.tensor_parallel,
+            devices=jax.devices()[:args.tensor_parallel])
     worker = BatchedWorker(controller_addr=args.controller_address,
                            worker_addr=addr, model_name=name, params=params,
                            cfg=cfg, tokenizer=tokenizer,
@@ -193,7 +205,7 @@ def main():
                            compute_dtype=jnp.bfloat16,
                            register=not args.no_register,
                            draft_params=draft_params, draft_cfg=draft_cfg,
-                           spec_k=args.spec_k)
+                           spec_k=args.spec_k, mesh=mesh)
     srv = build_server(worker, args.host, args.port)
     print(f"batched worker {name} on {args.host}:{srv.port}")
     srv.serve_forever()

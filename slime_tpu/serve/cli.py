@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--conv-mode", default=None)
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--tensor-parallel", type=int, default=1,
+                    help="shard the model over N chips (Megatron rules) — "
+                         "serve 70B-class models across a mesh; 1 = single "
+                         "device")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -64,6 +68,13 @@ def main():
         quantize_vision=args.quantize_vision),
                          dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
+    mesh = None
+    if args.tensor_parallel > 1:
+        import jax
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(1, 1, args.tensor_parallel,
+                                  devices=jax.devices()[:args.tensor_parallel])
+        params = mesh_lib.shard_params(mesh, params)
     draft = None
     if args.draft_model_path:
         dcfg = SliMEConfig.load(args.draft_model_path)
@@ -123,7 +134,7 @@ def main():
                                         max_new_tokens=args.max_new_tokens,
                                         temperature=args.temperature,
                                         stop_strings=[stop] if stop else [],
-                                        compute_dtype=jnp.bfloat16):
+                                        compute_dtype=jnp.bfloat16, mesh=mesh):
                 print(text[len(out_text):], end="", flush=True)
                 out_text = text
             print()
