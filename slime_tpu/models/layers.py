@@ -35,9 +35,10 @@ def linear(p, x):
     routes through the Pallas fused-dequant kernel (ops/quant_matmul.py), which
     unpacks nibbles in VMEM — measured ~19% faster than the XLA dequant path.
 
-    LoRA-aware: a ``p["lora"] = {"A": [r, in], "B": [out, r], "s": scalar}``
-    entry (train.lora.attach) adds ``s * (x @ A.T) @ B.T`` — the factored
-    form, so the base weight is never materialized at full precision. This is
+    LoRA-aware: a ``p["lora"] = {"A": [r, in], "B": [out, r]}`` entry
+    (train.lora.attach; alpha/r pre-folded into B) adds ``(x @ A.T) @ B.T`` —
+    the factored form, so the base weight is never materialized at full
+    precision. This is
     what makes QLoRA work: the quantized base streams through its normal
     (fused-kernel or XLA-dequant) path while gradients flow only through the
     two small adapter matmuls (reference: PEFT on a bitsandbytes base,
@@ -67,12 +68,11 @@ def linear(p, x):
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     if "lora" in p:
-        la = p["lora"]
+        la = p["lora"]   # {"A": [r, in], "B": [out, r]} — alpha/r pre-folded into B
         xa = jnp.einsum("...i,ri->...r", x, la["A"].astype(x.dtype),
                         preferred_element_type=jnp.float32).astype(x.dtype)
         y = y + jnp.einsum("...r,or->...o", xa, la["B"].astype(x.dtype),
-                           preferred_element_type=jnp.float32).astype(x.dtype) \
-            * la["s"].astype(x.dtype)
+                           preferred_element_type=jnp.float32).astype(x.dtype)
     return y
 
 

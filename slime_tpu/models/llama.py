@@ -229,7 +229,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             use_pallas: Optional[bool] = None, return_kv: bool = False,
             compute_dtype=jnp.float32, remat: bool = False,
             scan_layers: bool = False, ring: Optional[tuple] = None,
-            return_aux: bool = False, logit_positions=None):
+            return_aux: bool = False, logit_positions=None,
+            return_hidden: bool = False):
     """Full-sequence forward (training / prefill).
 
     ring=(mesh, axis): run attention as exact ring attention with the sequence
@@ -284,7 +285,7 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
         x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
         if logit_positions is not None:
             x = jnp.take_along_axis(x, logit_positions[:, None, None], axis=1)
-        logits = _lm_head(params, x)
+        logits = x if return_hidden else _lm_head(params, x)
         out = (logits, (kvs if return_kv else None))
         return out + (aux_sum / cfg.num_layers,) if return_aux else out
 
@@ -306,21 +307,20 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     if logit_positions is not None:
         x = jnp.take_along_axis(x, logit_positions[:, None, None], axis=1)
-    logits = _lm_head(params, x)
+    logits = x if return_hidden else _lm_head(params, x)
     out = (logits, (kvs if return_kv else None))
     return out + (aux_sum / cfg.num_layers,) if return_aux else out
 
 
 def forward_hidden(params, embeds, cfg: LLMConfig, *, positions=None,
-                   use_pallas: Optional[bool] = None, compute_dtype=jnp.float32):
-    """Like forward() but returns the final hidden states (no LM head)."""
-    B, S, _ = embeds.shape
-    x = embeds.astype(compute_dtype)
-    cos, sin = rope_table(cfg, cfg.max_position_embeddings)
-    cos_s, sin_s = (cos[:S], sin[:S]) if positions is None else (cos[positions], sin[positions])
-    for lp in unstack_layers(params["layers"], cfg.num_layers):
-        x, _, _ = _layer_prefill(lp, x, cos_s, sin_s, cfg, use_pallas)
-    return L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+                   use_pallas: Optional[bool] = None, compute_dtype=jnp.float32,
+                   remat: bool = False, scan_layers: bool = False):
+    """Like forward() but returns the final hidden states (no LM head) —
+    shares forward()'s scan/remat machinery. Pair with ops.loss.chunked_ce_mean
+    to train without ever materializing [B, S, V] logits."""
+    return forward(params, embeds, cfg, positions=positions,
+                   use_pallas=use_pallas, compute_dtype=compute_dtype,
+                   remat=remat, scan_layers=scan_layers, return_hidden=True)[0]
 
 
 # ----------------------------------------------------------------------------------

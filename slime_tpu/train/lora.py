@@ -151,7 +151,7 @@ def attach(params, lora_state: Optional[Dict]):
     (llava/train/train.py:956-972 + 1036-1052)."""
     if lora_state is None:
         return params
-    scale = jnp.float32(lora_state["alpha"] / lora_state["rank"])
+    scale = lora_state["alpha"] / lora_state["rank"]
 
     def rebuild(node, path):
         if isinstance(node, dict):
@@ -159,7 +159,10 @@ def attach(params, lora_state: Optional[Dict]):
             if s in lora_state["adapters"] and "weight" in node:
                 ab = lora_state["adapters"][s]
                 new = dict(node)
-                new["lora"] = {"A": ab["A"], "B": ab["B"], "s": scale}
+                # scale folds into B so every lora leaf keeps the adapters'
+                # leading-axis layout — a stacked [L, ...] adapter tree then
+                # rides lax.scan over stacked layers unchanged
+                new["lora"] = {"A": ab["A"], "B": ab["B"] * scale}
                 return new
             return {k: rebuild(v, path + [str(k)]) for k, v in node.items()}
         if isinstance(node, list):
