@@ -179,6 +179,31 @@ def test_lora_checkpoint_roundtrip(tiny, tmp_path):
         np.testing.assert_allclose(got, want, atol=2e-3, err_msg=path)
 
 
+def test_trainer_lora_resume(tiny, tmp_path):
+    """Orbax train-state save/resume round-trips the LoRA trainable tree:
+    a restarted Trainer picks up adapters + extras + Adam moments."""
+    from slime_tpu.train.trainer import RunConfig, Trainer
+
+    cfg, params = tiny
+    lora_state = lora.init_lora(jax.random.PRNGKey(1), params, r=4, alpha=8)
+    tc = TrainConfig(total_steps=4, learning_rate=5e-3, warmup_ratio=0.0,
+                     lr_schedule="constant")
+    rc = RunConfig(output_dir=str(tmp_path), save_steps=2, log_steps=1,
+                   max_steps=2)
+    tr = Trainer(params, cfg, tc, rc, compute_dtype=jnp.float32,
+                 lora=lora_state)
+    tr.train([_batch(cfg) for _ in range(2)])
+    a_before = np.asarray(
+        tr.state["params"]["adapters"]["llm/layers/0/q_proj"]["B"])
+    # fresh trainer in the same dir resumes from state-2
+    tr2 = Trainer(params, cfg, tc, rc, compute_dtype=jnp.float32,
+                  lora=lora_state)
+    assert int(tr2.state["step"]) == 2
+    a_after = np.asarray(
+        tr2.state["params"]["adapters"]["llm/layers/0/q_proj"]["B"])
+    np.testing.assert_array_equal(a_before, a_after)
+
+
 def test_trainer_lora_mode(tiny, tmp_path):
     """Trainer(lora=...) end-to-end: trains, saves the LoRA layout, and
     params_host returns the merged view."""
