@@ -431,11 +431,18 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
 
 
 def decode_step(params, cache, token_ids, cfg: LLMConfig,
-                compute_dtype=jnp.float32):
+                compute_dtype=jnp.float32, window: Optional[int] = None):
     """One decode step: token_ids [B] -> (logits fp32 [B, V], cache').
 
     Attention is a masked XLA dot over the cache (bandwidth-bound; one query token,
     so MXU tiling is irrelevant — HBM streaming of K/V dominates).
+
+    ``window`` (static): attend only over cache[:, :, :window]. The KV write
+    still lands in the full buffer, but the attention READ — the cache's whole
+    HBM cost — shrinks to the window. Callers must guarantee every active
+    row's length < window; the serving engine picks a bucket ≥ max active
+    length per dispatch (a handful of compiled variants), cutting decode-tick
+    cache traffic for short contexts in a long-cache pool.
     """
     B = token_ids.shape[0]
     hd = cfg.head_dim
@@ -445,6 +452,7 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
     cos_s, sin_s = cos[pos][:, None], sin[pos][:, None]  # [B,1,hd]
 
     max_len = cache["k"].shape[2]
+    W = max_len if window is None else min(window, max_len)
     k_cache, v_cache = cache["k"], cache["v"]
 
     def layer_decode(lp, x, k_ca, v_ca):
@@ -465,11 +473,11 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
         # cache streams from HBM once (decode is bandwidth-bound).
         group = cfg.num_heads // cfg.num_kv_heads
         qg = q[:, 0].reshape(B, cfg.num_kv_heads, group, hd)        # [B,KVH,g,hd]
-        kk = k_li.astype(compute_dtype)                              # [B,T,KVH,hd]
-        vv = v_li.astype(compute_dtype)
+        kk = jax.lax.slice_in_dim(k_li, 0, W, axis=1).astype(compute_dtype)
+        vv = jax.lax.slice_in_dim(v_li, 0, W, axis=1).astype(compute_dtype)
         s = jnp.einsum("bkgd,btkd->bkgt", qg, kk,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
-        t_idx = jnp.arange(max_len)[None, None, None, :]
+        t_idx = jnp.arange(W)[None, None, None, :]
         s = jnp.where(t_idx <= pos[:, None, None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("bkgt,btkd->bkgd", p.astype(compute_dtype), vv,

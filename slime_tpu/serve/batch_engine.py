@@ -104,6 +104,9 @@ class BatchDecodeEngine:
             from ..parallel import mesh as mesh_lib
             self.cache = mesh_lib.shard_kv_cache(mesh, self.cache)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        # host mirror of cache["length"] per slot — picks the decode window
+        # bucket without a device pull (refreshed from every packed result)
+        self._host_len = np.zeros((max_slots,), np.int64)
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.prefixes = {}             # prefix_id -> {"k","v","length"} shared KV
@@ -146,15 +149,19 @@ class BatchDecodeEngine:
 
         B_slots = max_slots
 
-        def _step(params, cache, tokens, rng, meta):
+        def _step(params, cache, tokens, rng, meta, window):
             # meta f32 [2B]: [temperature(B), active(B)] — host-side per-tick
             # scalars bundled into ONE upload (each separate host->device
-            # transfer costs a tunnel round, measured comparable to the RTT)
+            # transfer costs a tunnel round, measured comparable to the RTT).
+            # window (static): attention reads only cache[:, :, :window] —
+            # the tick picks a bucket >= max active length, so short contexts
+            # in a long-cache pool don't stream the whole pool every step
             temperature = meta[:B_slots]
             active = meta[B_slots:2 * B_slots] > 0.5
             old_len = cache["length"]
             logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
-                                              compute_dtype=self.compute_dtype)
+                                              compute_dtype=self.compute_dtype,
+                                              window=window)
             # inactive slots must not advance (their slot may be re-admitted later)
             cache["length"] = jnp.where(active, cache["length"], old_len)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -167,9 +174,9 @@ class BatchDecodeEngine:
             packed = jnp.concatenate([nxt, cache["length"]])
             return nxt, packed, cache
 
-        self._step = jax.jit(_step, donate_argnums=(1,))
+        self._step = jax.jit(_step, donate_argnums=(1,), static_argnums=(5,))
 
-        def _step_k(params, cache, tokens, rng, meta):
+        def _step_k(params, cache, tokens, rng, meta, window):
             # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
             # when no admissions are pending). Emits [B, K] tokens; rows that hit
             # EOS mid-window keep sampling — the host discards post-EOS tokens.
@@ -183,7 +190,8 @@ class BatchDecodeEngine:
                 cache, tok, out, rng = carry
                 logits, cache = llama.decode_step(params["llm"], cache, tok,
                                                   cfg.llm,
-                                                  compute_dtype=self.compute_dtype)
+                                                  compute_dtype=self.compute_dtype,
+                                                  window=window)
                 rng, sub = jax.random.split(rng)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 t = jnp.maximum(temperature, 1e-6)[:, None]
@@ -202,7 +210,7 @@ class BatchDecodeEngine:
             return packed, tok, cache
 
         self._step_k = jax.jit(_step_k, donate_argnums=(1,),
-                               static_argnums=())
+                               static_argnums=(5,))
 
         if draft_params is not None:
             assert draft_cfg is not None
@@ -465,6 +473,7 @@ class BatchDecodeEngine:
         self.cache = self._insert(self.cache, k, v, slot_idx,
                                   a["base"] + a["length"],
                                   self.jnp.asarray(first))
+        self._host_len[slot_idx] = a["base"] + a["length"]
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
         slot = _Slot(a["req"])
         slot.generated.append(first)
@@ -483,6 +492,7 @@ class BatchDecodeEngine:
         first = int(np.argmax(np.asarray(logits)[length - 1]))
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
                                   self.jnp.asarray(first))
+        self._host_len[slot_idx] = length
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
         slot = _Slot(req)
         slot.generated.append(first)
@@ -543,20 +553,29 @@ class BatchDecodeEngine:
         # host-side per-tick scalars bundled into ONE upload (see _step)
         meta = np.concatenate([temps, active_mask.astype(np.float32),
                                np.asarray([k], np.float32)])
+        # window bucket: smallest multiple of 256 that covers every active
+        # slot through this dispatch — the decode attention reads only that
+        # prefix of the cache pool (llama.decode_step window), so short
+        # contexts don't stream cache_len KV every step. A handful of
+        # buckets => a handful of compiled step variants.
+        need = int(max(self._host_len[i] for i in active)) + k + 1
+        window = min(self.cache_len, -(-need // 256) * 256)
         if k > 1:
             packed, last, self.cache = self._step_k(
-                self.params, self.cache, self.cur_tokens, sub, meta)
+                self.params, self.cache, self.cur_tokens, sub, meta, window)
             self.cur_tokens = last
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B * self.multi_step].reshape(B, self.multi_step)[:, :k]
             lengths = packed[B * self.multi_step:]
         else:
             nxt, packed, self.cache = self._step(
-                self.params, self.cache, self.cur_tokens, sub, meta[:2 * B])
+                self.params, self.cache, self.cur_tokens, sub, meta[:2 * B],
+                window)
             self.cur_tokens = nxt
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B][:, None]
             lengths = packed[B:]
+        self._host_len[:] = lengths
 
         for i in active:
             s = self.slots[i]
@@ -606,6 +625,7 @@ class BatchDecodeEngine:
         R, K = self.spec_rounds, self.spec_k
         packed = np.asarray(packed)          # ONE host pull for the dispatch
         n, slot_len = packed[0], packed[1]
+        self._host_len[i] = int(slot_len)
         accs = packed[2:2 + R]
         toks = packed[2 + R:].reshape(R, K + 1)
         emit = []

@@ -405,3 +405,31 @@ def test_batched_worker_with_draft_http(spec_setup):
             srv.shutdown()
 
     assert run(draft=True) == run(draft=False)
+
+
+def test_window_bucketing_exact():
+    """Decode windows smaller than the cache pool (tick picks a 256-bucket
+    covering max active length) must not change tokens: short prompts in a
+    1024-cache engine read only cache[:, :256] per step."""
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    eng = BatchDecodeEngine(params, cfg, max_slots=4, cache_len=1024)
+    rng = np.random.default_rng(7)
+    reqs, refs = [], []
+    for i in range(3):
+        S = 6 + i
+        ids = rng.integers(5, cfg.llm.vocab_size, (S,)).astype(np.int32)
+        reqs.append(Request(input_ids=ids, max_new_tokens=5))
+        ref = generate(params, cfg, jnp.asarray(ids[None]),
+                       jnp.ones((1, S), bool), max_new_tokens=5, eos_id=-1)
+        refs.append(np.asarray(ref)[0].tolist())
+    for r in reqs:
+        eng.submit(r)
+    for _ in range(40):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    # the bucket chosen for these lengths must be well under the pool size
+    assert int(max(eng._host_len)) < 256 <= eng.cache_len
+    for r, ref in zip(reqs, refs):
+        got = _drain(r)
+        assert got == ref[:len(got)] and len(got) >= 1
