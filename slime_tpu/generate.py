@@ -84,7 +84,7 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
              top_p: float = 1.0, rng: Optional[jax.Array] = None,
              eos_id: Optional[int] = None, use_pallas: Optional[bool] = None,
              compute_dtype=jnp.float32, cache_len: Optional[int] = None,
-             mesh=None):
+             mesh=None, kv_quant: bool = False):
     """Multimodal generate. Returns generated token ids [B, <=max_new_tokens] (numpy),
     cut at EOS per row by the caller via ``trim_at_eos``.
 
@@ -94,6 +94,9 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
     partitions prefill + the decode loop (one psum per o_proj/down_proj over
     ICI). This is how a 70B serves across chips — a capability the reference
     lacks entirely (its serving is one whole model per GPU worker).
+
+    ``kv_quant``: int8 KV cache (llama.init_kv_cache) — half the cache memory
+    and read traffic, ~1% attention-output error.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -127,7 +130,8 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
     L = embeds.shape[1]
     if cache_len is None:
         cache_len = L + max_new_tokens
-    cache = llama.init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
+    cache = llama.init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype,
+                                quantized=kv_quant)
     if mesh is not None:
         from .parallel import mesh as mesh_lib
         cache = mesh_lib.shard_kv_cache(mesh, cache)

@@ -327,12 +327,41 @@ def forward_hidden(params, embeds, cfg: LLMConfig, *, positions=None,
 # KV-cache decode
 # ----------------------------------------------------------------------------------
 
-def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.float32):
-    """Per-layer [B, max_len, KVH, hd] caches as a dict pytree."""
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.float32,
+                  quantized: bool = False):
+    """Per-layer [B, max_len, KVH, hd] caches as a dict pytree.
+
+    quantized=True stores K/V as int8 with per-(position, kv-head) absmax
+    scales ([L, B, max_len, KVH] fp32) — HALF the cache memory and half the
+    decode-step cache read traffic. Attention never dequantizes the cache
+    tensors: the int8 operands feed the dots directly (the convert fuses into
+    the MXU operand load) and the scales multiply the SCORES — per-(t, head)
+    scaling commutes through q·k_t and p_t·v_t, so the small [.., T] score
+    tensor absorbs both dequants."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if quantized:
+        return {"k": jnp.zeros((cfg.num_layers,) + shape, jnp.int8),
+                "v": jnp.zeros((cfg.num_layers,) + shape, jnp.int8),
+                "k_scale": jnp.ones((cfg.num_layers,) + shape[:-1], jnp.float32),
+                "v_scale": jnp.ones((cfg.num_layers,) + shape[:-1], jnp.float32),
+                "length": jnp.zeros((batch,), jnp.int32)}
     return {"k": jnp.zeros((cfg.num_layers,) + shape, dtype),
             "v": jnp.zeros((cfg.num_layers,) + shape, dtype),
             "length": jnp.zeros((batch,), jnp.int32)}
+
+
+def cache_quantized(cache) -> bool:
+    return "k_scale" in cache
+
+
+def quantize_kv(x):
+    """x [..., KVH, hd] float -> (int8 [..., KVH, hd], scale [..., KVH]):
+    per-head absmax over the head dim."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def prefill_into_cache(cache, kvs, lengths):
@@ -341,8 +370,16 @@ def prefill_into_cache(cache, kvs, lengths):
     v_new = jnp.stack([kv[1] for kv in kvs])
     S = k_new.shape[2]
     cache = dict(cache)
-    cache["k"] = cache["k"].at[:, :, :S].set(k_new.astype(cache["k"].dtype))
-    cache["v"] = cache["v"].at[:, :, :S].set(v_new.astype(cache["v"].dtype))
+    if cache_quantized(cache):
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        cache["k"] = cache["k"].at[:, :, :S].set(kq)
+        cache["v"] = cache["v"].at[:, :, :S].set(vq)
+        cache["k_scale"] = cache["k_scale"].at[:, :, :S].set(ks)
+        cache["v_scale"] = cache["v_scale"].at[:, :, :S].set(vs)
+    else:
+        cache["k"] = cache["k"].at[:, :, :S].set(k_new.astype(cache["k"].dtype))
+        cache["v"] = cache["v"].at[:, :, :S].set(v_new.astype(cache["v"].dtype))
     cache["length"] = lengths.astype(jnp.int32)
     return cache
 
@@ -366,9 +403,19 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
 
     x = embeds.astype(compute_dtype)
     t_idx = jnp.arange(max_len)[None, None, None, :]
+    quant = cache_quantized(cache)
+    arrays = ((cache["k"], cache["v"], cache["k_scale"], cache["v_scale"])
+              if quant else (cache["k"], cache["v"]))
 
-    def layer_chunk(lp, x, k_ca, v_ca):
-        """One chunk layer over its own cache slice -> (x', k_li, v_li)."""
+    # scatter a chunk into each row's cache at its own offset
+    def put(cache_li, new, row_pos):
+        def one(c_row, n_row, p):
+            idx = (p,) + (0,) * (n_row.ndim - 1)
+            return jax.lax.dynamic_update_slice(c_row, n_row, idx)
+        return jax.vmap(one)(cache_li, new.astype(cache_li.dtype), row_pos)
+
+    def layer_chunk(lp, x, ca):
+        """One chunk layer over its own cache slices -> (x', new slices)."""
         h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
         q = L.linear(lp["q_proj"], h).reshape(B, C, cfg.num_heads, hd)
         k = L.linear(lp["k_proj"], h).reshape(B, C, cfg.num_kv_heads, hd)
@@ -376,14 +423,15 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
         q = apply_rope(q, cos_s, sin_s)
         k = apply_rope(k, cos_s, sin_s)
 
-        # scatter the chunk into each row's cache at its own offset
-        def put(cache_li, new, row_pos):
-            def one(c_row, n_row, p):
-                return jax.lax.dynamic_update_slice(c_row, n_row, (p, 0, 0))
-            return jax.vmap(one)(cache_li, new.astype(cache_li.dtype), row_pos)
-
-        k_li = put(k_ca, k, pos0)
-        v_li = put(v_ca, v, pos0)
+        if quant:
+            k_ca, v_ca, ks_ca, vs_ca = ca
+            kq, ks_new = quantize_kv(k)
+            vq, vs_new = quantize_kv(v)
+            k_li, v_li = put(k_ca, kq, pos0), put(v_ca, vq, pos0)
+            ks_li, vs_li = put(ks_ca, ks_new, pos0), put(vs_ca, vs_new, pos0)
+        else:
+            k_ca, v_ca = ca
+            k_li, v_li = put(k_ca, k, pos0), put(v_ca, v, pos0)
 
         group = cfg.num_heads // cfg.num_kv_heads
         qg = q.reshape(B, C, cfg.num_kv_heads, group, hd)
@@ -391,18 +439,23 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
         vv = v_li.astype(compute_dtype)
         s = jnp.einsum("bckgd,btkd->bkgct", qg, kk,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if quant:   # per-(t, head) K scale lands on the scores (see decode_step)
+            s = s * jnp.transpose(ks_li, (0, 2, 1))[:, :, None, None, :]
         # causal vs absolute position of each chunk query
         q_abs = positions[:, None, None, :, None]            # [B,1,1,C,1]
         ok = t_idx[:, :, :, None, :] <= q_abs                # -> [B,1,1,C,T]
         s = jnp.where(ok, s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
+        if quant:
+            p = p * jnp.transpose(vs_li, (0, 2, 1))[:, :, None, None, :]
         o = jnp.einsum("bkgct,btkd->bckgd", p.astype(compute_dtype), vv,
                        preferred_element_type=jnp.float32).astype(compute_dtype)
         o = o.reshape(B, C, cfg.num_heads * hd)
         x = x + L.linear(lp["o_proj"], o)
         h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
         h = _moe(lp, h, cfg)[0] if cfg.num_experts > 0 else _mlp(lp, h)
-        return x + h, k_li, v_li
+        new = (k_li, v_li, ks_li, vs_li) if quant else (k_li, v_li)
+        return x + h, new
 
     if isinstance(params["layers"], dict):
         # pre-stacked layers: scan ONE compiled layer body (weights and cache
@@ -410,23 +463,23 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
         # 32-deep unroll both compiles slowly and loses the cross-layer weight
         # prefetch pipeline; measured 48 ms -> ~t_plain for a 5-token chunk)
         def body(x, inp):
-            lp, k_ca, v_ca = inp
-            x, k_li, v_li = layer_chunk(lp, x, k_ca, v_ca)
-            return x, (k_li, v_li)
+            x, new = layer_chunk(inp[0], x, inp[1:])
+            return x, new
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache["k"], cache["v"]))
+        x, new_arrays = jax.lax.scan(body, x, (params["layers"],) + arrays)
     else:
-        ks, vs = [], []
+        outs = []
         for li, lp in enumerate(params["layers"]):
-            x, k_li, v_li = layer_chunk(lp, x, cache["k"][li], cache["v"][li])
-            ks.append(k_li)
-            vs.append(v_li)
-        new_k, new_v = jnp.stack(ks), jnp.stack(vs)
+            x, new = layer_chunk(lp, x, tuple(a[li] for a in arrays))
+            outs.append(new)
+        new_arrays = tuple(jnp.stack([o[j] for o in outs])
+                           for j in range(len(arrays)))
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = _lm_head(params, x)
-    cache = {"k": new_k, "v": new_v, "length": pos0 + C}
+    cache = {"k": new_arrays[0], "v": new_arrays[1], "length": pos0 + C}
+    if quant:
+        cache["k_scale"], cache["v_scale"] = new_arrays[2], new_arrays[3]
     return logits, cache
 
 
@@ -453,10 +506,13 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
 
     max_len = cache["k"].shape[2]
     W = max_len if window is None else min(window, max_len)
-    k_cache, v_cache = cache["k"], cache["v"]
+    quant = cache_quantized(cache)
+    # per-layer cache arrays as a tuple: (k, v) or (k, v, k_scale, v_scale)
+    arrays = ((cache["k"], cache["v"], cache["k_scale"], cache["v_scale"])
+              if quant else (cache["k"], cache["v"]))
 
-    def layer_decode(lp, x, k_ca, v_ca):
-        """One decode layer over its own cache slice -> (x', k_li, v_li)."""
+    def layer_decode(lp, x, ca):
+        """One decode layer over its own cache slices -> (x', new slices)."""
         h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
         q = L.linear(lp["q_proj"], h).reshape(B, 1, cfg.num_heads, hd)
         k = L.linear(lp["k_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
@@ -466,8 +522,18 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
 
         # insert new kv at position `pos` per batch row
         bidx = jnp.arange(B)
-        k_li = k_ca.at[bidx, pos].set(k[:, 0].astype(k_ca.dtype))
-        v_li = v_ca.at[bidx, pos].set(v[:, 0].astype(v_ca.dtype))
+        if quant:
+            k_ca, v_ca, ks_ca, vs_ca = ca
+            kq, ks_new = quantize_kv(k[:, 0])
+            vq, vs_new = quantize_kv(v[:, 0])
+            k_li = k_ca.at[bidx, pos].set(kq)
+            v_li = v_ca.at[bidx, pos].set(vq)
+            ks_li = ks_ca.at[bidx, pos].set(ks_new)
+            vs_li = vs_ca.at[bidx, pos].set(vs_new)
+        else:
+            k_ca, v_ca = ca
+            k_li = k_ca.at[bidx, pos].set(k[:, 0].astype(k_ca.dtype))
+            v_li = v_ca.at[bidx, pos].set(v[:, 0].astype(v_ca.dtype))
 
         # GQA without repeating KV: fold the group into the query head dim so the
         # cache streams from HBM once (decode is bandwidth-bound).
@@ -477,37 +543,47 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
         vv = jax.lax.slice_in_dim(v_li, 0, W, axis=1).astype(compute_dtype)
         s = jnp.einsum("bkgd,btkd->bkgt", qg, kk,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if quant:
+            # int8 cache: the convert above fuses into the dot; the per-(t,
+            # head) K scale commutes through q.k_t and lands on the SCORES
+            ks_w = jax.lax.slice_in_dim(ks_li, 0, W, axis=1)       # [B,W,KVH]
+            s = s * jnp.transpose(ks_w, (0, 2, 1))[:, :, None, :]
         t_idx = jnp.arange(W)[None, None, None, :]
         s = jnp.where(t_idx <= pos[:, None, None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
+        if quant:
+            # V scale likewise commutes through p_t.v_t: scale p per (t, head)
+            vs_w = jax.lax.slice_in_dim(vs_li, 0, W, axis=1)
+            p = p * jnp.transpose(vs_w, (0, 2, 1))[:, :, None, :]
         o = jnp.einsum("bkgt,btkd->bkgd", p.astype(compute_dtype), vv,
                        preferred_element_type=jnp.float32).astype(compute_dtype)
         o = o.reshape(B, 1, cfg.num_heads * hd)
         x = x + L.linear(lp["o_proj"], o)
         h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
         h = _moe(lp, h, cfg)[0] if cfg.num_experts > 0 else _mlp(lp, h)
-        return x + h, k_li, v_li
+        new = (k_li, v_li, ks_li, vs_li) if quant else (k_li, v_li)
+        return x + h, new
 
     if isinstance(params["layers"], dict):
         # pre-stacked layers (stack_layers layout): lax.scan compiles ONE layer
         # body and streams weights + cache slices — no per-layer unroll, no
         # in-graph restack of the cache.
         def body(x, inp):
-            lp, k_ca, v_ca = inp
-            x, k_li, v_li = layer_decode(lp, x, k_ca, v_ca)
-            return x, (k_li, v_li)
+            x, new = layer_decode(inp[0], x, inp[1:])
+            return x, new
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], k_cache, v_cache))
+        x, new_arrays = jax.lax.scan(body, x, (params["layers"],) + arrays)
     else:
-        ks, vs = [], []
+        outs = []
         for li, lp in enumerate(params["layers"]):
-            x, k_li, v_li = layer_decode(lp, x, k_cache[li], v_cache[li])
-            ks.append(k_li)
-            vs.append(v_li)
-        new_k, new_v = jnp.stack(ks), jnp.stack(vs)
+            x, new = layer_decode(lp, x, tuple(a[li] for a in arrays))
+            outs.append(new)
+        new_arrays = tuple(jnp.stack([o[j] for o in outs])
+                           for j in range(len(arrays)))
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = _lm_head(params, x)[:, 0]
-    cache = {"k": new_k, "v": new_v, "length": pos + 1}
+    cache = {"k": new_arrays[0], "v": new_arrays[1], "length": pos + 1}
+    if quant:
+        cache["k_scale"], cache["v_scale"] = new_arrays[2], new_arrays[3]
     return logits, cache

@@ -175,14 +175,15 @@ def kv_cache_sharding(mesh: Mesh) -> Dict:
     decode attention runs fully local per TP shard and only the o_proj/down_proj
     psums cross chips (Megatron inference). ``length`` [B] replicates."""
     kv = NamedSharding(mesh, P(None, None, None, "model", None))
-    return {"k": kv, "v": kv, "length": replicated(mesh)}
+    sc = NamedSharding(mesh, P(None, None, None, "model"))
+    return {"k": kv, "v": kv, "k_scale": sc, "v_scale": sc,
+            "length": replicated(mesh)}
 
 
 def shard_kv_cache(mesh: Mesh, cache):
     sh = kv_cache_sharding(mesh)
     if cache["k"].shape[3] % mesh.shape["model"] != 0:  # GQA heads < TP degree
-        sh = {"k": replicated(mesh), "v": replicated(mesh),
-              "length": replicated(mesh)}
+        sh = {k: replicated(mesh) for k in sh}
     return {k: jax.device_put(v, sh[k]) for k, v in cache.items()}
 
 

@@ -61,12 +61,19 @@ class BatchDecodeEngine:
     def __init__(self, params, cfg: SliMEConfig, *, max_slots: int = 8,
                  cache_len: int = 2048, compute_dtype=None, seed: int = 0,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
-                 spec_k: int = 4, spec_rounds: int = 8, mesh=None):
+                 spec_k: int = 4, spec_rounds: int = 8, mesh=None,
+                 kv_quant: bool = False):
         """``mesh``: tensor-parallel serving — params shard by the Megatron
         rules (parallel/mesh.py), the slot KV cache shards kv heads on the
         ``model`` axis, and every jitted step runs SPMD across the mesh. One
         engine then serves a model larger than a single chip (70B-class),
-        which the reference cannot do at all (one whole model per worker)."""
+        which the reference cannot do at all (one whole model per worker).
+
+        ``kv_quant``: int8 KV cache with per-(position, head) scales — half
+        the cache memory (longer contexts / more slots per chip) and half the
+        decode-tick cache read traffic; scales fold into the attention scores
+        (llama.init_kv_cache docstring). ~1% attention-output error, bounds
+        pinned in tests/test_kv_quant.py."""
         import jax
         import jax.numpy as jnp
 
@@ -98,8 +105,10 @@ class BatchDecodeEngine:
         self.cache_len = cache_len
         self.rng = jax.random.PRNGKey(seed)
 
+        self.kv_quant = kv_quant
         self.cache = llama.init_kv_cache(cfg.llm, max_slots, cache_len,
-                                         dtype=self.compute_dtype)
+                                         dtype=self.compute_dtype,
+                                         quantized=kv_quant)
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
             self.cache = mesh_lib.shard_kv_cache(mesh, self.cache)
@@ -136,12 +145,27 @@ class BatchDecodeEngine:
         self._prefill_chunk = jax.jit(_prefill_chunk, donate_argnums=(1,))
 
         def _insert(cache, k, v, slot, length, token):
-            S = k.shape[1]
+            # k/v [L, S, KVH, hd] float; quantized on the way in when the
+            # pool is int8 (admission prefill always computes float KV)
             cache = dict(cache)
-            cache["k"] = jax.lax.dynamic_update_slice(
-                cache["k"], k[:, None].astype(cache["k"].dtype), (0, slot, 0, 0, 0))
-            cache["v"] = jax.lax.dynamic_update_slice(
-                cache["v"], v[:, None].astype(cache["v"].dtype), (0, slot, 0, 0, 0))
+            if llama.cache_quantized(cache):
+                kq, ks = llama.quantize_kv(k)
+                vq, vs = llama.quantize_kv(v)
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], kq[:, None], (0, slot, 0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], vq[:, None], (0, slot, 0, 0, 0))
+                cache["k_scale"] = jax.lax.dynamic_update_slice(
+                    cache["k_scale"], ks[:, None], (0, slot, 0, 0))
+                cache["v_scale"] = jax.lax.dynamic_update_slice(
+                    cache["v_scale"], vs[:, None], (0, slot, 0, 0))
+            else:
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], k[:, None].astype(cache["k"].dtype),
+                    (0, slot, 0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], v[:, None].astype(cache["v"].dtype),
+                    (0, slot, 0, 0, 0))
             cache["length"] = cache["length"].at[slot].set(length)
             return cache
 

@@ -31,7 +31,7 @@ class BatchedWorker:
                  max_slots: int = 8, cache_len: int = 2048,
                  compute_dtype=None, register: bool = True,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
-                 spec_k: int = 4, mesh=None):
+                 spec_k: int = 4, mesh=None, kv_quant: bool = False):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name
@@ -42,7 +42,7 @@ class BatchedWorker:
                                         compute_dtype=compute_dtype,
                                         draft_params=draft_params,
                                         draft_cfg=draft_cfg, spec_k=spec_k,
-                                        mesh=mesh)
+                                        mesh=mesh, kv_quant=kv_quant)
         self.engine.start()
         if register and controller_addr:
             self.register_to_controller()
@@ -169,6 +169,10 @@ def main():
                     help="text-only draft for speculative rounds when a "
                          "single greedy request is active (same tokenizer)")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--kv-cache-int8", action="store_true",
+                    help="int8 KV cache with per-(position, head) scales — "
+                         "half the cache memory/read traffic, ~1%% "
+                         "attention error (tests/test_kv_quant.py)")
     ap.add_argument("--tensor-parallel", type=int, default=1,
                     help="shard the model over N chips (Megatron rules, "
                          "parallel/mesh.py) — serve models wider than one "
@@ -205,7 +209,8 @@ def main():
                            compute_dtype=jnp.bfloat16,
                            register=not args.no_register,
                            draft_params=draft_params, draft_cfg=draft_cfg,
-                           spec_k=args.spec_k, mesh=mesh)
+                           spec_k=args.spec_k, mesh=mesh,
+                           kv_quant=args.kv_cache_int8)
     srv = build_server(worker, args.host, args.port)
     print(f"batched worker {name} on {args.host}:{srv.port}")
     srv.serve_forever()
