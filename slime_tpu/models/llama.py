@@ -385,7 +385,7 @@ def prefill_into_cache(cache, kvs, lengths):
 
 
 def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
-                  compute_dtype=jnp.float32):
+                  compute_dtype=jnp.float32, window: Optional[int] = None):
     """Incremental prefill: append a C-token chunk to the cache and return its
     logits. Enables chunked admission in the serving engine (long prompts don't
     stall decode ticks) and O(C * T) attention memory instead of O(S^2).
@@ -396,13 +396,14 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
     B, C, _ = embeds.shape
     hd = cfg.head_dim
     max_len = cache["k"].shape[2]
+    W = max_len if window is None else min(window, max_len)
     pos0 = cache["length"]                                   # [B]
     positions = pos0[:, None] + jnp.arange(C)[None]          # [B, C]
     cos, sin = rope_table(cfg, cfg.max_position_embeddings)
     cos_s, sin_s = cos[positions], sin[positions]
 
     x = embeds.astype(compute_dtype)
-    t_idx = jnp.arange(max_len)[None, None, None, :]
+    t_idx = jnp.arange(W)[None, None, None, :]
     quant = cache_quantized(cache)
     arrays = ((cache["k"], cache["v"], cache["k_scale"], cache["v_scale"])
               if quant else (cache["k"], cache["v"]))
@@ -435,19 +436,23 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
 
         group = cfg.num_heads // cfg.num_kv_heads
         qg = q.reshape(B, C, cfg.num_kv_heads, group, hd)
-        kk = k_li.astype(compute_dtype)
-        vv = v_li.astype(compute_dtype)
+        # attention reads only the window prefix (write above was full-width);
+        # callers guarantee pos0 + C <= window for every row
+        kk = jax.lax.slice_in_dim(k_li, 0, W, axis=1).astype(compute_dtype)
+        vv = jax.lax.slice_in_dim(v_li, 0, W, axis=1).astype(compute_dtype)
         s = jnp.einsum("bckgd,btkd->bkgct", qg, kk,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
         if quant:   # per-(t, head) K scale lands on the scores (see decode_step)
-            s = s * jnp.transpose(ks_li, (0, 2, 1))[:, :, None, None, :]
+            ks_w = jax.lax.slice_in_dim(ks_li, 0, W, axis=1)
+            s = s * jnp.transpose(ks_w, (0, 2, 1))[:, :, None, None, :]
         # causal vs absolute position of each chunk query
         q_abs = positions[:, None, None, :, None]            # [B,1,1,C,1]
         ok = t_idx[:, :, :, None, :] <= q_abs                # -> [B,1,1,C,T]
         s = jnp.where(ok, s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         if quant:
-            p = p * jnp.transpose(vs_li, (0, 2, 1))[:, :, None, None, :]
+            vs_w = jax.lax.slice_in_dim(vs_li, 0, W, axis=1)
+            p = p * jnp.transpose(vs_w, (0, 2, 1))[:, :, None, None, :]
         o = jnp.einsum("bkgct,btkd->bckgd", p.astype(compute_dtype), vv,
                        preferred_element_type=jnp.float32).astype(compute_dtype)
         o = o.reshape(B, C, cfg.num_heads * hd)

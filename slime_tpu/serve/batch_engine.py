@@ -257,7 +257,8 @@ class BatchDecodeEngine:
             R = self.spec_rounds
             eos_id = cfg.eos_token_id
 
-            def _one_round(params, dparams, cache, d_cache, cur, slot):
+            def _one_round(params, dparams, cache, d_cache, cur, slot,
+                           window):
                 """One draft-K/verify/rollback round for ``slot`` of the
                 batched cache (other slots' lengths pinned). Returns
                 (targets [K+1], n_accepted, cache, d_cache): targets[:acc+1]
@@ -266,7 +267,8 @@ class BatchDecodeEngine:
                 def dbody(i, carry):
                     dc, tok, out = carry
                     lg, dc = llama.decode_step(dparams["llm"], dc, tok, dl,
-                                               compute_dtype=self.compute_dtype)
+                                               compute_dtype=self.compute_dtype,
+                                               window=window)
                     nxt = jnp.argmax(lg, -1).astype(jnp.int32)
                     return dc, nxt, out.at[i].set(nxt[0])
 
@@ -287,7 +289,7 @@ class BatchDecodeEngine:
                     embeds, emb1, (slot, 0, 0))
                 logits, cache = llama.prefill_chunk(
                     params["llm"], cache, embeds, cfg.llm,
-                    compute_dtype=self.compute_dtype)
+                    compute_dtype=self.compute_dtype, window=window)
                 targets = jnp.argmax(logits[slot], -1).astype(jnp.int32)
 
                 match = props == targets[:K]
@@ -300,12 +302,13 @@ class BatchDecodeEngine:
                 # complete cache; then roll back to the target's book position
                 _, d_cache = llama.decode_step(dparams["llm"], d_cache,
                                                props[K - 1][None], dl,
-                                               compute_dtype=self.compute_dtype)
+                                               compute_dtype=self.compute_dtype,
+                                               window=window)
                 d_cache = dict(d_cache)
                 return targets, acc, cache, d_cache
 
             def _spec_rounds(params, dparams, cache, d_cache, cur_tokens,
-                             meta):
+                             meta, window):
                 """Up to R draft/verify rounds in ONE dispatch (host syncs
                 through the tunnel cost a full device round each — r2 measured
                 ~25 ms RTT vs a 21 ms 8B round, so one-round-per-dispatch
@@ -338,7 +341,7 @@ class BatchDecodeEngine:
                     d_cache = dict(d_cache)
                     d_cache["length"] = d_len[None]
                     targets, acc, cache, d_cache = _one_round(
-                        params, dparams, cache, d_cache, cur, slot)
+                        params, dparams, cache, d_cache, cur, slot, window)
                     toks = jax.lax.dynamic_update_slice(
                         toks, targets[None], (r, 0))
                     accs = accs.at[r].set(acc)
@@ -363,7 +366,8 @@ class BatchDecodeEngine:
                 return packed, cur_tokens, cache, d_cache
 
             self._spec_rounds = jax.jit(_spec_rounds,
-                                        donate_argnums=(2, 3, 4))
+                                        donate_argnums=(2, 3, 4),
+                                        static_argnums=(6,))
 
     # ------------------------------------------------------------------
     def register_prefix(self, input_ids, pixel_values=None, crop_mask=None,
@@ -643,9 +647,13 @@ class BatchDecodeEngine:
             s.draft = {"cache": dc, "len": int(ctx.size)}
 
         meta = np.asarray([i, s.draft["len"], s.budget], np.int32)
+        # window bucket covering target slot AND draft through all R rounds
+        need = (max(int(self._host_len[i]), s.draft["len"])
+                + self.spec_rounds * (self.spec_k + 1) + 2)
+        window = min(self.cache_len, -(-need // 256) * 256)
         packed, self.cur_tokens, self.cache, s.draft["cache"] = \
             self._spec_rounds(self.params, self.draft_params, self.cache,
-                              s.draft["cache"], self.cur_tokens, meta)
+                              s.draft["cache"], self.cur_tokens, meta, window)
         R, K = self.spec_rounds, self.spec_k
         packed = np.asarray(packed)          # ONE host pull for the dispatch
         n, slot_len = packed[0], packed[1]

@@ -433,3 +433,18 @@ def test_window_bucketing_exact():
     for r, ref in zip(reqs, refs):
         got = _drain(r)
         assert got == ref[:len(got)] and len(got) >= 1
+
+
+def test_spec_engine_windowed_exact(spec_setup):
+    """Speculative rounds with a window bucket strictly smaller than the
+    cache pool (cache_len=1024, short prompt -> 256 bucket) stay exact."""
+    cfg, params, dcfg, dparams = spec_setup
+    rng = np.random.default_rng(11)
+    ids = rng.integers(5, cfg.llm.vocab_size, (7,)).astype(np.int32)
+    plain = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=1024)
+    spec = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=1024,
+                             draft_params=dparams, draft_cfg=dcfg, spec_k=3)
+    got_plain = _run_engine(plain, ids, 10)
+    got_spec = _run_engine(spec, ids, 10)
+    assert got_spec == got_plain and len(got_spec) >= 1
+    assert int(max(spec._host_len)) + spec.spec_rounds * 4 + 2 < 1024
