@@ -154,7 +154,8 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
                     max_new_tokens: int = 256, temperature: float = 0.0,
                     top_p: float = 1.0, rng: Optional[jax.Array] = None,
                     stop_strings=(), chunk: int = 16,
-                    compute_dtype=jnp.float32, mesh=None):
+                    compute_dtype=jnp.float32, mesh=None,
+                    kv_quant: bool = False):
     """Streaming generation for serving: decode in jitted chunks, yield the text so
     far after each chunk (TextIteratorStreamer semantics without per-token host
     syncs). Single-sample (B == 1). Stops on EOS or any stop string.
@@ -190,7 +191,7 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
                                 logit_positions=idx)
     cache = llama.init_kv_cache(cfg.llm, embeds.shape[0],
                                 embeds.shape[1] + max_new_tokens + 1,
-                                dtype=compute_dtype)
+                                dtype=compute_dtype, quantized=kv_quant)
     if mesh is not None:
         from .parallel import mesh as mesh_lib
         cache = mesh_lib.shard_kv_cache(mesh, cache)

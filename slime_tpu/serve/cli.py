@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--conv-mode", default=None)
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--kv-cache-int8", action="store_true",
+                    help="int8 KV cache (half cache memory/read traffic, "
+                         "~1%% attention error)")
     ap.add_argument("--tensor-parallel", type=int, default=1,
                     help="shard the model over N chips (Megatron rules) — "
                          "serve 70B-class models across a mesh; 1 = single "
@@ -134,7 +137,8 @@ def main():
                                         max_new_tokens=args.max_new_tokens,
                                         temperature=args.temperature,
                                         stop_strings=[stop] if stop else [],
-                                        compute_dtype=jnp.bfloat16, mesh=mesh):
+                                        compute_dtype=jnp.bfloat16, mesh=mesh,
+                                        kv_quant=args.kv_cache_int8):
                 print(text[len(out_text):], end="", flush=True)
                 out_text = text
             print()

@@ -138,7 +138,8 @@ class ModelWorker:
                     self.params, self.cfg, self.tokenizer, input_ids, attn,
                     pix, cmask, max_new_tokens=max_new, temperature=temperature,
                     top_p=top_p, stop_strings=stop_strings,
-                    compute_dtype=self.compute_dtype):
+                    compute_dtype=self.compute_dtype,
+                    kv_quant=getattr(self, "kv_quant", False)):
                 yield {"text": params_req.get("echo", False) * prompt + text,
                        "error_code": 0}
         except MemoryError:
@@ -179,6 +180,9 @@ def main():
     ap.add_argument("--model-base", default=None)
     ap.add_argument("--load-8bit", action="store_true")
     ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--kv-cache-int8", action="store_true",
+                    help="int8 KV cache (half cache memory/read traffic, "
+                         "~1%% attention error)")
     ap.add_argument("--model-name", default=None)
     ap.add_argument("--limit-model-concurrency", type=int, default=5)
     ap.add_argument("--no-register", action="store_true")
@@ -197,6 +201,7 @@ def main():
                          tokenizer=tokenizer,
                          limit_concurrency=args.limit_model_concurrency,
                          register=not args.no_register)
+    worker.kv_quant = args.kv_cache_int8
     srv = build_server(worker, args.host, args.port)
     print(f"model worker {name} on {args.host}:{srv.port}")
     srv.serve_forever()
