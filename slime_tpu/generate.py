@@ -48,10 +48,10 @@ def sample_token(rng, logits, *, temperature: float = 0.0, top_p: float = 1.0,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
-                                             "top_p", "compute_dtype"))
+                                             "top_p", "compute_dtype", "fused"))
 def _decode_loop(params_llm, cache, first_token, rng, eos_id, *, cfg,
                  max_new_tokens: int, temperature: float, top_p: float,
-                 compute_dtype):
+                 compute_dtype, fused=None):
     B = first_token.shape[0]
     tokens = jnp.zeros((B, max_new_tokens), jnp.int32)
     tokens = tokens.at[:, 0].set(first_token)
@@ -65,7 +65,8 @@ def _decode_loop(params_llm, cache, first_token, rng, eos_id, *, cfg,
         i, cache, tokens, done, rng = state
         cur = tokens[:, jnp.maximum(i - 1, 0)]
         logits, cache = llama.decode_step(params_llm, cache, cur, cfg.llm,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          fused=fused)
         rng, sub = jax.random.split(rng)
         nxt = sample_token(sub, logits, temperature=temperature, top_p=top_p)
         nxt = jnp.where(done, eos_id, nxt)
@@ -145,7 +146,10 @@ def generate(params, cfg: SliMEConfig, input_ids, attention_mask,
                              jnp.asarray(eos_id, jnp.int32), cfg=cfg,
                              max_new_tokens=max_new_tokens,
                              temperature=temperature, top_p=top_p,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             # a pallas_call can't be GSPMD-auto-partitioned:
+                             # the fused decode kernel stays single-device
+                             fused=False if mesh is not None else None)
     return tokens
 
 
@@ -211,7 +215,8 @@ def generate_stream(params, cfg: SliMEConfig, tokenizer, input_ids, attention_ma
         toks, cache = _decode_loop(params["llm"], cache, cur, rng,
                                    jnp.asarray(eos_id, jnp.int32), cfg=cfg,
                                    max_new_tokens=n, temperature=temperature,
-                                   top_p=top_p, compute_dtype=compute_dtype)
+                                   top_p=top_p, compute_dtype=compute_dtype,
+                                   fused=False if mesh is not None else None)
         rng, _ = jax.random.split(rng)
         row = np.asarray(toks)[0].tolist()
         if not first_chunk:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..config import LLMConfig
 from . import layers as L
 from ..ops.flash_attention import flash_attention, reference_attention
+from ..ops.fused_mlp import fused_mlp_decode
 
 
 # ----------------------------------------------------------------------------------
@@ -488,8 +489,118 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
     return logits, cache
 
 
+def _fused_mlp_ok(layers) -> bool:
+    """True when the stacked layer dict can run the whole-MLP Pallas kernel
+    (ops/fused_mlp.py): dense bf16/fp32, per-row int8, or q4g weights on all
+    three MLP projections, no bias/LoRA, and uniform format."""
+    if not isinstance(layers, dict) or "gate_proj" not in layers:
+        return False
+
+    def fmt(p):
+        if "lora" in p or "bias" in p:
+            return None
+        w = p["weight"]
+        if isinstance(w, dict):
+            if "q4g" in w:
+                return "q4g"
+            if "q" in w and w["scale"].shape[-1] == 1:
+                return "int8"
+            return None   # NF4 / group-int8: XLA dequant path only
+        return "dense"
+
+    fmts = {fmt(layers[k]) for k in ("gate_proj", "up_proj", "down_proj")}
+    return len(fmts) == 1 and None not in fmts
+
+
+def _decode_step_fused(params, cache, token_ids, cfg: LLMConfig,
+                       compute_dtype, window: Optional[int]):
+    """Decode step with the whole-MLP Pallas kernel (ops/fused_mlp.py).
+
+    Structural differences from the scan path (exactness-tested against it in
+    tests/test_fused_decode.py):
+      - fori_loop over layers: the fused kernel takes the FULL stacked weight
+        arrays as operands and picks the layer via scalar prefetch. A
+        lax.scan would feed it per-layer slices, and XLA materializes a
+        contiguous COPY of sliced custom-call operands — the ~3x HBM traffic
+        that made the r2 per-matmul int4 kernel decode *slower* than int8.
+      - the cache is carried whole and updated in place at [layer, row, pos];
+        the scan path re-emits every layer's full [B, W, KVH, hd] slice
+        through scan ys, writing the entire cache back to HBM every step.
+    """
+    layers = params["layers"]
+    B = token_ids.shape[0]
+    hd = cfg.head_dim
+    pos = cache["length"]                                   # [B]
+    x = params["embed_tokens"][token_ids].astype(compute_dtype)   # [B, H]
+    cos, sin = rope_table(cfg, cfg.max_position_embeddings)
+    cos_s, sin_s = cos[pos][:, None], sin[pos][:, None]     # [B, 1, hd]
+
+    max_len = cache["k"].shape[2]
+    W = max_len if window is None else min(window, max_len)
+    quant = cache_quantized(cache)
+    arrays = (cache["k"], cache["v"]) + (
+        (cache["k_scale"], cache["v_scale"]) if quant else ())
+    interp = jax.default_backend() != "tpu"
+    group = cfg.num_heads // cfg.num_kv_heads
+    bidx = jnp.arange(B)
+    t_idx = jnp.arange(W)[None, None, None, :]
+    att_keys = ("input_layernorm", "q_proj", "k_proj", "v_proj", "o_proj")
+
+    def body(li, carry):
+        x, arrays = carry
+        lp = {k: jax.tree_util.tree_map(lambda a: a[li], layers[k])
+              for k in att_keys}
+        h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
+        q = L.linear(lp["q_proj"], h).reshape(B, 1, cfg.num_heads, hd)
+        k = L.linear(lp["k_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
+        v = L.linear(lp["v_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos_s, sin_s)
+        k = apply_rope(k, cos_s, sin_s)
+
+        if quant:
+            kq, ks_new = quantize_kv(k[:, 0])
+            vq, vs_new = quantize_kv(v[:, 0])
+            news = (kq, vq, ks_new, vs_new)
+        else:
+            news = (k[:, 0], v[:, 0])
+        arrays = tuple(a.at[li, bidx, pos].set(n.astype(a.dtype))
+                       for a, n in zip(arrays, news))
+
+        def win(a):   # [L, B, max_len, ...] -> this layer's [B, W, ...]
+            return jax.lax.slice_in_dim(
+                jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+                0, W, axis=1)
+
+        qg = q[:, 0].reshape(B, cfg.num_kv_heads, group, hd)
+        kk = win(arrays[0]).astype(compute_dtype)
+        vv = win(arrays[1]).astype(compute_dtype)
+        s = jnp.einsum("bkgd,btkd->bkgt", qg, kk,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if quant:
+            s = s * jnp.transpose(win(arrays[2]), (0, 2, 1))[:, :, None, :]
+        s = jnp.where(t_idx <= pos[:, None, None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        if quant:
+            p = p * jnp.transpose(win(arrays[3]), (0, 2, 1))[:, :, None, :]
+        o = jnp.einsum("bkgt,btkd->bkgd", p.astype(compute_dtype), vv,
+                       preferred_element_type=jnp.float32).astype(compute_dtype)
+        x = x + L.linear(lp["o_proj"], o.reshape(B, cfg.num_heads * hd))
+        x = fused_mlp_decode(x, layers, li, eps=cfg.rms_norm_eps,
+                             interpret=interp)
+        return x, arrays
+
+    x, arrays = jax.lax.fori_loop(0, cfg.num_layers, body, (x, arrays))
+    x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = _lm_head(params, x)
+    out = {"k": arrays[0], "v": arrays[1], "length": pos + 1}
+    if quant:
+        out["k_scale"], out["v_scale"] = arrays[2], arrays[3]
+    return logits, out
+
+
 def decode_step(params, cache, token_ids, cfg: LLMConfig,
-                compute_dtype=jnp.float32, window: Optional[int] = None):
+                compute_dtype=jnp.float32, window: Optional[int] = None,
+                fused: Optional[bool] = None):
     """One decode step: token_ids [B] -> (logits fp32 [B, V], cache').
 
     Attention is a masked XLA dot over the cache (bandwidth-bound; one query token,
@@ -501,7 +612,22 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
     row's length < window; the serving engine picks a bucket ≥ max active
     length per dispatch (a handful of compiled variants), cutting decode-tick
     cache traffic for short contexts in a long-cache pool.
+
+    ``fused``: run each layer's whole SwiGLU block as ONE Pallas kernel
+    (ops/fused_mlp.py) with the cache updated in place — see
+    _decode_step_fused. None = auto: on for single-device TPU when the
+    stacked weight formats qualify. Callers running under a GSPMD mesh must
+    pass False (a pallas_call can't be auto-partitioned).
     """
+    if fused is None:
+        fused = (jax.default_backend() == "tpu" and cfg.num_experts == 0
+                 and _fused_mlp_ok(params.get("layers")))
+    if fused:
+        assert isinstance(params["layers"], dict) and _fused_mlp_ok(
+            params["layers"]), "fused decode needs stacked fused-able layers"
+        assert cfg.num_experts == 0, "fused decode is dense-MLP only"
+        return _decode_step_fused(params, cache, token_ids, cfg,
+                                  compute_dtype, window)
     B = token_ids.shape[0]
     hd = cfg.head_dim
     pos = cache["length"]                               # [B]

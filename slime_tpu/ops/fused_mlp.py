@@ -1,0 +1,251 @@
+"""Fused whole-MLP Pallas kernel for the decode hot loop.
+
+One ``pallas_call`` computes ``x + down(silu(gate(h)) * up(h))`` with
+``h = rms_norm(x)`` — the entire SwiGLU block of one transformer layer — by
+chunking the intermediate dimension: grid step ``c`` streams gate/up rows
+``[c*bi, (c+1)*bi)`` and the matching down *columns*, so the three weight
+streams advance in lockstep and Mosaic's automatic block pipeline keeps HBM
+busy for the whole layer instead of per-matmul bursts.
+
+Why this exists (measured, STATUS.md): the decode scan feeds per-layer weight
+slices to each op. XLA's own int8 dequant-matmul reads those slices in place
+(~640 GB/s in-scan), but a pallas_call is a custom call — XLA materializes a
+contiguous COPY of every sliced operand first, so the per-matmul int4 kernel
+paid read+write+read (~3x traffic, ~215 GB/s effective: int4 decoded *slower*
+than int8). This kernel therefore takes the FULL pre-stacked [L, ...] weight
+arrays and picks the layer with a scalar-prefetch index: the operands are the
+unsliced buffers (nothing to copy), and the layer index only changes which
+blocks the pipeline fetches.
+
+The MLP is 81% of an 8B layer's weight bytes; fusing it (plus norm, silu,
+residual) also removes the elementwise HLOs between matmuls that each cost a
+kernel-boundary HBM round trip for the [B, I] activations.
+
+Weight formats (matching ops/quantization.py storage):
+  - bf16/fp32: plain ``{"weight": [L, out, in]}``
+  - int8:      ``{"weight": {"q": [L, out, in] i8, "scale": [L, out, 1]}}``
+  - int4 q4g:  ``{"weight": {"q4g": [L, out, in//2] i8, "scale": [L, out, in//128]}}``
+    (group-128 absmax; packed lane block b holds group 2b in low nibbles,
+    2b+1 in high — every kernel slice stays lane-aligned, see
+    ops/quantization.py). For the down projection the per-group scales vary
+    along the contraction; Mosaic's VMEM tiling rejects a [H, groups-chunk]
+    block (last dim neither 128-aligned nor spanning), so the kernel takes
+    them TRANSPOSED [L, in//128, out] — ``prepare_fused_layers`` does this
+    once at load time.
+
+Reference role: this replaces HF's LlamaMLP + bitsandbytes Linear8bitLt/4bit
+compute (the reference runs HF + bnb, llava/model/builder.py:32-41); the
+TPU-native form is one VMEM-resident fused stream.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _unpack_q4g(pblk, dtype, group: int):
+    """[n, k/2] packed q4g -> [n, k] values (grouped order), unscaled.
+
+    Packed lane block b holds group 2b in its low nibbles and group 2b+1 in
+    its high nibbles; output keeps that order: [g0 | g1 | g2 | ...].
+    int32 is the only nibble-unpack formulation Mosaic compiles (STATUS r2).
+    """
+    p = pblk.astype(jnp.int32)
+    lo = (((p & 0xF) ^ 8) - 8).astype(dtype)
+    hi = ((((p >> 4) & 0xF) ^ 8) - 8).astype(dtype)
+    n_blocks = p.shape[-1] // group
+    cols = []
+    for b in range(n_blocks):
+        cols.append(lo[:, b * group:(b + 1) * group])
+        cols.append(hi[:, b * group:(b + 1) * group])
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _kernel(l_ref, x_ref, nw_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
+            o_ref, h_ref, acc_ref, *, eps: float, fmt: str, group: int):
+    """Grid step c: one intermediate chunk of the whole SwiGLU block.
+
+    fmt: "bf16" (scale refs are dummies), "int8" (per-row scales, applied on
+    the [B, bi] results / at flush — they commute past the dot), or "q4g"
+    (group-128 scales along the contraction; per-group partial dots).
+    """
+    c = pl.program_id(0)
+    dt = h_ref.dtype
+
+    @pl.when(c == 0)
+    def _prologue():
+        xf = x_ref[...].astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        h_ref[...] = (xf * jax.lax.rsqrt(var + eps)
+                      * nw_ref[0][None, :]).astype(dt)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = h_ref[...]
+
+    if fmt == "q4g":
+        # gate/up contract over H with per-group scales: each 128-lane group
+        # gets its own MXU dot; scales land on the [B, bi] partial sums.
+        def gu(p_ref, s_ref):
+            w = _unpack_q4g(p_ref[0], dt, group)          # [bi, H] grouped
+            s = s_ref[0]                                  # [bi, H/group]
+            acc = None
+            for g_i in range(s.shape[-1]):
+                hg = h[:, g_i * group:(g_i + 1) * group]
+                wg = w[:, g_i * group:(g_i + 1) * group]
+                y = jax.lax.dot_general(hg, wg, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                y = y * s[:, g_i][None, :]
+                acc = y if acc is None else acc + y
+            return acc
+        g = gu(g_ref, gs_ref)
+        u = gu(u_ref, us_ref)
+        a = (jax.nn.silu(g) * u).astype(dt)               # [B, bi]
+        # down contracts over THIS chunk of I: bi/group groups, each its own
+        # dot, scaled per (group, out_row) — scales arrive transposed
+        # [bi/group, H] so each row is a ready lane vector.
+        wd = _unpack_q4g(d_ref[0], dt, group)             # [H, bi] grouped
+        sd = ds_ref[0]                                    # [bi/group, H]
+        for g_i in range(sd.shape[0]):
+            ag = a[:, g_i * group:(g_i + 1) * group]
+            wg = wd[:, g_i * group:(g_i + 1) * group]
+            y = jax.lax.dot_general(ag, wg, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc_ref[...] += y * sd[g_i][None, :]
+    else:
+        wg, wu, wd = g_ref[0].astype(dt), u_ref[0].astype(dt), d_ref[0].astype(dt)
+        g = jax.lax.dot_general(h, wg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        u = jax.lax.dot_general(h, wu, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if fmt == "int8":   # per-out-row scales commute past the dot
+            g = g * gs_ref[0, :, 0][None, :]
+            u = u * us_ref[0, :, 0][None, :]
+        a = (jax.nn.silu(g) * u).astype(dt)               # [B, bi]
+        acc_ref[...] += jax.lax.dot_general(
+            a, wd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [B, H]
+
+    @pl.when(c == pl.num_programs(0) - 1)
+    def _flush():
+        acc = acc_ref[...]
+        if fmt == "int8":
+            acc = acc * ds_ref[0, :, 0][None, :]          # down per-row scale
+        o_ref[...] = (x_ref[...].astype(jnp.float32) + acc).astype(o_ref.dtype)
+
+
+def _fmt_of(w) -> str:
+    if isinstance(w, dict):
+        return "q4g" if "q4g" in w else "int8"
+    return "bf16"
+
+
+def prepare_fused_layers(layers: dict) -> dict:
+    """One-time (outside-jit) layout prep for ``fused_mlp_decode``: q4g down
+    scales transpose to [L, in/group, out]. Other formats pass through."""
+    dw = layers["down_proj"]["weight"]
+    if isinstance(dw, dict) and "q4g" in dw:
+        I2 = dw["q4g"].shape[-1]
+        if dw["scale"].shape[-1] != dw["q4g"].shape[-2]:  # not yet transposed
+            out = dict(layers)
+            out["down_proj"] = {"weight": {
+                "q4g": dw["q4g"],
+                "scale": jnp.swapaxes(dw["scale"], -1, -2),
+            }}
+            return out
+        del I2
+    return layers
+
+
+def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
+                     block_inter: int = 0, interpret: bool = False):
+    """x [B, H] -> x + SwiGLU(rms_norm(x)) for layer ``layer_idx``.
+
+    ``layers`` is the pre-stacked params["layers"] dict (stack_layers layout,
+    run through ``prepare_fused_layers`` for q4g); only
+    post_attention_layernorm / gate_proj / up_proj / down_proj are read.
+    The full stacked arrays are kernel operands — layer selection happens in
+    the BlockSpec index maps via scalar prefetch, so no per-layer slice (and
+    therefore no XLA operand copy) ever materializes.
+    """
+    nw = layers["post_attention_layernorm"]["weight"]     # [L, H]
+    gw = layers["gate_proj"]["weight"]
+    uw = layers["up_proj"]["weight"]
+    dw = layers["down_proj"]["weight"]
+    fmt = _fmt_of(gw)
+    assert _fmt_of(uw) == fmt and _fmt_of(dw) == fmt, "mixed MLP formats"
+    B, H = x.shape
+
+    if fmt == "bf16":
+        L, I = gw.shape[0], gw.shape[1]
+        bi = min(block_inter or 512, I)
+        gq, uq, dq = gw, uw, dw
+        gs = us = ds = jnp.zeros((1, 1, 1), jnp.float32)  # dummies
+        group = 0
+        g_spec = pl.BlockSpec((1, bi, H), lambda c, l: (l[0], c, 0))
+        d_spec = pl.BlockSpec((1, H, bi), lambda c, l: (l[0], 0, c))
+        gs_spec = ds_spec = pl.BlockSpec((1, 1, 1), lambda c, l: (0, 0, 0))
+    elif fmt == "int8":
+        gq, uq, dq = gw["q"], uw["q"], dw["q"]
+        gs, us, ds = (gw["scale"].astype(jnp.float32),
+                      uw["scale"].astype(jnp.float32),
+                      dw["scale"].astype(jnp.float32))
+        assert gs.shape[-1] == 1, "int8 fused MLP expects per-row scales"
+        L, I = gq.shape[0], gq.shape[1]
+        bi = min(block_inter or 1024, I)
+        group = 0
+        g_spec = pl.BlockSpec((1, bi, H), lambda c, l: (l[0], c, 0))
+        d_spec = pl.BlockSpec((1, H, bi), lambda c, l: (l[0], 0, c))
+        gs_spec = pl.BlockSpec((1, bi, 1), lambda c, l: (l[0], c, 0))
+        ds_spec = pl.BlockSpec((1, H, 1), lambda c, l: (l[0], 0, 0))
+    else:  # q4g
+        gq, uq, dq = gw["q4g"], uw["q4g"], dw["q4g"]
+        gs, us = (gw["scale"].astype(jnp.float32),
+                  uw["scale"].astype(jnp.float32))
+        ds = dw["scale"].astype(jnp.float32)
+        L, I = gq.shape[0], gq.shape[1]
+        group = 2 * gq.shape[-1] // gs.shape[-1]
+        if ds.shape[-1] != H:
+            # tests / ad-hoc callers: transpose in-graph (prepare_fused_layers
+            # does this once, outside jit, for the production path)
+            ds = jnp.swapaxes(ds, -1, -2)
+        bi = min(block_inter or 2048, I)
+        # down chunks slice the PACKED in-dim: each 128-lane packed block
+        # carries two groups, so chunks must cover whole packed blocks
+        assert bi % (2 * group) == 0, (bi, group)
+        g_spec = pl.BlockSpec((1, bi, H // 2), lambda c, l: (l[0], c, 0))
+        d_spec = pl.BlockSpec((1, H, bi // 2), lambda c, l: (l[0], 0, c))
+        gs_spec = pl.BlockSpec((1, bi, H // group), lambda c, l: (l[0], c, 0))
+        ds_spec = pl.BlockSpec((1, bi // group, H), lambda c, l: (l[0], c, 0))
+
+    assert I % bi == 0, (I, bi)
+    grid = (I // bi,)
+    lidx = jnp.asarray([layer_idx], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, H), lambda c, l: (0, 0)),            # x
+            pl.BlockSpec((1, H), lambda c, l: (l[0], 0)),         # norm w
+            g_spec, gs_spec,
+            g_spec, gs_spec,   # up shares gate's geometry
+            d_spec, ds_spec,
+        ],
+        out_specs=pl.BlockSpec((B, H), lambda c, l: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), x.dtype),        # h = rms_norm(x)
+            pltpu.VMEM((B, H), jnp.float32),    # down-proj accumulator
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps, fmt=fmt, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(lidx, x, nw.astype(jnp.float32), gq, gs, uq, us, dq, ds)

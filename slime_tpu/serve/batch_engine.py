@@ -105,6 +105,19 @@ class BatchDecodeEngine:
         self.cache_len = cache_len
         self.rng = jax.random.PRNGKey(seed)
 
+        # fused decode kernel (ops/fused_mlp.py): auto on single-device
+        # TPU; a pallas_call cannot be GSPMD-auto-partitioned, so TP
+        # serving pins it off
+        self._fused = False if mesh is not None else None
+        if self._fused is None:
+            from ..ops.fused_mlp import prepare_fused_layers
+            lay = self.params.get("llm", {}).get("layers")
+            if isinstance(lay, dict) and "gate_proj" in lay:
+                # one-time q4g scale-layout prep (outside jit); no-op for
+                # other formats
+                self.params = dict(self.params)
+                self.params["llm"] = dict(self.params["llm"])
+                self.params["llm"]["layers"] = prepare_fused_layers(lay)
         self.kv_quant = kv_quant
         self.cache = llama.init_kv_cache(cfg.llm, max_slots, cache_len,
                                          dtype=self.compute_dtype,
@@ -185,7 +198,7 @@ class BatchDecodeEngine:
             old_len = cache["length"]
             logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
                                               compute_dtype=self.compute_dtype,
-                                              window=window)
+                                              window=window, fused=self._fused)
             # inactive slots must not advance (their slot may be re-admitted later)
             cache["length"] = jnp.where(active, cache["length"], old_len)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -215,7 +228,8 @@ class BatchDecodeEngine:
                 logits, cache = llama.decode_step(params["llm"], cache, tok,
                                                   cfg.llm,
                                                   compute_dtype=self.compute_dtype,
-                                                  window=window)
+                                                  window=window,
+                                                  fused=self._fused)
                 rng, sub = jax.random.split(rng)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 t = jnp.maximum(temperature, 1e-6)[:, None]
@@ -268,7 +282,8 @@ class BatchDecodeEngine:
                     dc, tok, out = carry
                     lg, dc = llama.decode_step(dparams["llm"], dc, tok, dl,
                                                compute_dtype=self.compute_dtype,
-                                               window=window)
+                                               window=window,
+                                               fused=self._fused)
                     nxt = jnp.argmax(lg, -1).astype(jnp.int32)
                     return dc, nxt, out.at[i].set(nxt[0])
 
@@ -303,7 +318,8 @@ class BatchDecodeEngine:
                 _, d_cache = llama.decode_step(dparams["llm"], d_cache,
                                                props[K - 1][None], dl,
                                                compute_dtype=self.compute_dtype,
-                                               window=window)
+                                               window=window,
+                                               fused=self._fused)
                 d_cache = dict(d_cache)
                 return targets, acc, cache, d_cache
 

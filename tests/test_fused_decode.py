@@ -1,0 +1,108 @@
+"""Fused decode path (_decode_step_fused) vs the scan path, tiny model on CPU.
+
+The fused path runs the whole SwiGLU block through a Pallas kernel (interpret
+mode off-TPU) and carries the cache in place through a fori_loop — this pins
+it numerically to the production scan path across weight formats, KV-cache
+quantization, and window bucketing.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slime_tpu.config import LLMConfig
+from slime_tpu.models import llama
+from slime_tpu.ops.quantization import quantize_weight, quantize_weight_q4g
+
+
+def _cfg():
+    return LLMConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+        max_position_embeddings=64, rms_norm_eps=1e-5)
+
+
+def _params(rng, cfg, fmt: str):
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    if fmt != "dense":
+        for lp in params["layers"]:
+            for k in ("gate_proj", "up_proj", "down_proj"):
+                w = lp[k]["weight"]
+                lp[k]["weight"] = (quantize_weight(w, 8) if fmt == "int8"
+                                   else quantize_weight_q4g(w, group=128))
+    params["layers"] = llama.stack_layers(params["layers"])
+    return params
+
+
+@pytest.mark.parametrize("fmt", ["dense", "int8", "q4g"])
+def test_fused_decode_matches_scan(rng, fmt):
+    cfg = _cfg()
+    params = _params(rng, cfg, fmt)
+    B = 2
+    cache_a = llama.init_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    cache_a["length"] = jnp.asarray([3, 7], jnp.int32)
+    cache_a["k"] = jnp.asarray(
+        rng.standard_normal(cache_a["k"].shape) * 0.1, jnp.float32)
+    cache_a["v"] = jnp.asarray(
+        rng.standard_normal(cache_a["v"].shape) * 0.1, jnp.float32)
+    cache_b = dict(cache_a)
+    tok = jnp.asarray([5, 9], jnp.int32)
+
+    for _ in range(3):
+        la, cache_a = llama.decode_step(params, cache_a, tok, cfg, fused=False)
+        lb, cache_b = llama.decode_step(params, cache_b, tok, cfg, fused=True)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   atol=2e-4, rtol=2e-4)
+        tok = jnp.argmax(la, -1).astype(jnp.int32)
+    np.testing.assert_allclose(np.asarray(cache_b["k"]),
+                               np.asarray(cache_a["k"]), atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache_b["length"]),
+                                  np.asarray(cache_a["length"]))
+
+
+def test_fused_decode_int8_kv_and_window(rng):
+    """Fused path with quantized KV cache + window bucketing == scan path."""
+    cfg = _cfg()
+    params = _params(rng, cfg, "int8")
+    B = 2
+    cache_a = llama.init_kv_cache(cfg, B, 32, quantized=True)
+    cache_a["length"] = jnp.asarray([2, 5], jnp.int32)
+    cache_b = dict(cache_a)
+    tok = jnp.asarray([3, 4], jnp.int32)
+    # the fused kernel's fp32 accumulation order differs slightly from XLA's;
+    # near a quantization boundary that flips one int8 KV level (exactly 1
+    # code), so the quantized-cache comparison allows one level and the
+    # logits get a correspondingly looser (still tight) bound.
+    for _ in range(3):
+        la, cache_a = llama.decode_step(params, cache_a, tok, cfg,
+                                        window=16, fused=False)
+        lb, cache_b = llama.decode_step(params, cache_b, tok, cfg,
+                                        window=16, fused=True)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   atol=5e-3, rtol=5e-3)
+        tok = jnp.argmax(la, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(jnp.argmax(lb, -1)),
+                                      np.asarray(tok))
+    for key in ("k", "v"):
+        assert np.max(np.abs(np.asarray(cache_b[key], np.int32)
+                             - np.asarray(cache_a[key], np.int32))) <= 1
+    for key in ("k_scale", "v_scale"):
+        np.testing.assert_allclose(np.asarray(cache_b[key]),
+                                   np.asarray(cache_a[key]),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_auto_gate():
+    """Auto mode stays OFF on CPU; NF4/LoRA formats are rejected."""
+    cfg = _cfg()
+    params = _params(np.random.default_rng(0), cfg, "int8")
+    assert llama._fused_mlp_ok(params["layers"])
+    # NF4-style group scales disqualify
+    bad = dict(params["layers"])
+    g = params["layers"]["gate_proj"]["weight"]
+    bad["gate_proj"] = {"weight": {"q": g["q"],
+                                   "scale": jnp.ones((2, 512, 4), jnp.float32)}}
+    assert not llama._fused_mlp_ok(bad)
+    # unstacked list params disqualify
+    assert not llama._fused_mlp_ok([{}])
