@@ -26,6 +26,7 @@ from ..config import LLMConfig
 from . import layers as L
 from ..ops.flash_attention import flash_attention, reference_attention
 from ..ops.fused_mlp import fused_mlp_decode
+from ..ops.fused_qkvo import fused_qkv_decode, fused_o_residual
 
 
 # ----------------------------------------------------------------------------------
@@ -489,26 +490,37 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
     return logits, cache
 
 
+def _fused_fmt(p):
+    """Weight format if a fused decode kernel can serve this projection."""
+    if "lora" in p or "bias" in p:
+        return None
+    w = p["weight"]
+    if isinstance(w, dict):
+        if "q4g" in w:
+            return "q4g"
+        if "q" in w and w["scale"].shape[-1] == 1:
+            return "int8"
+        return None   # NF4 / group-int8: XLA dequant path only
+    return "dense"
+
+
 def _fused_mlp_ok(layers) -> bool:
     """True when the stacked layer dict can run the whole-MLP Pallas kernel
     (ops/fused_mlp.py): dense bf16/fp32, per-row int8, or q4g weights on all
     three MLP projections, no bias/LoRA, and uniform format."""
     if not isinstance(layers, dict) or "gate_proj" not in layers:
         return False
+    fmts = {_fused_fmt(layers[k]) for k in ("gate_proj", "up_proj", "down_proj")}
+    return len(fmts) == 1 and None not in fmts
 
-    def fmt(p):
-        if "lora" in p or "bias" in p:
-            return None
-        w = p["weight"]
-        if isinstance(w, dict):
-            if "q4g" in w:
-                return "q4g"
-            if "q" in w and w["scale"].shape[-1] == 1:
-                return "int8"
-            return None   # NF4 / group-int8: XLA dequant path only
-        return "dense"
 
-    fmts = {fmt(layers[k]) for k in ("gate_proj", "up_proj", "down_proj")}
+def _fused_attn_ok(layers) -> bool:
+    """True when q/k/v/o can run the fused projection kernels
+    (ops/fused_qkvo.py): same format menu, no bias/LoRA, uniform format."""
+    if not isinstance(layers, dict) or "q_proj" not in layers:
+        return False
+    fmts = {_fused_fmt(layers[k])
+            for k in ("q_proj", "k_proj", "v_proj", "o_proj")}
     return len(fmts) == 1 and None not in fmts
 
 
@@ -545,15 +557,24 @@ def _decode_step_fused(params, cache, token_ids, cfg: LLMConfig,
     bidx = jnp.arange(B)
     t_idx = jnp.arange(W)[None, None, None, :]
     att_keys = ("input_layernorm", "q_proj", "k_proj", "v_proj", "o_proj")
+    attn_fused = _fused_attn_ok(layers)
 
     def body(li, carry):
         x, arrays = carry
-        lp = {k: jax.tree_util.tree_map(lambda a: a[li], layers[k])
-              for k in att_keys}
-        h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
-        q = L.linear(lp["q_proj"], h).reshape(B, 1, cfg.num_heads, hd)
-        k = L.linear(lp["k_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
-        v = L.linear(lp["v_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
+        if attn_fused:
+            qf, kf, vf = fused_qkv_decode(x, layers, li,
+                                          eps=cfg.rms_norm_eps,
+                                          interpret=interp)
+            q = qf.reshape(B, 1, cfg.num_heads, hd)
+            k = kf.reshape(B, 1, cfg.num_kv_heads, hd)
+            v = vf.reshape(B, 1, cfg.num_kv_heads, hd)
+        else:
+            lp = {key: jax.tree_util.tree_map(lambda a: a[li], layers[key])
+                  for key in att_keys}
+            h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
+            q = L.linear(lp["q_proj"], h).reshape(B, 1, cfg.num_heads, hd)
+            k = L.linear(lp["k_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
+            v = L.linear(lp["v_proj"], h).reshape(B, 1, cfg.num_kv_heads, hd)
         q = apply_rope(q, cos_s, sin_s)
         k = apply_rope(k, cos_s, sin_s)
 
@@ -584,7 +605,11 @@ def _decode_step_fused(params, cache, token_ids, cfg: LLMConfig,
             p = p * jnp.transpose(win(arrays[3]), (0, 2, 1))[:, :, None, :]
         o = jnp.einsum("bkgt,btkd->bkgd", p.astype(compute_dtype), vv,
                        preferred_element_type=jnp.float32).astype(compute_dtype)
-        x = x + L.linear(lp["o_proj"], o.reshape(B, cfg.num_heads * hd))
+        o = o.reshape(B, cfg.num_heads * hd)
+        if attn_fused:
+            x = fused_o_residual(o, x, layers, li, interpret=interp)
+        else:
+            x = x + L.linear(lp["o_proj"], o)
         x = fused_mlp_decode(x, layers, li, eps=cfg.rms_norm_eps,
                              interpret=interp)
         return x, arrays

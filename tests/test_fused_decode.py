@@ -24,18 +24,24 @@ def _cfg():
 
 
 def _params(rng, cfg, fmt: str):
+    """fmt: dense | int8 | q4g (MLP only) | int8_all | q4g_all (MLP + attn,
+    exercising the fused QKV/O kernels too)."""
     params = llama.init(jax.random.PRNGKey(0), cfg)
-    if fmt != "dense":
+    base, suffix = (fmt[:-4], True) if fmt.endswith("_all") else (fmt, False)
+    keys = ("gate_proj", "up_proj", "down_proj") + (
+        ("q_proj", "k_proj", "v_proj", "o_proj") if suffix else ())
+    if base != "dense":
         for lp in params["layers"]:
-            for k in ("gate_proj", "up_proj", "down_proj"):
+            for k in keys:
                 w = lp[k]["weight"]
-                lp[k]["weight"] = (quantize_weight(w, 8) if fmt == "int8"
+                lp[k]["weight"] = (quantize_weight(w, 8) if base == "int8"
                                    else quantize_weight_q4g(w, group=128))
     params["layers"] = llama.stack_layers(params["layers"])
     return params
 
 
-@pytest.mark.parametrize("fmt", ["dense", "int8", "q4g"])
+@pytest.mark.parametrize("fmt", ["dense", "int8", "q4g", "int8_all",
+                                 "q4g_all"])
 def test_fused_decode_matches_scan(rng, fmt):
     cfg = _cfg()
     params = _params(rng, cfg, fmt)
