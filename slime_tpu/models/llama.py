@@ -386,15 +386,139 @@ def prefill_into_cache(cache, kvs, lengths):
     return cache
 
 
+def _prefill_chunk_fused(params, cache, embeds, cfg: LLMConfig,
+                         compute_dtype, window: Optional[int]):
+    """prefill_chunk through the whole-layer Pallas kernels (fused=True path).
+
+    Same structure as _decode_step_fused — fori_loop over layers, FULL stacked
+    weight operands (scalar-prefetch layer select, no sliced-operand copies),
+    cache carried whole — with C query positions per row instead of one.
+    The kernels see the chunk as [B*C, H] rows.
+    """
+    layers = params["layers"]
+    B, C, H = embeds.shape
+    hd = cfg.head_dim
+    max_len = cache["k"].shape[2]
+    W = max_len if window is None else min(window, max_len)
+    pos0 = cache["length"]                                   # [B]
+    positions = pos0[:, None] + jnp.arange(C)[None]          # [B, C]
+    cos, sin = rope_table(cfg, cfg.max_position_embeddings)
+    cos_s, sin_s = cos[positions], sin[positions]
+
+    x = embeds.astype(compute_dtype).reshape(B * C, H)
+    t_idx = jnp.arange(W)[None, None, None, :]
+    quant = cache_quantized(cache)
+    arrays = (cache["k"], cache["v"]) + (
+        (cache["k_scale"], cache["v_scale"]) if quant else ())
+    interp = jax.default_backend() != "tpu"
+    group = cfg.num_heads // cfg.num_kv_heads
+    attn_fused = _fused_attn_ok(layers)
+    att_keys = ("input_layernorm", "q_proj", "k_proj", "v_proj", "o_proj")
+
+    def put_at(a, li, new):
+        """Scatter new [B, C, ...] into a [L, B, max_len, ...] at each row's
+        pos0, layer li."""
+        def one(c_row, n_row, p):
+            idx = (p,) + (0,) * (n_row.ndim - 1)
+            return jax.lax.dynamic_update_slice(c_row, n_row, idx)
+        a_li = jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+        upd = jax.vmap(one)(a_li, new.astype(a.dtype), pos0)
+        return jax.lax.dynamic_update_index_in_dim(a, upd, li, 0)
+
+    def body(li, carry):
+        x, arrays = carry
+        if attn_fused:
+            qf, kf, vf = fused_qkv_decode(x, layers, li,
+                                          eps=cfg.rms_norm_eps,
+                                          interpret=interp)
+            q = qf.reshape(B, C, cfg.num_heads, hd)
+            k = kf.reshape(B, C, cfg.num_kv_heads, hd)
+            v = vf.reshape(B, C, cfg.num_kv_heads, hd)
+        else:
+            lp = {key: jax.tree_util.tree_map(lambda a: a[li], layers[key])
+                  for key in att_keys}
+            h = L.rms_norm(lp["input_layernorm"],
+                           x.reshape(B, C, H), eps=cfg.rms_norm_eps)
+            q = L.linear(lp["q_proj"], h).reshape(B, C, cfg.num_heads, hd)
+            k = L.linear(lp["k_proj"], h).reshape(B, C, cfg.num_kv_heads, hd)
+            v = L.linear(lp["v_proj"], h).reshape(B, C, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos_s, sin_s)
+        k = apply_rope(k, cos_s, sin_s)
+
+        if quant:
+            kq, ks_new = quantize_kv(k)
+            vq, vs_new = quantize_kv(v)
+            news = (kq, vq, ks_new, vs_new)
+        else:
+            news = (k, v)
+        arrays = tuple(put_at(a, li, n) for a, n in zip(arrays, news))
+
+        def win(a):
+            return jax.lax.slice_in_dim(
+                jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+                0, W, axis=1)
+
+        qg = q.reshape(B, C, cfg.num_kv_heads, group, hd)
+        kk = win(arrays[0]).astype(compute_dtype)
+        vv = win(arrays[1]).astype(compute_dtype)
+        s = jnp.einsum("bckgd,btkd->bkgct", qg, kk,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if quant:
+            s = s * jnp.transpose(win(arrays[2]),
+                                  (0, 2, 1))[:, :, None, None, :]
+        q_abs = positions[:, None, None, :, None]            # [B,1,1,C,1]
+        ok = t_idx[:, :, :, None, :] <= q_abs                # [B,1,1,C,T]
+        s = jnp.where(ok, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        if quant:
+            p = p * jnp.transpose(win(arrays[3]),
+                                  (0, 2, 1))[:, :, None, None, :]
+        o = jnp.einsum("bkgct,btkd->bckgd", p.astype(compute_dtype), vv,
+                       preferred_element_type=jnp.float32).astype(compute_dtype)
+        o = o.reshape(B * C, cfg.num_heads * hd)
+        if attn_fused:
+            x = fused_o_residual(o, x, layers, li, interpret=interp)
+        else:
+            x = x + L.linear(lp["o_proj"], o.reshape(B, C, -1)).reshape(B * C, H)
+        x = fused_mlp_decode(x, layers, li, eps=cfg.rms_norm_eps,
+                             interpret=interp)
+        return x, arrays
+
+    x, arrays = jax.lax.fori_loop(0, cfg.num_layers, body, (x, arrays))
+    x = L.rms_norm(params["norm"], x.reshape(B, C, H), eps=cfg.rms_norm_eps)
+    logits = _lm_head(params, x)
+    out = {"k": arrays[0], "v": arrays[1], "length": pos0 + C}
+    if quant:
+        out["k_scale"], out["v_scale"] = arrays[2], arrays[3]
+    return logits, out
+
+
 def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
-                  compute_dtype=jnp.float32, window: Optional[int] = None):
+                  compute_dtype=jnp.float32, window: Optional[int] = None,
+                  fused: Optional[bool] = None):
     """Incremental prefill: append a C-token chunk to the cache and return its
     logits. Enables chunked admission in the serving engine (long prompts don't
     stall decode ticks) and O(C * T) attention memory instead of O(S^2).
 
     embeds [B, C, H]; rows start at their current cache['length'] (may differ
     per row). Returns (logits fp32 [B, C, V], cache').
+
+    ``fused``: route the per-layer matmuls through the whole-layer Pallas
+    kernels (ops/fused_mlp.py, ops/fused_qkvo.py) — see decode_step. None =
+    auto: on for single-device TPU when formats qualify AND the chunk is
+    small (B*C <= 64). Small chunks are the speculative-verify regime, where
+    the pass is weight-streaming-bound exactly like decode; large admission
+    chunks are compute-bound and stay on the XLA scan path.
     """
+    if fused is None:
+        B_, C_, _ = embeds.shape
+        fused = (jax.default_backend() == "tpu" and cfg.num_experts == 0
+                 and B_ * C_ <= 64 and _fused_mlp_ok(params.get("layers")))
+    if fused:
+        assert isinstance(params["layers"], dict) and _fused_mlp_ok(
+            params["layers"]), "fused prefill needs stacked fused-able layers"
+        return _prefill_chunk_fused(params, cache, embeds, cfg,
+                                    compute_dtype, window)
     B, C, _ = embeds.shape
     hd = cfg.head_dim
     max_len = cache["k"].shape[2]

@@ -304,7 +304,8 @@ class BatchDecodeEngine:
                     embeds, emb1, (slot, 0, 0))
                 logits, cache = llama.prefill_chunk(
                     params["llm"], cache, embeds, cfg.llm,
-                    compute_dtype=self.compute_dtype, window=window)
+                    compute_dtype=self.compute_dtype, window=window,
+                    fused=self._fused)
                 targets = jnp.argmax(logits[slot], -1).astype(jnp.int32)
 
                 match = props == targets[:K]

@@ -112,3 +112,38 @@ def test_fused_auto_gate():
     assert not llama._fused_mlp_ok(bad)
     # unstacked list params disqualify
     assert not llama._fused_mlp_ok([{}])
+
+
+@pytest.mark.parametrize("fmt", ["int8_all", "q4g"])
+@pytest.mark.parametrize("quant_kv", [False, True])
+def test_fused_prefill_chunk_matches_scan(rng, fmt, quant_kv):
+    """Small-chunk prefill (the speculative-verify regime) through the fused
+    kernels == the scan path, including per-row offsets and KV quant."""
+    cfg = _cfg()
+    params = _params(rng, cfg, fmt)
+    B, C = 2, 3
+    kw = {} if quant_kv else {"dtype": jnp.float32}
+    cache_a = llama.init_kv_cache(cfg, B, 32, quantized=quant_kv, **kw)
+    cache_a["length"] = jnp.asarray([2, 5], jnp.int32)
+    cache_b = dict(cache_a)
+    emb = jnp.asarray(rng.standard_normal((B, C, cfg.hidden_size)) * 0.3,
+                      jnp.float32)
+    la, cache_a = llama.prefill_chunk(params, cache_a, emb, cfg,
+                                      window=16, fused=False)
+    lb, cache_b = llama.prefill_chunk(params, cache_b, emb, cfg,
+                                      window=16, fused=True)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                               atol=5e-3, rtol=5e-3)
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(lb, -1)),
+                                  np.asarray(jnp.argmax(la, -1)))
+    np.testing.assert_array_equal(np.asarray(cache_b["length"]),
+                                  np.asarray(cache_a["length"]))
+    if quant_kv:
+        for key in ("k", "v"):
+            assert np.max(np.abs(np.asarray(cache_b[key], np.int32)
+                                 - np.asarray(cache_a[key], np.int32))) <= 1
+    else:
+        for key in ("k", "v"):
+            np.testing.assert_allclose(np.asarray(cache_b[key]),
+                                       np.asarray(cache_a[key]),
+                                       atol=5e-3, rtol=5e-3)
