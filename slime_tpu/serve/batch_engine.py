@@ -54,7 +54,7 @@ class _Slot:
         self.req = req
         self.generated: List[int] = []
         self.budget = req.max_new_tokens
-        self.draft = None      # lazy {"cache", "len"} when speculating
+        self.draft = None      # lazy {"len": draft book position} when speculating
 
 
 class BatchDecodeEngine:
@@ -90,8 +90,8 @@ class BatchDecodeEngine:
         self.params = params
         self.cfg = cfg
         # speculative draft (serve/speculative.py semantics, wired into the
-        # engine): used only in the bs=1 greedy idle regime, where weight
-        # streaming dominates and lookahead pays; exactness holds for ANY
+        # engine): used in the all-greedy idle regime — every active slot
+        # drafts/verifies batched in one dispatch; exactness holds for ANY
         # draft — it only changes how many target passes the tokens take.
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
@@ -253,133 +253,161 @@ class BatchDecodeEngine:
         if draft_params is not None:
             assert draft_cfg is not None
             dl = draft_cfg.llm
+            # one batched draft KV cache mirroring the target's slot layout —
+            # every active slot drafts/verifies in the SAME dispatch (the
+            # draft model is small, so bs=max_slots draft steps cost ~the
+            # bs=1 step; the verify chunk stays inside the fused
+            # prefill_chunk regime B*(K+1) <= 64 at the default 8x5)
+            self.d_cache = llama.init_kv_cache(dl, max_slots, cache_len,
+                                               dtype=self.compute_dtype)
+            if mesh is not None:
+                from ..parallel import mesh as mesh_lib
+                self.d_cache = mesh_lib.shard_kv_cache(mesh, self.d_cache)
 
             def _draft_prefill(dparams, ids):
                 S = ids.shape[1]
                 embeds = llama.embed(dparams["llm"], ids).astype(self.compute_dtype)
-                logits, kvs = llama.forward(
+                _, kvs = llama.forward(
                     dparams["llm"], embeds, dl, return_kv=True,
                     compute_dtype=self.compute_dtype,
                     logit_positions=jnp.full((1,), S - 1))
-                dc = llama.init_kv_cache(dl, 1, cache_len, dtype=self.compute_dtype)
-                dc = llama.prefill_into_cache(dc, kvs, jnp.full((1,), S))
-                return dc
+                k = jnp.stack([kv[0] for kv in kvs])[:, 0]   # [L, S, KVH, hd]
+                v = jnp.stack([kv[1] for kv in kvs])[:, 0]
+                return k, v
 
             self._draft_prefill = jax.jit(_draft_prefill)
+
+            def _d_insert(d_cache, k, v, slot, length):
+                d_cache = dict(d_cache)
+                d_cache["k"] = jax.lax.dynamic_update_slice(
+                    d_cache["k"], k[:, None].astype(d_cache["k"].dtype),
+                    (0, slot, 0, 0, 0))
+                d_cache["v"] = jax.lax.dynamic_update_slice(
+                    d_cache["v"], v[:, None].astype(d_cache["v"].dtype),
+                    (0, slot, 0, 0, 0))
+                d_cache["length"] = d_cache["length"].at[slot].set(length)
+                return d_cache
+
+            self._d_insert = jax.jit(_d_insert, donate_argnums=(0,))
 
             K = spec_k
             R = self.spec_rounds
             eos_id = cfg.eos_token_id
+            B = max_slots
+            cap = self.cache_len - K - 2
 
-            def _one_round(params, dparams, cache, d_cache, cur, slot,
-                           window):
-                """One draft-K/verify/rollback round for ``slot`` of the
-                batched cache (other slots' lengths pinned). Returns
-                (targets [K+1], n_accepted, cache, d_cache): targets[:acc+1]
-                are exactly the target's greedy tokens. ``d_cache["length"]``
-                must already point at the draft's verified book position."""
+            def _one_round(params, dparams, cache, d_cache, cur, d_len_c,
+                           alive, window):
+                """One batched draft-K/verify/rollback round over ALL slots
+                (dead/non-spec rows compute but their lengths/tokens are
+                pinned). Returns (cache, d_cache, cur', d_len', targets
+                [B, K+1], acc [B]): per slot, targets[b, :acc[b]+1] are
+                exactly the target's greedy tokens."""
+                d_cache = dict(d_cache)
+                d_cache["length"] = d_len_c
+
                 def dbody(i, carry):
-                    dc, tok, out = carry
+                    dc, tok, props = carry
                     lg, dc = llama.decode_step(dparams["llm"], dc, tok, dl,
                                                compute_dtype=self.compute_dtype,
                                                window=window,
                                                fused=self._fused)
                     nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-                    return dc, nxt, out.at[i].set(nxt[0])
+                    return dc, nxt, props.at[:, i].set(nxt)
 
                 d_cache, _, props = jax.lax.fori_loop(
-                    0, K, dbody, (d_cache, cur[None],
-                                  jnp.zeros((K,), jnp.int32)))
+                    0, K, dbody, (d_cache, cur,
+                                  jnp.zeros((B, K), jnp.int32)))
 
-                # verify: one (K+1)-position chunk through the slot's row of
-                # the batched cache; inactive rows see garbage embeds but
-                # their lengths are restored below
+                # verify: every slot's [cur, props...] as ONE (K+1)-wide
+                # chunk — B*(K+1) <= 64 keeps the fused prefill_chunk path
                 old_len = cache["length"]
-                toks = jnp.concatenate([cur[None], props])           # [K+1]
-                emb1 = llama.embed(params["llm"], toks[None]).astype(
+                toks = jnp.concatenate([cur[:, None], props], axis=1)
+                embeds = llama.embed(params["llm"], toks).astype(
                     self.compute_dtype)
-                embeds = jnp.zeros((self.max_slots,) + emb1.shape[1:],
-                                   emb1.dtype)
-                embeds = jax.lax.dynamic_update_slice(
-                    embeds, emb1, (slot, 0, 0))
                 logits, cache = llama.prefill_chunk(
                     params["llm"], cache, embeds, cfg.llm,
                     compute_dtype=self.compute_dtype, window=window,
                     fused=self._fused)
-                targets = jnp.argmax(logits[slot], -1).astype(jnp.int32)
+                targets = jnp.argmax(logits, -1).astype(jnp.int32)  # [B,K+1]
 
-                match = props == targets[:K]
-                acc = jnp.where(match.all(), K, jnp.argmin(match))
+                match = props == targets[:, :K]
+                acc = jnp.where(match.all(axis=1), K,
+                                jnp.argmin(match, axis=1))
+                n_emit = jnp.where(alive, acc + 1, 0)
 
-                # rollback: slot's length = verified prefix; others untouched
-                new_len = old_len[slot] + acc + 1
-                cache["length"] = old_len.at[slot].set(new_len)
-                # draft ingests props[K-1] so a fully-accepted round leaves a
-                # complete cache; then roll back to the target's book position
+                # rollback: verified prefix per slot; dead rows untouched
+                cache = dict(cache)
+                cache["length"] = old_len + n_emit
+                # draft ingests props[:, K-1] so a fully-accepted round
+                # leaves a complete draft cache; next round's d_len rolls it
+                # back to the verified book position
                 _, d_cache = llama.decode_step(dparams["llm"], d_cache,
-                                               props[K - 1][None], dl,
+                                               props[:, K - 1], dl,
                                                compute_dtype=self.compute_dtype,
                                                window=window,
                                                fused=self._fused)
                 d_cache = dict(d_cache)
-                return targets, acc, cache, d_cache
+                new_cur = jnp.where(alive, targets[jnp.arange(B), acc], cur)
+                return cache, d_cache, new_cur, d_len_c + n_emit, targets, acc
 
             def _spec_rounds(params, dparams, cache, d_cache, cur_tokens,
                              meta, window):
-                """Up to R draft/verify rounds in ONE dispatch (host syncs
-                through the tunnel cost a full device round each — r2 measured
-                ~25 ms RTT vs a 21 ms 8B round, so one-round-per-dispatch
-                halves throughput). The on-device loop stops early on EOS,
-                budget exhaustion, or nearing cache capacity; in the cut round
-                the slot retires on the host, so the in-graph advance past the
-                cut is moot (same contract as the single-round path had).
+                """Up to R batched draft/verify rounds in ONE dispatch (host
+                syncs through the tunnel cost a full device round each — r2
+                measured ~25 ms RTT vs a 21 ms 8B round, so one-round-per-
+                dispatch halves throughput). Every spec slot drafts and
+                verifies in the SAME device step; a slot stops (goes dead)
+                on EOS, budget exhaustion, or nearing cache capacity, and
+                the loop runs while any slot is alive. A dead slot's later
+                rounds are masked in-graph (lengths/cur pinned) and recorded
+                as acc = -1 so the host skips them.
 
-                ``meta`` int32 [3] = [slot, d_len, budget] — the host-side
-                scalars of the dispatch in ONE upload. Returns (packed,
-                cur_tokens, cache, d_cache) where packed int32
-                [2 + R + R*(K+1)] = [n_rounds, slot cache length, accs[R],
-                toks[R*(K+1)]] — one array so the host syncs with ONE
-                tunnel pull; for each completed round r < n_rounds,
-                toks[r, :accs[r]+1] are exactly the target's greedy tokens.
-                cur_tokens[slot] advances to the last completed round's
-                bonus token (on eos/budget cuts the slot retires host-side,
-                so the stale advance is moot)."""
-                cap = self.cache_len - K - 2
-                slot, d_len, budget = meta[0], meta[1], meta[2]
-                cur = cur_tokens[slot]
+                ``meta`` int32 [3B] = [d_len(B), budget(B), spec_mask(B)] —
+                the host-side scalars of the dispatch in ONE upload.
+                Returns (packed, cur_tokens, cache, d_cache) where packed
+                int32 [B + R*B + R*B*(K+1)] = [lengths(B), accs(R,B),
+                toks(R,B,K+1)] — one array so the host syncs with ONE tunnel
+                pull; for each slot b and round r with accs[r,b] >= 0,
+                toks[r, b, :accs[r,b]+1] are exactly the target's greedy
+                tokens. cur_tokens advances per slot to its last alive
+                round's bonus token (on eos/budget cuts the slot retires
+                host-side, so the stale advance is moot)."""
+                d_len0 = meta[:B]
+                budget = meta[B:2 * B]
+                spec = meta[2 * B:3 * B] > 0
 
                 def cond(carry):
-                    r, done = carry[0], carry[-1]
-                    return (r < R) & ~done
+                    r, alive = carry[0], carry[6]
+                    return (r < R) & alive.any()
 
                 def body(carry):
-                    (r, cache, d_cache, cur, d_len, emitted, toks, accs,
-                     _done) = carry
-                    d_cache = dict(d_cache)
-                    d_cache["length"] = d_len[None]
-                    targets, acc, cache, d_cache = _one_round(
-                        params, dparams, cache, d_cache, cur, slot, window)
-                    toks = jax.lax.dynamic_update_slice(
-                        toks, targets[None], (r, 0))
-                    accs = accs.at[r].set(acc)
-                    n_emit = acc + 1
-                    pos = jnp.arange(K + 1)
-                    has_eos = jnp.any((pos <= acc) & (targets == eos_id))
-                    emitted = emitted + n_emit
-                    done = (has_eos | (emitted >= budget)
-                            | (cache["length"][slot] >= cap))
-                    return (r + 1, cache, d_cache, targets[acc],
-                            d_len + n_emit, emitted, toks, accs, done)
+                    (r, cache, d_cache, cur, d_len_c, emitted, alive,
+                     toks_o, accs_o) = carry
+                    cache, d_cache, cur, d_len_c, targets, acc = _one_round(
+                        params, dparams, cache, d_cache, cur, d_len_c,
+                        alive, window)
+                    accs_o = jax.lax.dynamic_update_slice(
+                        accs_o, jnp.where(alive, acc, -1)[None], (r, 0))
+                    toks_o = jax.lax.dynamic_update_slice(
+                        toks_o, targets[None], (r, 0, 0))
+                    pos = jnp.arange(K + 1)[None]
+                    has_eos = jnp.any((pos <= acc[:, None])
+                                      & (targets == eos_id), axis=1)
+                    emitted = emitted + jnp.where(alive, acc + 1, 0)
+                    alive = (alive & ~has_eos & (emitted < budget)
+                             & (cache["length"] < cap))
+                    return (r + 1, cache, d_cache, cur, d_len_c, emitted,
+                            alive, toks_o, accs_o)
 
-                init = (jnp.int32(0), cache, d_cache, cur, d_len,
-                        jnp.int32(0), jnp.zeros((R, K + 1), jnp.int32),
-                        jnp.zeros((R,), jnp.int32), jnp.bool_(False))
-                (n, cache, d_cache, new_cur, _dl, _em, toks, accs,
-                 _done) = jax.lax.while_loop(cond, body, init)
-                cur_tokens = cur_tokens.at[slot].set(new_cur)
+                init = (jnp.int32(0), cache, d_cache, cur_tokens, d_len0,
+                        jnp.zeros((B,), jnp.int32), spec,
+                        jnp.zeros((R, B, K + 1), jnp.int32),
+                        jnp.full((R, B), -1, jnp.int32))
+                (_, cache, d_cache, cur_tokens, _dl, _em, _al, toks_o,
+                 accs_o) = jax.lax.while_loop(cond, body, init)
                 packed = jnp.concatenate([
-                    n[None], cache["length"][slot][None], accs,
-                    toks.reshape(-1)])
+                    cache["length"], accs_o.reshape(-1), toks_o.reshape(-1)])
                 return packed, cur_tokens, cache, d_cache
 
             self._spec_rounds = jax.jit(_spec_rounds,
@@ -587,10 +615,13 @@ class BatchDecodeEngine:
         active_mask[active] = True
 
         idle = (self._admission is None and self.pending.empty())
-        if (self.draft_params is not None and idle and len(active) == 1
-                and self.slots[active[0]].req.temperature == 0.0
-                and self.slots[active[0]].budget > 1):
-            if self._spec_tick(active[0]):
+        if (self.draft_params is not None and idle
+                and all(self.slots[i].req.temperature == 0.0
+                        and self.slots[i].budget > 1
+                        and int(self._host_len[i]) + self.spec_k + 2
+                        <= self.cache_len
+                        for i in active)):
+            if self._spec_tick(active):
                 return sum(s is not None for s in self.slots)
         min_budget = min(self.slots[i].budget for i in active)
         k = min(self.multi_step, max(min_budget, 1)) if idle else 1
@@ -636,77 +667,104 @@ class BatchDecodeEngine:
             if emit:
                 s.generated.extend(emit)
                 s.req.out_queue.put(emit)
+                if s.draft is not None:
+                    # plain tokens bypassed the draft cache; reseed before
+                    # the next spec tick (stale drafts only cost acceptance,
+                    # but a fresh prefill of the small draft is cheaper than
+                    # the lost lookahead)
+                    s.draft = None
             if s.budget <= 0 or int(lengths[i]) >= self.cache_len - 1:
                 self._retire(i)
         return sum(s is not None for s in self.slots)
 
-    def _spec_tick(self, i: int) -> bool:
-        """Up to ``spec_rounds`` speculative draft/verify rounds for the
-        single active slot ``i`` (bs=1 greedy idle regime), folded into ONE
-        device dispatch. Returns True when handled; False falls back to the
-        plain step (e.g. multimodal draft seeding failed).
+    def _spec_tick(self, active: List[int]) -> bool:
+        """Up to ``spec_rounds`` batched speculative draft/verify rounds for
+        ALL active slots (greedy idle regime), folded into ONE device
+        dispatch: every slot drafts K tokens through the shared batched draft
+        cache and they verify together as one [B, K+1] prefill chunk (the
+        fused small-chunk regime, B*(K+1) <= 64 at the default 8x5). Returns
+        True when handled; False falls back to the plain step (e.g. a draft
+        seeding failed for lack of cache room).
 
         The draft is TEXT-ONLY: for multimodal requests its context replaces
         the image sentinel with pad — that costs acceptance, never exactness
         (rejected drafts are corrected by the verify chunk)."""
         import numpy as np
         jnp = self.jnp
-        s = self.slots[i]
         eos = self.cfg.eos_token_id
-        if s.draft is None:
-            ids = np.asarray(s.req.input_ids).copy()
-            ids[ids < 0] = 0                     # image sentinel -> pad
-            ctx = np.concatenate([ids, np.asarray(s.generated[:-1], np.int32)])
-            if ctx.size == 0 or ctx.size + s.budget + self.spec_k + 2 >= self.cache_len:
-                return False                     # no room for lookahead
-            dc = self._draft_prefill(self.draft_params,
-                                     jnp.asarray(ctx[None], jnp.int32))
-            s.draft = {"cache": dc, "len": int(ctx.size)}
+        R, K, B = self.spec_rounds, self.spec_k, self.max_slots
 
-        meta = np.asarray([i, s.draft["len"], s.budget], np.int32)
-        # window bucket covering target slot AND draft through all R rounds
-        need = (max(int(self._host_len[i]), s.draft["len"])
-                + self.spec_rounds * (self.spec_k + 1) + 2)
+        for i in active:                     # seed missing/invalidated drafts
+            s = self.slots[i]
+            if s.draft is None:
+                ids = np.asarray(s.req.input_ids).copy()
+                ids[ids < 0] = 0             # image sentinel -> pad
+                ctx = np.concatenate([ids,
+                                      np.asarray(s.generated[:-1], np.int32)])
+                if ctx.size == 0 or \
+                        ctx.size + s.budget + K + 2 >= self.cache_len:
+                    return False             # no room for lookahead
+                k, v = self._draft_prefill(self.draft_params,
+                                           jnp.asarray(ctx[None], jnp.int32))
+                self.d_cache = self._d_insert(self.d_cache, k, v, i,
+                                              int(ctx.size))
+                s.draft = {"len": int(ctx.size)}
+
+        d_lens = np.zeros((B,), np.int32)
+        budgets = np.zeros((B,), np.int32)
+        mask = np.zeros((B,), np.int32)
+        for i in active:
+            s = self.slots[i]
+            d_lens[i] = s.draft["len"]
+            budgets[i] = s.budget
+            mask[i] = 1
+        meta = np.concatenate([d_lens, budgets, mask]).astype(np.int32)
+        # window bucket covering every target slot AND draft through all R rounds
+        need = (max(max(int(self._host_len[i]), int(d_lens[i]))
+                    for i in active) + R * (K + 1) + 2)
         window = min(self.cache_len, -(-need // 256) * 256)
-        packed, self.cur_tokens, self.cache, s.draft["cache"] = \
+        packed, self.cur_tokens, self.cache, self.d_cache = \
             self._spec_rounds(self.params, self.draft_params, self.cache,
-                              s.draft["cache"], self.cur_tokens, meta, window)
-        R, K = self.spec_rounds, self.spec_k
+                              self.d_cache, self.cur_tokens, meta, window)
         packed = np.asarray(packed)          # ONE host pull for the dispatch
-        n, slot_len = packed[0], packed[1]
-        self._host_len[i] = int(slot_len)
-        accs = packed[2:2 + R]
-        toks = packed[2 + R:].reshape(R, K + 1)
-        emit = []
-        cut = False                      # eos/budget landed mid-round
-        for r in range(int(n)):
-            acc = int(accs[r])
-            e_r = 0
-            for t in toks[r, : acc + 1].tolist():
-                if t == eos:
-                    s.budget = 0
+        lengths = packed[:B]
+        accs = packed[B:B + R * B].reshape(R, B)
+        toks = packed[B + R * B:].reshape(R, B, K + 1)
+        for i in active:
+            s = self.slots[i]
+            self._host_len[i] = int(lengths[i])
+            emit = []
+            cut = False                  # eos/budget landed mid-round
+            for r in range(R):
+                acc = int(accs[r, i])
+                if acc < 0:              # slot was dead for this round
                     break
-                emit.append(int(t))
-                s.budget -= 1
-                e_r += 1
-                if s.budget <= 0:
+                e_r = 0
+                for t in toks[r, i, : acc + 1].tolist():
+                    if t == eos:
+                        s.budget = 0
+                        break
+                    emit.append(int(t))
+                    s.budget -= 1
+                    e_r += 1
+                    if s.budget <= 0:
+                        break
+                s.draft["len"] += e_r
+                if e_r < acc + 1:
+                    cut = True
+                if cut or s.budget <= 0:
                     break
-            s.draft["len"] += e_r
-            if e_r < acc + 1:
-                cut = True
-            if cut or s.budget <= 0:
-                break
-        if cut:
-            # budget/eos cut a round short: the slot retires now, so the
-            # in-graph cache/draft advance past the cut is moot
-            s.budget = 0
-        if emit:
-            s.generated.extend(emit)
-            s.req.out_queue.put(emit)
-            # cur_tokens[i] already advanced in-graph; on a cut the slot
-            # retires below, so the in-graph value never being emit[-1] is moot
-        if s.budget <= 0 or int(slot_len) >= self.cache_len - self.spec_k - 2:
-            self._retire(i)
+            if cut:
+                # budget/eos cut a round short: the slot retires now, so the
+                # in-graph cache/draft advance past the cut is moot
+                s.budget = 0
+            if emit:
+                s.generated.extend(emit)
+                s.req.out_queue.put(emit)
+                # cur_tokens[i] already advanced in-graph; on a cut the slot
+                # retires below, so a stale in-graph value is moot
+            if s.budget <= 0 or int(lengths[i]) >= self.cache_len - K - 2:
+                self._retire(i)
         return True
 
     # ------------------------------------------------------------------

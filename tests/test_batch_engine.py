@@ -347,9 +347,10 @@ def test_spec_engine_multimodal_draft_is_text_only(spec_setup):
     assert run(spec) == run(plain)
 
 
-def test_spec_engine_disabled_under_batch(spec_setup):
-    """Two concurrent requests: the speculative path must stand down (it is a
-    bs=1 optimization) and results still match the plain engine."""
+def test_spec_engine_batched_multi_slot(spec_setup):
+    """Two concurrent greedy requests: batched speculation drafts/verifies
+    BOTH slots in one dispatch; results still match the plain engine
+    exactly (per-slot acceptance/rollback is independent)."""
     cfg, params, dcfg, dparams = spec_setup
     rng = np.random.default_rng(4)
     ids1 = rng.integers(5, cfg.llm.vocab_size, (5,)).astype(np.int32)
@@ -366,6 +367,33 @@ def test_spec_engine_disabled_under_batch(spec_setup):
     plain = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128)
     spec = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
                              draft_params=dparams, draft_cfg=dcfg, spec_k=3)
+    assert run(spec) == run(plain)
+
+
+def test_spec_engine_staggered_admission(spec_setup):
+    """A slot speculates alone, a second request joins mid-stream (plain
+    steps interleave and invalidate the first slot's draft), then batched
+    speculation resumes over both; outputs stay exactly the plain engine's.
+    Budgets differ so one slot retires rounds before the other."""
+    cfg, params, dcfg, dparams = spec_setup
+    rng = np.random.default_rng(11)
+    ids1 = rng.integers(5, cfg.llm.vocab_size, (6,)).astype(np.int32)
+    ids2 = rng.integers(5, cfg.llm.vocab_size, (4,)).astype(np.int32)
+
+    def run(engine):
+        r1 = engine.submit(Request(input_ids=ids1, max_new_tokens=14))
+        engine.tick()          # admit + first spec/plain progress
+        engine.tick()
+        r2 = engine.submit(Request(input_ids=ids2, max_new_tokens=5))
+        for _ in range(100):
+            if engine.tick() == 0 and engine.pending.empty():
+                break
+        return _drain(r1), _drain(r2)
+
+    plain = BatchDecodeEngine(params, cfg, max_slots=3, cache_len=128)
+    spec = BatchDecodeEngine(params, cfg, max_slots=3, cache_len=128,
+                             draft_params=dparams, draft_cfg=dcfg,
+                             spec_k=3, spec_rounds=4)
     assert run(spec) == run(plain)
 
 
