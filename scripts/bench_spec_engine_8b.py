@@ -18,6 +18,12 @@ on acceptance):
   - from those: per-round time and per-dispatch overhead, and the implied
     tok/s at the acceptance 0.747 measured on natural text
     (scripts/bench_speculative_text.py: e = 1 + K*a tokens/round)
+  - BATCHED multi-slot speculation (SPEC_ENGINE_BS>1, default 4): all slots
+    draft through one shared draft cache and verify as ONE [B, K+1] fused
+    chunk — aggregate worst-case tok/s vs the plain engine at the same bs
+    (the batched round costs ~the bs=1 round: both are weight-streaming
+    bound, so the per-slot speculative win should survive batching until
+    the verify chunk leaves the fused small-chunk regime)
 
 Prints one JSON line per measurement.
 """
@@ -33,6 +39,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 K = 4
 MAX_NEW = 96
 SMALL = bool(int(os.environ.get("SPEC_ENGINE_SMALL", "0")))  # CPU smoke mode
+if SMALL:
+    # the JAX_PLATFORMS env var is ignored on this image; force CPU in-process
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 ACC_TEXT = 0.747   # measured natural-text acceptance (bench_speculative_text)
 
 
@@ -133,6 +143,42 @@ def run_engine(eng, ids, max_new):
     return len(out) - len(first), dt, max(ticks, 1)
 
 
+def run_engine_multi(eng, ids_list, max_new):
+    """Submit all requests, tick until the batch admits and every slot is
+    decoding, then time to completion; returns (total_decode_tokens, secs,
+    ticks)."""
+    from slime_tpu.serve.batch_engine import Request
+
+    reqs = [eng.submit(Request(input_ids=ids, max_new_tokens=max_new))
+            for ids in ids_list]
+    for _ in range(64 * len(reqs)):        # admissions excluded from timing
+        eng.tick()
+        if all(r.out_queue.qsize() > 0 for r in reqs):
+            break
+    first = 0
+    for r in reqs:
+        while not r.out_queue.empty():
+            item = r.out_queue.get()
+            if item is not None:
+                first += len(item) if isinstance(item, list) else 1
+    t0 = time.perf_counter()
+    ticks = 0
+    while any(s is not None for s in eng.slots):
+        eng.tick()
+        ticks += 1
+        if ticks > 4 * max_new * len(reqs):
+            break
+    dt = time.perf_counter() - t0
+    total = first
+    for r in reqs:
+        while not r.out_queue.empty():
+            item = r.out_queue.get()
+            if item is None:
+                break
+            total += len(item) if isinstance(item, list) else 1
+    return total - first, dt, max(ticks, 1)
+
+
 def main():
     import jax.numpy as jnp
 
@@ -192,6 +238,41 @@ def main():
                  f"(e={e_text:.2f} tok/round): rounds=8 {implied_r8:.1f} vs "
                  f"rounds=1 {implied_r1:.1f} vs plain {plain_tps:.1f} tok/s"),
         "vs_baseline": round(implied_r8 / plain_tps, 2)}))
+
+    # batched multi-slot speculation: all slots draft/verify in ONE dispatch
+    BS = int(os.environ.get("SPEC_ENGINE_BS", "4"))
+    if BS > 1:
+        ids_list = [rng.integers(5, 32000, (128,)).astype(np.int32)
+                    for _ in range(BS)]
+
+        def bench_multi(label, **kw):
+            eng = BatchDecodeEngine(tp, tf, max_slots=BS, cache_len=512,
+                                    compute_dtype=jnp.bfloat16, **kw)
+            run_engine_multi(eng, ids_list, 16)       # warm/compile
+            n, dt, ticks = run_engine_multi(eng, ids_list, MAX_NEW)
+            tps = n / dt
+            results[label] = (tps, dt / ticks)
+            print(f"{label}: {n} tok in {dt:.2f}s = {tps:.1f} tok/s agg "
+                  f"({ticks} dispatches, {dt / ticks * 1e3:.1f} ms each)",
+                  file=sys.stderr, flush=True)
+            return tps
+
+        plain_bs = bench_multi(f"plain_bs{BS}")
+        spec_bs = bench_multi(f"spec_r8_bs{BS}", draft_params=dp,
+                              draft_cfg=df, spec_k=K, spec_rounds=8)
+        # batched round time from the spec dispatch cadence; each alive slot
+        # emits e tokens per round at acceptance a
+        db = results[f"spec_r8_bs{BS}"][1]
+        round_b = (db - sync_s) / 8.0
+        implied_bs = BS * 8 * e_text / (8 * round_b + sync_s)
+        print(json.dumps({
+            "metric": f"spec_engine_8b_bs{BS}_worst_tok_per_sec",
+            "value": round(spec_bs, 1),
+            "unit": (f"aggregate, batched spec (random draft, acc~0) at "
+                     f"bs={BS}; plain bs={BS} {plain_bs:.1f} tok/s; batched "
+                     f"round {round_b * 1e3:.1f} ms; implied at text "
+                     f"acceptance {ACC_TEXT}: {implied_bs:.1f} tok/s agg"),
+            "vs_baseline": round(implied_bs / plain_bs, 2)}))
 
 
 if __name__ == "__main__":
