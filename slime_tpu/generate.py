@@ -47,6 +47,27 @@ def sample_token(rng, logits, *, temperature: float = 0.0, top_p: float = 1.0,
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+def sample_token_dynamic(rng, logits, temperature, top_p):
+    """Traced-per-row variant of :func:`sample_token` for the batched serving
+    engine, where every slot carries its own sampling knobs: logits [B, V]
+    fp32, ``temperature`` [B] and ``top_p`` [B] are runtime arrays (no
+    recompile per knob change). Rows with temperature <= 0 are greedy; rows
+    with top_p >= 1 are unfiltered. Same nucleus rule as sample_token (the
+    token whose EXCLUSIVE cumulative prob crosses top_p is kept — HF
+    semantics)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum - probs < top_p[:, None], axis=-1) - 1
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+    filt = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    filt = jnp.where(top_p[:, None] < 1.0, filt, scaled)
+    sampled = jax.random.categorical(rng, filt, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature > 0, sampled, greedy)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
                                              "top_p", "compute_dtype", "fused"))
 def _decode_loop(params_llm, cache, first_token, rng, eos_id, *, cfg,

@@ -33,6 +33,7 @@ class Request:
     crop_mask: Optional[np.ndarray] = None
     max_new_tokens: int = 128
     temperature: float = 0.0
+    top_p: float = 1.0                     # nucleus sampling (ignored when greedy)
     prefix_id: Optional[str] = None        # shared prefix from register_prefix()
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
     # outputs
@@ -104,6 +105,7 @@ class BatchDecodeEngine:
         self.max_slots = max_slots
         self.cache_len = cache_len
         self.rng = jax.random.PRNGKey(seed)
+        self._np_rng = np.random.default_rng(seed)  # first-token host sampling
 
         # fused decode kernel (ops/fused_mlp.py): auto on single-device
         # TPU; a pallas_call cannot be GSPMD-auto-partitioned, so TP
@@ -186,41 +188,56 @@ class BatchDecodeEngine:
 
         B_slots = max_slots
 
-        def _step(params, cache, tokens, rng, meta, window):
-            # meta f32 [2B]: [temperature(B), active(B)] — host-side per-tick
-            # scalars bundled into ONE upload (each separate host->device
-            # transfer costs a tunnel round, measured comparable to the RTT).
+        from ..generate import sample_token_dynamic
+
+        def _sample(rng, logits, temperature, top_ps, use_top_p):
+            if use_top_p:
+                return sample_token_dynamic(rng, logits, temperature, top_ps)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            t = jnp.maximum(temperature, 1e-6)[:, None]
+            sampled = jax.random.categorical(rng, logits / t,
+                                             axis=-1).astype(jnp.int32)
+            return jnp.where(temperature > 0, sampled, greedy)
+
+        def _step(params, cache, tokens, rng, meta, window, use_top_p):
+            # meta f32 [3B]: [temperature(B), active(B), top_p(B)] —
+            # host-side per-tick scalars bundled into ONE upload (each
+            # separate host->device transfer costs a tunnel round, measured
+            # comparable to the RTT).
             # window (static): attention reads only cache[:, :, :window] —
             # the tick picks a bucket >= max active length, so short contexts
-            # in a long-cache pool don't stream the whole pool every step
+            # in a long-cache pool don't stream the whole pool every step.
+            # use_top_p (static): nucleus filtering costs a [B, V] sort per
+            # step; the host compiles it in only when an active slot asks
+            # for top_p < 1
             temperature = meta[:B_slots]
             active = meta[B_slots:2 * B_slots] > 0.5
+            top_ps = meta[2 * B_slots:3 * B_slots]
             old_len = cache["length"]
             logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
                                               compute_dtype=self.compute_dtype,
                                               window=window, fused=self._fused)
             # inactive slots must not advance (their slot may be re-admitted later)
             cache["length"] = jnp.where(active, cache["length"], old_len)
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            t = jnp.maximum(temperature, 1e-6)[:, None]
-            sampled = jax.random.categorical(rng, logits / t, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(temperature > 0, sampled, greedy)
+            nxt = _sample(rng, logits, temperature, top_ps, use_top_p)
             # everything the host reads, in ONE array: each separate
             # device->host pull costs a full tunnel RTT (~25 ms, measured
             # comparable to the 8B step itself)
             packed = jnp.concatenate([nxt, cache["length"]])
             return nxt, packed, cache
 
-        self._step = jax.jit(_step, donate_argnums=(1,), static_argnums=(5,))
+        self._step = jax.jit(_step, donate_argnums=(1,),
+                             static_argnums=(5, 6))
 
-        def _step_k(params, cache, tokens, rng, meta, window):
+        def _step_k(params, cache, tokens, rng, meta, window, use_top_p):
             # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
             # when no admissions are pending). Emits [B, K] tokens; rows that hit
             # EOS mid-window keep sampling — the host discards post-EOS tokens.
-            # meta f32 [2B+1]: [temperature(B), active(B), k_steps]
+            # meta f32 [3B+1]: [temperature(B), active(B), top_p(B), k_steps]
             temperature = meta[:B_slots]
             active = meta[B_slots:2 * B_slots] > 0.5
-            k_steps = meta[2 * B_slots].astype(jnp.int32)
+            top_ps = meta[2 * B_slots:3 * B_slots]
+            k_steps = meta[3 * B_slots].astype(jnp.int32)
             old_len = cache["length"]
 
             def body(i, carry):
@@ -231,11 +248,7 @@ class BatchDecodeEngine:
                                                   window=window,
                                                   fused=self._fused)
                 rng, sub = jax.random.split(rng)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                t = jnp.maximum(temperature, 1e-6)[:, None]
-                sampled = jax.random.categorical(sub, logits / t,
-                                                 axis=-1).astype(jnp.int32)
-                nxt = jnp.where(temperature > 0, sampled, greedy)
+                nxt = _sample(sub, logits, temperature, top_ps, use_top_p)
                 out = out.at[:, i].set(nxt)
                 return cache, nxt, out, rng
 
@@ -248,7 +261,7 @@ class BatchDecodeEngine:
             return packed, tok, cache
 
         self._step_k = jax.jit(_step_k, donate_argnums=(1,),
-                               static_argnums=(5,))
+                               static_argnums=(5, 6))
 
         if draft_params is not None:
             assert draft_cfg is not None
@@ -540,7 +553,8 @@ class BatchDecodeEngine:
             return
         # position of the last real token inside the final (variable-size) chunk
         last_in_chunk = a["length"] - 1 - a["last_off"]
-        first = int(np.argmax(np.asarray(a["last_logits"])[0, last_in_chunk]))
+        first = self._first_token(a["req"],
+                                  np.asarray(a["last_logits"])[0, last_in_chunk])
         k = a["cache1"]["k"][:, 0]
         v = a["cache1"]["v"][:, 0]
         self.cache = self._insert(self.cache, k, v, slot_idx,
@@ -562,7 +576,7 @@ class BatchDecodeEngine:
             self.pending.put(req)
             return
         logits, k, v = self._prefill(self.params, embeds, None)
-        first = int(np.argmax(np.asarray(logits)[length - 1]))
+        first = self._first_token(req, np.asarray(logits)[length - 1])
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
                                   self.jnp.asarray(first))
         self._host_len[slot_idx] = length
@@ -574,6 +588,25 @@ class BatchDecodeEngine:
         req.out_queue.put([first])
         if slot.budget <= 0:
             self._retire(slot_idx)
+
+    def _first_token(self, req: Request, logits_row: np.ndarray) -> int:
+        """Sample the prefill's next token on the host (admission logits are
+        already host-side): greedy at temperature 0, else temperature +
+        nucleus with sample_token's top_p rule. Decode-step tokens are
+        sampled in-graph; only this first token is host-sampled."""
+        if req.temperature <= 0.0:
+            return int(np.argmax(logits_row))
+        x = logits_row.astype(np.float64) / max(req.temperature, 1e-6)
+        if req.top_p < 1.0:
+            order = np.argsort(x)[::-1]
+            xs = x[order]
+            p = np.exp(xs - xs[0])
+            p /= p.sum()
+            keep = (np.cumsum(p) - p) < req.top_p   # exclusive-cum rule
+            x = np.where(x < xs[keep][-1], -np.inf, x)
+        p = np.exp(x - x.max())
+        p /= p.sum()
+        return int(self._np_rng.choice(x.size, p=p))
 
     def _retire(self, idx: int) -> None:
         slot = self.slots[idx]
@@ -609,10 +642,16 @@ class BatchDecodeEngine:
 
         self.rng, sub = self.jax.random.split(self.rng)
         temps = np.zeros((self.max_slots,), np.float32)
+        top_ps = np.ones((self.max_slots,), np.float32)
         for i in active:
             temps[i] = self.slots[i].req.temperature
+            top_ps[i] = self.slots[i].req.top_p
         active_mask = np.zeros((self.max_slots,), bool)
         active_mask[active] = True
+        # nucleus filtering costs a [B, V] sort per step — compile it in
+        # only when a sampling slot actually asks for it
+        use_top_p = bool(any(top_ps[i] < 1.0 and temps[i] > 0.0
+                             for i in active))
 
         idle = (self._admission is None and self.pending.empty())
         if (self.draft_params is not None and idle
@@ -628,7 +667,7 @@ class BatchDecodeEngine:
         B = self.max_slots
         # host-side per-tick scalars bundled into ONE upload (see _step)
         meta = np.concatenate([temps, active_mask.astype(np.float32),
-                               np.asarray([k], np.float32)])
+                               top_ps, np.asarray([k], np.float32)])
         # window bucket: smallest multiple of 256 that covers every active
         # slot through this dispatch — the decode attention reads only that
         # prefix of the cache pool (llama.decode_step window), so short
@@ -638,15 +677,16 @@ class BatchDecodeEngine:
         window = min(self.cache_len, -(-need // 256) * 256)
         if k > 1:
             packed, last, self.cache = self._step_k(
-                self.params, self.cache, self.cur_tokens, sub, meta, window)
+                self.params, self.cache, self.cur_tokens, sub, meta, window,
+                use_top_p)
             self.cur_tokens = last
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B * self.multi_step].reshape(B, self.multi_step)[:, :k]
             lengths = packed[B * self.multi_step:]
         else:
             nxt, packed, self.cache = self._step(
-                self.params, self.cache, self.cur_tokens, sub, meta[:2 * B],
-                window)
+                self.params, self.cache, self.cur_tokens, sub, meta[:3 * B],
+                window, use_top_p)
             self.cur_tokens = nxt
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B][:, None]

@@ -117,6 +117,7 @@ class BatchedWorker:
             req = Request(input_ids=ids, pixel_values=pix, crop_mask=cmask,
                           max_new_tokens=min(int(p.get("max_new_tokens", 256)), 1024),
                           temperature=float(p.get("temperature", 0.0)),
+                          top_p=float(p.get("top_p", 1.0)),
                           prefix_id=p.get("prefix_id"))
             self.engine.submit(req)
             generated = []

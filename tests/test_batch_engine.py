@@ -55,6 +55,62 @@ def test_batched_matches_single(setup):
             assert got == ref
 
 
+def test_top_p_tiny_equals_greedy(setup):
+    """top_p -> 0 collapses the nucleus to the single highest-prob token
+    (sample_token's exclusive-cum rule always keeps the cutoff token), so
+    temperature sampling with a tiny top_p must emit exactly the greedy
+    sequence — first token (host-sampled at admission) included."""
+    cfg, params, _ = setup
+    rng = np.random.default_rng(9)
+    ids = rng.integers(5, cfg.llm.vocab_size, (6,)).astype(np.int32)
+
+    def run(**kw):
+        eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
+                                seed=5)
+        req = eng.submit(Request(input_ids=ids, max_new_tokens=7, **kw))
+        for _ in range(40):
+            if eng.tick() == 0 and eng.pending.empty():
+                break
+        return _drain(req)
+
+    greedy = run()
+    nucleus = run(temperature=0.8, top_p=1e-9)
+    assert nucleus == greedy and len(greedy) >= 1
+
+
+def test_top_p_sampling_stays_in_nucleus(setup):
+    """With a moderate top_p every emitted token must lie inside the nucleus
+    of ITS step's distribution — checked against teacher-forced reference
+    logits for the emitted prefix."""
+    cfg, params, _ = setup
+    from slime_tpu.models import llama
+
+    rng = np.random.default_rng(10)
+    ids = rng.integers(5, cfg.llm.vocab_size, (5,)).astype(np.int32)
+    top_p = 0.8
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128, seed=3)
+    req = eng.submit(Request(input_ids=ids, max_new_tokens=6,
+                             temperature=1.0, top_p=top_p))
+    for _ in range(40):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    got = _drain(req)
+    assert len(got) >= 2
+
+    # teacher-forced logits over [prompt + generated]
+    full = np.concatenate([ids, np.asarray(got, np.int32)])
+    embeds = llama.embed(params["llm"], jnp.asarray(full[None]))
+    logits = np.asarray(llama.forward(params["llm"], embeds, cfg.llm)[0])[0]
+    for j, tok in enumerate(got):
+        row = logits[len(ids) - 1 + j].astype(np.float64)
+        order = np.argsort(row)[::-1]
+        p = np.exp(row[order] - row[order][0])
+        p /= p.sum()
+        keep = (np.cumsum(p) - p) < top_p
+        nucleus = set(order[keep].tolist())
+        assert tok in nucleus, (j, tok)
+
+
 def test_slot_reuse(setup):
     cfg, params, eng = setup
     rng = np.random.default_rng(1)
