@@ -63,7 +63,8 @@ class BatchDecodeEngine:
                  cache_len: int = 2048, compute_dtype=None, seed: int = 0,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
                  spec_k: int = 4, spec_rounds: int = 8, mesh=None,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, prefix_cache_mb: int = 512,
+                 prefix_block: int = 64):
         """``mesh``: tensor-parallel serving — params shard by the Megatron
         rules (parallel/mesh.py), the slot KV cache shards kv heads on the
         ``model`` axis, and every jitted step runs SPMD across the mesh. One
@@ -74,7 +75,13 @@ class BatchDecodeEngine:
         the cache memory (longer contexts / more slots per chip) and half the
         decode-tick cache read traffic; scales fold into the attention scores
         (llama.init_kv_cache docstring). ~1% attention-output error, bounds
-        pinned in tests/test_kv_quant.py."""
+        pinned in tests/test_kv_quant.py.
+
+        ``prefix_cache_mb``: byte budget for the AUTOMATIC prefix KV cache
+        (serve/prefix_cache.py — the sglang RadixAttention role): text-only
+        prompts sharing a prefix with any earlier prompt skip recomputing it
+        in ``prefix_block``-token granularity. Exact by construction (reused
+        KV is the KV a fresh prefill would write); 0 disables."""
         import jax
         import jax.numpy as jnp
 
@@ -134,6 +141,12 @@ class BatchDecodeEngine:
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.prefixes = {}             # prefix_id -> {"k","v","length"} shared KV
+        # automatic radix-style prefix cache (serve/prefix_cache.py)
+        self.prefix_cache = None
+        if prefix_cache_mb > 0:
+            from .prefix_cache import PrefixCache
+            self.prefix_cache = PrefixCache(
+                block=prefix_block, budget_bytes=prefix_cache_mb << 20)
         self.prefill_chunk_len = 256   # admission granularity (bounds tick latency)
         self.multi_step = 8            # decode steps per dispatch when queue is idle
         self._admission = None         # in-flight chunked admission state
@@ -185,6 +198,28 @@ class BatchDecodeEngine:
             return cache
 
         self._insert = jax.jit(_insert, donate_argnums=(0,))
+
+        def _seed_block(cache1, kblk, vblk, off):
+            # write one cached prefix block into the batch-1 admission cache
+            # at dynamic offset ``off``; block size is static, so ONE
+            # compiled variant serves every hit depth
+            cache1 = dict(cache1)
+            cache1["k"] = jax.lax.dynamic_update_slice(
+                cache1["k"], kblk[:, None].astype(cache1["k"].dtype),
+                (0, 0, off, 0, 0))
+            cache1["v"] = jax.lax.dynamic_update_slice(
+                cache1["v"], vblk[:, None].astype(cache1["v"].dtype),
+                (0, 0, off, 0, 0))
+            return cache1
+
+        self._seed_block = jax.jit(_seed_block, donate_argnums=(0,))
+
+        def _slice_block(arr, off, *, blk):
+            # [L, S, KVH, hd] -> one [L, blk, KVH, hd] block copy (the source
+            # is the donated admission cache; the copy outlives it)
+            return jax.lax.dynamic_slice_in_dim(arr, off, blk, axis=1)
+
+        self._slice_block = jax.jit(_slice_block, static_argnames=("blk",))
 
         B_slots = max_slots
 
@@ -504,12 +539,29 @@ class BatchDecodeEngine:
             embeds, length, _ = self._embed_request(req)
             C = self.prefill_chunk_len
             base = 0
+            auto_hit = []
+            if (req.prefix_id is None and req.pixel_values is None
+                    and self.prefix_cache is not None):
+                base, auto_hit = self.prefix_cache.match(req.input_ids)
             if req.prefix_id is not None:
                 pre = self.prefixes[req.prefix_id]
                 base = pre["length"]
                 cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
                                              dtype=self.compute_dtype)
                 cache1 = self._insert(cache1, pre["k"], pre["v"], 0, base, 0)
+            elif auto_hit:
+                # automatic prefix-cache hit: seed the matched blocks, then
+                # chunk-prefill only the suffix (embeds are plain token
+                # embeddings — slicing them at the match point is exact)
+                blk = self.prefix_cache.block
+                cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
+                                             dtype=self.compute_dtype)
+                for i, e in enumerate(auto_hit):
+                    cache1 = self._seed_block(cache1, e["value"]["k"],
+                                              e["value"]["v"], i * blk)
+                cache1["length"] = jnp.full((1,), base, jnp.int32)
+                embeds = embeds[:, base:]
+                length -= base
             elif length <= C:
                 self._admit_whole(req, embeds, length)
                 return False
@@ -557,6 +609,7 @@ class BatchDecodeEngine:
                                   np.asarray(a["last_logits"])[0, last_in_chunk])
         k = a["cache1"]["k"][:, 0]
         v = a["cache1"]["v"][:, 0]
+        self._cache_prompt_blocks(a["req"], k, v, a["base"] + a["length"])
         self.cache = self._insert(self.cache, k, v, slot_idx,
                                   a["base"] + a["length"],
                                   self.jnp.asarray(first))
@@ -577,6 +630,7 @@ class BatchDecodeEngine:
             return
         logits, k, v = self._prefill(self.params, embeds, None)
         first = self._first_token(req, np.asarray(logits)[length - 1])
+        self._cache_prompt_blocks(req, k, v, length)
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
                                   self.jnp.asarray(first))
         self._host_len[slot_idx] = length
@@ -588,6 +642,25 @@ class BatchDecodeEngine:
         req.out_queue.put([first])
         if slot.budget <= 0:
             self._retire(slot_idx)
+
+    def _cache_prompt_blocks(self, req: Request, k_full, v_full,
+                             length: int) -> None:
+        """Feed the just-prefilled prompt's full blocks to the automatic
+        prefix cache (text-only, no explicit prefix — block positions must
+        start at 0 and align with req.input_ids). k/v_full: [L, S, KVH, hd]
+        float admission KV covering positions [0, length)."""
+        pc = self.prefix_cache
+        if (pc is None or req.pixel_values is not None
+                or req.prefix_id is not None):
+            return
+        blk = pc.block
+        for b, digest, parent in pc.missing_blocks(req.input_ids, length):
+            kb = self._slice_block(k_full, b * blk, blk=blk)
+            vb = self._slice_block(v_full, b * blk, blk=blk)
+            pc.put(digest, parent, {"k": kb, "v": vb}, kb.nbytes + vb.nbytes)
+
+    def prefix_cache_stats(self) -> Optional[dict]:
+        return None if self.prefix_cache is None else self.prefix_cache.stats()
 
     def _first_token(self, req: Request, logits_row: np.ndarray) -> int:
         """Sample the prefill's next token on the host (admission logits are

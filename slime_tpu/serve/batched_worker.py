@@ -31,7 +31,8 @@ class BatchedWorker:
                  max_slots: int = 8, cache_len: int = 2048,
                  compute_dtype=None, register: bool = True,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
-                 spec_k: int = 4, mesh=None, kv_quant: bool = False):
+                 spec_k: int = 4, mesh=None, kv_quant: bool = False,
+                 prefix_cache_mb: int = 512):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name
@@ -42,7 +43,8 @@ class BatchedWorker:
                                         compute_dtype=compute_dtype,
                                         draft_params=draft_params,
                                         draft_cfg=draft_cfg, spec_k=spec_k,
-                                        mesh=mesh, kv_quant=kv_quant)
+                                        mesh=mesh, kv_quant=kv_quant,
+                                        prefix_cache_mb=prefix_cache_mb)
         self.engine.start()
         if register and controller_addr:
             self.register_to_controller()
@@ -76,8 +78,12 @@ class BatchedWorker:
             + self.engine.pending.qsize()
 
     def get_status(self) -> dict:
-        return {"model_names": [self.model_name], "speed": 1,
-                "queue_length": self.queue_length}
+        st = {"model_names": [self.model_name], "speed": 1,
+              "queue_length": self.queue_length}
+        pc = self.engine.prefix_cache_stats()
+        if pc is not None:
+            st["prefix_cache"] = pc
+        return st
 
     def register_prefix(self, p: dict) -> dict:
         """POST /worker_register_prefix {"prompt": "..."} -> {"prefix_id": ...}.
@@ -174,6 +180,10 @@ def main():
                     help="int8 KV cache with per-(position, head) scales — "
                          "half the cache memory/read traffic, ~1%% "
                          "attention error (tests/test_kv_quant.py)")
+    ap.add_argument("--prefix-cache-mb", type=int, default=512,
+                    help="byte budget for the automatic prefix KV cache "
+                         "(radix-style reuse of shared prompt prefixes, "
+                         "serve/prefix_cache.py); 0 disables")
     ap.add_argument("--tensor-parallel", type=int, default=1,
                     help="shard the model over N chips (Megatron rules, "
                          "parallel/mesh.py) — serve models wider than one "
@@ -211,7 +221,8 @@ def main():
                            register=not args.no_register,
                            draft_params=draft_params, draft_cfg=draft_cfg,
                            spec_k=args.spec_k, mesh=mesh,
-                           kv_quant=args.kv_cache_int8)
+                           kv_quant=args.kv_cache_int8,
+                           prefix_cache_mb=args.prefix_cache_mb)
     srv = build_server(worker, args.host, args.port)
     print(f"batched worker {name} on {args.host}:{srv.port}")
     srv.serve_forever()

@@ -1,0 +1,193 @@
+"""Automatic prefix KV cache (serve/prefix_cache.py + engine wiring).
+
+The sglang RadixAttention role (reference serves through SGLang,
+llava/serve/sglang_worker.py): prompts sharing a prefix with an earlier
+prompt skip recomputing it. Exactness is the whole contract — a cache hit
+may only change admission time, never tokens."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from slime_tpu.config import SliMEConfig
+from slime_tpu.generate import generate
+from slime_tpu.models import slime
+from slime_tpu.serve.batch_engine import BatchDecodeEngine, Request
+from slime_tpu.serve.prefix_cache import PrefixCache
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _run(eng, req):
+    eng.submit(req)
+    for _ in range(80):
+        if eng.tick() == 0 and eng.pending.empty() and eng._admission is None:
+            break
+    out = []
+    while True:
+        got = req.out_queue.get(timeout=10)
+        if got is None:
+            return out
+        out.extend(got)
+
+
+# ---------------------------------------------------------------- unit level
+def test_radix_match_and_insert_bookkeeping():
+    pc = PrefixCache(block=4, budget_bytes=1 << 30)
+    ids = np.arange(20, dtype=np.int32)
+    assert pc.match(ids)[0] == 0                       # empty cache
+    missing = pc.missing_blocks(ids, 20)               # 5 full blocks
+    assert [m[0] for m in missing] == [0, 1, 2, 3, 4]
+    for b, d, parent in missing:
+        pc.put(d, parent, {"blk": b}, nbytes=8)
+    # full-prefix match is capped at len-1 -> 4 blocks, not 5
+    P, hit = pc.match(ids)
+    assert P == 16 and [e["value"]["blk"] for e in hit] == [0, 1, 2, 3]
+    # diverging tail matches only the shared blocks
+    ids2 = ids.copy()
+    ids2[10] = 99
+    P2, _ = pc.match(ids2)
+    assert P2 == 8
+    # a prompt shorter than one block never matches
+    assert pc.match(ids[:4])[0] == 0
+
+
+def test_lru_eviction_cascades_to_descendants():
+    pc = PrefixCache(block=2, budget_bytes=1 << 30)
+    a = np.arange(8, dtype=np.int32)          # chain A: 3 full blocks (cap 8//2)
+    b = np.array([50, 51, 52, 53], np.int32)  # chain B: 2 blocks
+    for ids, ln in ((a, 8), (b, 4)):
+        for blk, d, parent in pc.missing_blocks(ids, ln):
+            pc.put(d, parent, {}, nbytes=10)
+    assert len(pc.entries) == 6
+    pc.match(b)                                # touch B (newer)
+    pc.budget_bytes = 25                       # forces eviction of 4 blocks
+    pc._evict_to_budget()
+    assert pc.used_bytes <= 25
+    # B's chain survived (recently used); A lost its leaves first and a
+    # surviving A-prefix is still a valid (shorter) match
+    assert pc.match(b)[0] == 2
+    assert pc.match(a)[0] <= 4
+    # no orphans: every surviving entry's parent chain is intact
+    for e in pc.entries.values():
+        p = e["parent"]
+        while p is not None:
+            assert p in pc.entries
+            p = pc.entries[p]["parent"]
+
+
+# ------------------------------------------------------------- engine level
+def test_hit_emits_identical_tokens(setup):
+    """Same prompt served twice: second admission reuses cached blocks and
+    must emit exactly the first run's tokens (and exactly generate()'s)."""
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    S = 40
+    ids = rng.integers(5, cfg.llm.vocab_size, (S,)).astype(np.int32)
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
+                            prefix_block=16)
+    first = _run(eng, Request(input_ids=ids, max_new_tokens=6))
+    st = eng.prefix_cache.stats()
+    assert st["inserted_blocks"] == 2          # 40 tokens -> 2 full 16-blocks
+    second = _run(eng, Request(input_ids=ids, max_new_tokens=6))
+    st = eng.prefix_cache.stats()
+    assert st["hits"] == 1 and st["matched_tokens"] == 32
+    assert second == first
+    ref = generate(params, cfg, jnp.asarray(ids[None]), jnp.ones((1, S), bool),
+                   max_new_tokens=6, eos_id=-1)
+    assert first == np.asarray(ref)[0].tolist()[:len(first)]
+
+
+def test_partial_hit_diverging_suffix(setup):
+    """Second prompt shares 32 of 40 tokens: partial match, exact output."""
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    ids1 = rng.integers(5, cfg.llm.vocab_size, (40,)).astype(np.int32)
+    ids2 = ids1.copy()
+    ids2[33:] = rng.integers(5, cfg.llm.vocab_size, (7,))
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
+                            prefix_block=16)
+    _run(eng, Request(input_ids=ids1, max_new_tokens=4))
+    got = _run(eng, Request(input_ids=ids2, max_new_tokens=6))
+    assert eng.prefix_cache.stats()["matched_tokens"] == 32
+    ref = generate(params, cfg, jnp.asarray(ids2[None]),
+                   jnp.ones((1, 40), bool), max_new_tokens=6, eos_id=-1)
+    assert got == np.asarray(ref)[0].tolist()[:len(got)]
+
+
+def test_hit_skips_prefill_compute(setup):
+    """The point of the cache: a full hit prefills only the suffix."""
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    ids = rng.integers(5, cfg.llm.vocab_size, (48,)).astype(np.int32)
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
+                            prefix_block=16)
+    eng.prefill_chunk_len = 16
+    calls = []
+    orig = eng._prefill_chunk
+    eng._prefill_chunk = lambda p, c, e: (calls.append(e.shape[1]),
+                                          orig(p, c, e))[1]
+    _run(eng, Request(input_ids=ids, max_new_tokens=3))
+    cold = len(calls)
+    calls.clear()
+    _run(eng, Request(input_ids=ids, max_new_tokens=3))
+    assert cold == 3            # 48 tokens / 16-chunks
+    assert len(calls) == 1      # hit: only the 16-token tail chunk
+
+
+def test_quantized_pool_hit_exact(setup):
+    """int8 KV pool: cached float blocks requantize identically on insert."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    ids = rng.integers(5, cfg.llm.vocab_size, (40,)).astype(np.int32)
+
+    def run_eng(**kw):
+        eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
+                                kv_quant=True, prefix_block=16, **kw)
+        a = _run(eng, Request(input_ids=ids, max_new_tokens=5))
+        b = _run(eng, Request(input_ids=ids, max_new_tokens=5))
+        return a, b, eng
+
+    a, b, eng = run_eng()
+    assert eng.prefix_cache.stats()["hits"] == 1
+    assert a == b
+    a0, b0, _ = run_eng(prefix_cache_mb=0)     # cache off: same tokens
+    assert a0 == a and b0 == a
+
+
+def test_multimodal_and_explicit_prefix_bypass(setup):
+    """Image requests and explicit register_prefix() requests never touch the
+    automatic cache (block positions wouldn't align with token ids)."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
+                            prefix_block=8)
+    # multimodal request
+    from slime_tpu.constants import IMAGE_TOKEN_INDEX
+    t = cfg.vision.image_size
+    n_crops = 1 + cfg.max_local_crops
+    px = rng.standard_normal((n_crops, 3, t, t)).astype(np.float32)
+    cmask = np.ones((n_crops,), bool)
+    ids = np.concatenate([[1, 2], [IMAGE_TOKEN_INDEX],
+                          rng.integers(5, cfg.llm.vocab_size, (20,))]
+                         ).astype(np.int32)
+    got = _run(eng, Request(input_ids=ids, pixel_values=px, crop_mask=cmask,
+                            max_new_tokens=3))
+    assert len(got) >= 1
+    st = eng.prefix_cache.stats()
+    assert st["inserted_blocks"] == 0 and st["hits"] == 0
+    # explicit-prefix request
+    pid = eng.register_prefix(rng.integers(5, cfg.llm.vocab_size,
+                                           (12,)).astype(np.int32))
+    got = _run(eng, Request(input_ids=rng.integers(
+        5, cfg.llm.vocab_size, (9,)).astype(np.int32),
+        prefix_id=pid, max_new_tokens=3))
+    assert len(got) >= 1
+    st = eng.prefix_cache.stats()
+    assert st["inserted_blocks"] == 0 and st["hits"] == 0
