@@ -18,7 +18,7 @@ import queue
 import threading
 import uuid
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -35,6 +35,7 @@ class Request:
     temperature: float = 0.0
     top_p: float = 1.0                     # nucleus sampling (ignored when greedy)
     prefix_id: Optional[str] = None        # shared prefix from register_prefix()
+    grammar_id: Optional[int] = None       # constraint from register_grammar()
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
     # outputs
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
@@ -135,6 +136,15 @@ class BatchDecodeEngine:
             from ..parallel import mesh as mesh_lib
             self.cache = mesh_lib.shard_kv_cache(mesh, self.cache)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        # constrained decoding (serve/grammar.py): registered token-DFAs are
+        # packed into ONE combined table pair (state 0 = pass-through), the
+        # per-slot automaton state lives on device, and the decode step masks
+        # logits + advances states in-graph — zero per-step host work
+        self.grammars = []             # list of TokenDFA
+        self._g_offsets: List[int] = []
+        self._vocab_size = cfg.llm.vocab_size
+        self._rebuild_grammar_tables()
+        self.gram_state = jnp.zeros((max_slots,), jnp.int32)
         # host mirror of cache["length"] per slot — picks the decode window
         # bucket without a device pull (refreshed from every packed result)
         self._host_len = np.zeros((max_slots,), np.int64)
@@ -234,7 +244,8 @@ class BatchDecodeEngine:
                                              axis=-1).astype(jnp.int32)
             return jnp.where(temperature > 0, sampled, greedy)
 
-        def _step(params, cache, tokens, rng, meta, window, use_top_p):
+        def _step(params, cache, tokens, rng, meta, gstate, g_allowed, g_nxt,
+                  window, use_top_p):
             # meta f32 [3B]: [temperature(B), active(B), top_p(B)] —
             # host-side per-tick scalars bundled into ONE upload (each
             # separate host->device transfer costs a tunnel round, measured
@@ -244,7 +255,9 @@ class BatchDecodeEngine:
             # in a long-cache pool don't stream the whole pool every step.
             # use_top_p (static): nucleus filtering costs a [B, V] sort per
             # step; the host compiles it in only when an active slot asks
-            # for top_p < 1
+            # for top_p < 1.
+            # gstate/g_allowed/g_nxt: constrained-decoding automaton — two
+            # [B]-row gathers per step (register_grammar docstring)
             temperature = meta[:B_slots]
             active = meta[B_slots:2 * B_slots] > 0.5
             top_ps = meta[2 * B_slots:3 * B_slots]
@@ -254,20 +267,25 @@ class BatchDecodeEngine:
                                               window=window, fused=self._fused)
             # inactive slots must not advance (their slot may be re-admitted later)
             cache["length"] = jnp.where(active, cache["length"], old_len)
+            logits = jnp.where(g_allowed[gstate], logits, -jnp.inf)
             nxt = _sample(rng, logits, temperature, top_ps, use_top_p)
+            gstate = jnp.where(active, g_nxt[gstate, nxt], gstate)
             # everything the host reads, in ONE array: each separate
             # device->host pull costs a full tunnel RTT (~25 ms, measured
             # comparable to the 8B step itself)
             packed = jnp.concatenate([nxt, cache["length"]])
-            return nxt, packed, cache
+            return nxt, packed, cache, gstate
 
-        self._step = jax.jit(_step, donate_argnums=(1,),
-                             static_argnums=(5, 6))
+        self._step = jax.jit(_step, donate_argnums=(1, 5),
+                             static_argnums=(8, 9))
 
-        def _step_k(params, cache, tokens, rng, meta, window, use_top_p):
+        def _step_k(params, cache, tokens, rng, meta, gstate, g_allowed,
+                    g_nxt, window, use_top_p):
             # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
             # when no admissions are pending). Emits [B, K] tokens; rows that hit
-            # EOS mid-window keep sampling — the host discards post-EOS tokens.
+            # EOS mid-window keep sampling — the host discards post-EOS tokens
+            # (the grammar automaton parks at state 0 after EOS, so the junk
+            # tail can't walk it out of bounds).
             # meta f32 [3B+1]: [temperature(B), active(B), top_p(B), k_steps]
             temperature = meta[:B_slots]
             active = meta[B_slots:2 * B_slots] > 0.5
@@ -276,27 +294,29 @@ class BatchDecodeEngine:
             old_len = cache["length"]
 
             def body(i, carry):
-                cache, tok, out, rng = carry
+                cache, tok, out, rng, gs = carry
                 logits, cache = llama.decode_step(params["llm"], cache, tok,
                                                   cfg.llm,
                                                   compute_dtype=self.compute_dtype,
                                                   window=window,
                                                   fused=self._fused)
                 rng, sub = jax.random.split(rng)
+                logits = jnp.where(g_allowed[gs], logits, -jnp.inf)
                 nxt = _sample(sub, logits, temperature, top_ps, use_top_p)
+                gs = jnp.where(active, g_nxt[gs, nxt], gs)
                 out = out.at[:, i].set(nxt)
-                return cache, nxt, out, rng
+                return cache, nxt, out, rng, gs
 
             out0 = jnp.zeros((tokens.shape[0], self.multi_step), jnp.int32)
-            cache, tok, out, _ = jax.lax.fori_loop(
-                0, k_steps, body, (cache, tokens, out0, rng))
+            cache, tok, out, _, gstate = jax.lax.fori_loop(
+                0, k_steps, body, (cache, tokens, out0, rng, gstate))
             cache["length"] = jnp.where(active, cache["length"],
                                         old_len)
             packed = jnp.concatenate([out.reshape(-1), cache["length"]])
-            return packed, tok, cache
+            return packed, tok, cache, gstate
 
-        self._step_k = jax.jit(_step_k, donate_argnums=(1,),
-                               static_argnums=(5, 6))
+        self._step_k = jax.jit(_step_k, donate_argnums=(1, 5),
+                               static_argnums=(8, 9))
 
         if draft_params is not None:
             assert draft_cfg is not None
@@ -463,6 +483,44 @@ class BatchDecodeEngine:
                                         static_argnums=(6,))
 
     # ------------------------------------------------------------------
+    def register_grammar(self, token_dfa) -> int:
+        """Register a compiled grammar (serve/grammar.TokenDFA over THIS
+        model's vocab) for constrained decoding; requests reference it via
+        ``grammar_id``. Registration rebuilds the combined device tables
+        (one recompile of the decode step per distinct table shape — a
+        registration-time cost, never a per-step one)."""
+        assert token_dfa.allowed.shape[1] == self._vocab_size, \
+            (token_dfa.allowed.shape, self._vocab_size)
+        self.grammars.append(token_dfa)
+        self._rebuild_grammar_tables()
+        return len(self.grammars) - 1
+
+    def _rebuild_grammar_tables(self) -> None:
+        V = self._vocab_size
+        eos = self.cfg.eos_token_id
+        rows_a = [np.ones((1, V), bool)]       # state 0: pass-through
+        rows_n = [np.zeros((1, V), np.int32)]
+        self._g_offsets = []
+        off = 1
+        for td in self.grammars:
+            a = td.allowed.copy()
+            # a state allowing nothing would wedge its slot (grammar/vocab
+            # mismatch): force EOS there so the slot terminates
+            stuck = ~a.any(axis=1)
+            if stuck.any() and 0 <= eos < V:
+                a[stuck, eos] = True
+            x = (td.nxt + off).astype(np.int32)
+            if 0 <= eos < V:
+                x[:, eos] = 0            # EOS retires the slot; state resets
+            self._g_offsets.append(off)
+            rows_a.append(a)
+            rows_n.append(x)
+            off += a.shape[0]
+        self._g_allowed_h = np.concatenate(rows_a)
+        self._g_nxt_h = np.concatenate(rows_n)
+        self._g_allowed = self.jnp.asarray(self._g_allowed_h)
+        self._g_nxt = self.jnp.asarray(self._g_nxt_h)
+
     def register_prefix(self, input_ids, pixel_values=None, crop_mask=None,
                         prefix_id: Optional[str] = None) -> str:
         """Prefill a shared prefix (e.g. system prompt, optionally with an image)
@@ -536,6 +594,10 @@ class BatchDecodeEngine:
                 # fail this request, not the engine thread
                 req.out_queue.put(None)
                 return False
+            if req.grammar_id is not None and not (
+                    0 <= req.grammar_id < len(self.grammars)):
+                req.out_queue.put(None)
+                return False
             embeds, length, _ = self._embed_request(req)
             C = self.prefill_chunk_len
             base = 0
@@ -605,8 +667,8 @@ class BatchDecodeEngine:
             return
         # position of the last real token inside the final (variable-size) chunk
         last_in_chunk = a["length"] - 1 - a["last_off"]
-        first = self._first_token(a["req"],
-                                  np.asarray(a["last_logits"])[0, last_in_chunk])
+        first, gs = self._first_token(
+            a["req"], np.asarray(a["last_logits"])[0, last_in_chunk])
         k = a["cache1"]["k"][:, 0]
         v = a["cache1"]["v"][:, 0]
         self._cache_prompt_blocks(a["req"], k, v, a["base"] + a["length"])
@@ -615,6 +677,7 @@ class BatchDecodeEngine:
                                   self.jnp.asarray(first))
         self._host_len[slot_idx] = a["base"] + a["length"]
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
+        self.gram_state = self.gram_state.at[slot_idx].set(gs)
         slot = _Slot(a["req"])
         slot.generated.append(first)
         slot.budget -= 1
@@ -629,12 +692,13 @@ class BatchDecodeEngine:
             self.pending.put(req)
             return
         logits, k, v = self._prefill(self.params, embeds, None)
-        first = self._first_token(req, np.asarray(logits)[length - 1])
+        first, gs = self._first_token(req, np.asarray(logits)[length - 1])
         self._cache_prompt_blocks(req, k, v, length)
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
                                   self.jnp.asarray(first))
         self._host_len[slot_idx] = length
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
+        self.gram_state = self.gram_state.at[slot_idx].set(gs)
         slot = _Slot(req)
         slot.generated.append(first)
         slot.budget -= 1          # the prefill-sampled token counts toward the budget
@@ -662,13 +726,24 @@ class BatchDecodeEngine:
     def prefix_cache_stats(self) -> Optional[dict]:
         return None if self.prefix_cache is None else self.prefix_cache.stats()
 
-    def _first_token(self, req: Request, logits_row: np.ndarray) -> int:
+    def _first_token(self, req: Request, logits_row: np.ndarray) -> Tuple[int, int]:
         """Sample the prefill's next token on the host (admission logits are
         already host-side): greedy at temperature 0, else temperature +
-        nucleus with sample_token's top_p rule. Decode-step tokens are
-        sampled in-graph; only this first token is host-sampled."""
+        nucleus with sample_token's top_p rule; grammar-masked when the
+        request is constrained. Decode-step tokens are sampled in-graph;
+        only this first token is host-sampled. -> (token, grammar state)."""
+        g_off = None
+        if req.grammar_id is not None:
+            g_off = self._g_offsets[req.grammar_id]
+            logits_row = np.where(self._g_allowed_h[g_off], logits_row,
+                                  -np.inf)
+
+        def _state(tok: int) -> int:
+            return 0 if g_off is None else int(self._g_nxt_h[g_off, tok])
+
         if req.temperature <= 0.0:
-            return int(np.argmax(logits_row))
+            tok = int(np.argmax(logits_row))
+            return tok, _state(tok)
         x = logits_row.astype(np.float64) / max(req.temperature, 1e-6)
         if req.top_p < 1.0:
             order = np.argsort(x)[::-1]
@@ -679,7 +754,8 @@ class BatchDecodeEngine:
             x = np.where(x < xs[keep][-1], -np.inf, x)
         p = np.exp(x - x.max())
         p /= p.sum()
-        return int(self._np_rng.choice(x.size, p=p))
+        tok = int(self._np_rng.choice(x.size, p=p))
+        return tok, _state(tok)
 
     def _retire(self, idx: int) -> None:
         slot = self.slots[idx]
@@ -729,6 +805,7 @@ class BatchDecodeEngine:
         idle = (self._admission is None and self.pending.empty())
         if (self.draft_params is not None and idle
                 and all(self.slots[i].req.temperature == 0.0
+                        and self.slots[i].req.grammar_id is None
                         and self.slots[i].budget > 1
                         and int(self._host_len[i]) + self.spec_k + 2
                         <= self.cache_len
@@ -749,17 +826,19 @@ class BatchDecodeEngine:
         need = int(max(self._host_len[i] for i in active)) + k + 1
         window = min(self.cache_len, -(-need // 256) * 256)
         if k > 1:
-            packed, last, self.cache = self._step_k(
-                self.params, self.cache, self.cur_tokens, sub, meta, window,
+            packed, last, self.cache, self.gram_state = self._step_k(
+                self.params, self.cache, self.cur_tokens, sub, meta,
+                self.gram_state, self._g_allowed, self._g_nxt, window,
                 use_top_p)
             self.cur_tokens = last
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B * self.multi_step].reshape(B, self.multi_step)[:, :k]
             lengths = packed[B * self.multi_step:]
         else:
-            nxt, packed, self.cache = self._step(
+            nxt, packed, self.cache, self.gram_state = self._step(
                 self.params, self.cache, self.cur_tokens, sub, meta[:3 * B],
-                window, use_top_p)
+                self.gram_state, self._g_allowed, self._g_nxt, window,
+                use_top_p)
             self.cur_tokens = nxt
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B][:, None]

@@ -94,6 +94,34 @@ class BatchedWorker:
         pid = self.engine.register_prefix(ids, prefix_id=p.get("prefix_id"))
         return {"prefix_id": pid, "length": int(self.engine.prefixes[pid]["length"])}
 
+    def _grammar_id(self, p: dict):
+        """Constrained decoding (serve/grammar.py): ``regex`` / ``choices`` /
+        ``json_schema`` payload keys compile to a token-DFA over this model's
+        vocab (cached per pattern) and return an engine grammar_id.
+        Registration is append-only (existing grammars keep their state
+        offsets), so compiling here while the engine thread is mid-tick is
+        safe."""
+        from .grammar import (choices_regex, compile_token_dfa,
+                              json_schema_regex, vocab_bytes_from_tokenizer)
+        if p.get("regex"):
+            pattern = str(p["regex"])
+        elif p.get("choices"):
+            pattern = choices_regex([str(c) for c in p["choices"]])
+        elif p.get("json_schema"):
+            pattern = json_schema_regex(p["json_schema"])
+        else:
+            return None
+        if not hasattr(self, "_grammar_cache"):
+            self._grammar_cache = {}
+            self._vocab_bytes = vocab_bytes_from_tokenizer(
+                self.tokenizer, self.cfg.llm.vocab_size)
+        key = pattern
+        if key not in self._grammar_cache:
+            tdfa = compile_token_dfa(pattern, self._vocab_bytes,
+                                     eos_id=self.cfg.eos_token_id)
+            self._grammar_cache[key] = self.engine.register_grammar(tdfa)
+        return self._grammar_cache[key]
+
     def generate_stream(self, p: dict):
         try:
             prompt = p["prompt"]
@@ -115,6 +143,7 @@ class BatchedWorker:
                 yield {"text": f"unknown prefix_id {pid!r}",
                        "error_code": ErrorCode["SERVER_ERROR"]}
                 return
+            gid = self._grammar_id(p)   # regex / choices / json_schema
             ids = np.asarray(tokenizer_image_token(prompt, self.tokenizer,
                                                    return_tensors="np"))
             stop = p.get("stop")
@@ -124,7 +153,7 @@ class BatchedWorker:
                           max_new_tokens=min(int(p.get("max_new_tokens", 256)), 1024),
                           temperature=float(p.get("temperature", 0.0)),
                           top_p=float(p.get("top_p", 1.0)),
-                          prefix_id=p.get("prefix_id"))
+                          prefix_id=p.get("prefix_id"), grammar_id=gid)
             self.engine.submit(req)
             generated = []
             for chunk in req.stream():
