@@ -47,23 +47,47 @@ def sample_token(rng, logits, *, temperature: float = 0.0, top_p: float = 1.0,
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
-def sample_token_dynamic(rng, logits, temperature, top_p):
+def sample_token_dynamic(rng, logits, temperature, top_p, top_k=None,
+                         min_p=None):
     """Traced-per-row variant of :func:`sample_token` for the batched serving
     engine, where every slot carries its own sampling knobs: logits [B, V]
-    fp32, ``temperature`` [B] and ``top_p`` [B] are runtime arrays (no
-    recompile per knob change). Rows with temperature <= 0 are greedy; rows
-    with top_p >= 1 are unfiltered. Same nucleus rule as sample_token (the
-    token whose EXCLUSIVE cumulative prob crosses top_p is kept — HF
-    semantics)."""
+    fp32, ``temperature``/``top_p``/``top_k``/``min_p`` are [B] runtime
+    arrays (no recompile per knob change). Rows with temperature <= 0 are
+    greedy; top_p >= 1, top_k <= 0, min_p <= 0 mean "off" per row. Filter
+    order matches HF's warper chain (temperature, top_k, top_p, min_p); the
+    nucleus rule is sample_token's (the token whose EXCLUSIVE cumulative
+    prob crosses top_p is kept). top_k rides the same [B, V] sort top_p
+    already pays for; min_p needs only a row max. ``top_k``/``min_p`` =
+    None compiles the corresponding filter out entirely."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
     sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    filt = scaled
+    if top_k is not None:
+        V = logits.shape[-1]
+        kth_idx = jnp.clip(top_k.astype(jnp.int32), 1, V) - 1
+        kth = jnp.take_along_axis(sorted_logits, kth_idx[:, None], axis=-1)
+        filt = jnp.where((top_k[:, None] > 0) & (scaled < kth), -jnp.inf,
+                         filt)
+        # HF chains top_p AFTER top_k: the nucleus is computed over the
+        # top-k-filtered distribution (sorted positions >= k drop out)
+        keepk = ((top_k[:, None] <= 0)
+                 | (jnp.arange(V)[None] < jnp.maximum(top_k, 0)[:, None]))
+        sorted_logits = jnp.where(keepk, sorted_logits, -jnp.inf)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     cutoff_idx = jnp.sum(cum - probs < top_p[:, None], axis=-1) - 1
     cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
-    filt = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-    filt = jnp.where(top_p[:, None] < 1.0, filt, scaled)
+    filt = jnp.where((top_p[:, None] < 1.0) & (scaled < cutoff), -jnp.inf,
+                     filt)
+    if min_p is not None:
+        # HF MinPLogitsWarper: drop tokens with prob < min_p * max_prob,
+        # evaluated where it sits in the chain (after top_k/top_p masking)
+        row_probs = jax.nn.softmax(filt, axis=-1)
+        pmax = jnp.max(row_probs, axis=-1, keepdims=True)
+        filt = jnp.where((min_p[:, None] > 0.0)
+                         & (row_probs < min_p[:, None] * pmax), -jnp.inf,
+                         filt)
     sampled = jax.random.categorical(rng, filt, axis=-1).astype(jnp.int32)
     return jnp.where(temperature > 0, sampled, greedy)
 

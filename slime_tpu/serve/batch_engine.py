@@ -34,6 +34,11 @@ class Request:
     max_new_tokens: int = 128
     temperature: float = 0.0
     top_p: float = 1.0                     # nucleus sampling (ignored when greedy)
+    top_k: int = 0                         # 0 = off (HF semantics, before top_p)
+    min_p: float = 0.0                     # 0 = off (HF MinPLogitsWarper)
+    repetition_penalty: float = 1.0        # HF/vLLM: over prompt + generated
+    presence_penalty: float = 0.0          # OpenAI: over generated tokens
+    frequency_penalty: float = 0.0         # OpenAI: over generated tokens
     prefix_id: Optional[str] = None        # shared prefix from register_prefix()
     grammar_id: Optional[int] = None       # constraint from register_grammar()
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
@@ -145,6 +150,12 @@ class BatchDecodeEngine:
         self._vocab_size = cfg.llm.vocab_size
         self._rebuild_grammar_tables()
         self.gram_state = jnp.zeros((max_slots,), jnp.int32)
+        # repetition/presence/frequency penalty state: per-slot prompt
+        # presence (set at admission) and generated-token counts (advanced
+        # in-graph). Rows of slots without penalties are never read (their
+        # knobs are identity), so they can go stale for free
+        self.prompt_mask = jnp.zeros((max_slots, self._vocab_size), bool)
+        self.gen_counts = jnp.zeros((max_slots, self._vocab_size), jnp.int32)
         # host mirror of cache["length"] per slot — picks the decode window
         # bucket without a device pull (refreshed from every packed result)
         self._host_len = np.zeros((max_slots,), np.int64)
@@ -235,32 +246,50 @@ class BatchDecodeEngine:
 
         from ..generate import sample_token_dynamic
 
-        def _sample(rng, logits, temperature, top_ps, use_top_p):
-            if use_top_p:
-                return sample_token_dynamic(rng, logits, temperature, top_ps)
+        def _sample(rng, logits, meta, use_filters):
+            # meta rows: [temps, active, top_p, top_k, min_p, rep, pres, freq]
+            temperature = meta[:B_slots]
+            if use_filters:
+                return sample_token_dynamic(
+                    rng, logits, temperature, meta[2 * B_slots:3 * B_slots],
+                    top_k=meta[3 * B_slots:4 * B_slots],
+                    min_p=meta[4 * B_slots:5 * B_slots])
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             t = jnp.maximum(temperature, 1e-6)[:, None]
             sampled = jax.random.categorical(rng, logits / t,
                                              axis=-1).astype(jnp.int32)
             return jnp.where(temperature > 0, sampled, greedy)
 
+        def _penalize(logits, meta, pmask, gcnt):
+            # repetition penalty (vLLM/HF semantics: prompt + generated),
+            # then OpenAI presence/frequency penalties (generated only).
+            # Identity knobs (rep=1, pres=0, freq=0) make a row a no-op, so
+            # stale count rows of penalty-free slots never matter
+            rep = meta[5 * B_slots:6 * B_slots][:, None]
+            pres = meta[6 * B_slots:7 * B_slots][:, None]
+            freq = meta[7 * B_slots:8 * B_slots][:, None]
+            present = pmask | (gcnt > 0)
+            adj = jnp.where(logits > 0, logits / rep, logits * rep)
+            logits = jnp.where(present, adj, logits)
+            gen = gcnt.astype(logits.dtype)
+            return logits - pres * (gcnt > 0) - freq * gen
+
         def _step(params, cache, tokens, rng, meta, gstate, g_allowed, g_nxt,
-                  window, use_top_p):
-            # meta f32 [3B]: [temperature(B), active(B), top_p(B)] —
-            # host-side per-tick scalars bundled into ONE upload (each
-            # separate host->device transfer costs a tunnel round, measured
-            # comparable to the RTT).
+                  pmask, gcnt, window, use_filters, use_penalties):
+            # meta f32 [8B]: [temperature(B), active(B), top_p(B), top_k(B),
+            # min_p(B), rep(B), pres(B), freq(B)] — host-side per-tick
+            # scalars bundled into ONE upload (each separate host->device
+            # transfer costs a tunnel round, measured comparable to the RTT).
             # window (static): attention reads only cache[:, :, :window] —
             # the tick picks a bucket >= max active length, so short contexts
             # in a long-cache pool don't stream the whole pool every step.
-            # use_top_p (static): nucleus filtering costs a [B, V] sort per
-            # step; the host compiles it in only when an active slot asks
-            # for top_p < 1.
+            # use_filters (static): top_p/top_k/min_p cost a [B, V] sort per
+            # step; the host compiles them in only when an active slot asks.
+            # use_penalties (static): rep/pres/freq need the [B, V] count
+            # state; compiled in only when an active slot asks.
             # gstate/g_allowed/g_nxt: constrained-decoding automaton — two
             # [B]-row gathers per step (register_grammar docstring)
-            temperature = meta[:B_slots]
             active = meta[B_slots:2 * B_slots] > 0.5
-            top_ps = meta[2 * B_slots:3 * B_slots]
             old_len = cache["length"]
             logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
                                               compute_dtype=self.compute_dtype,
@@ -268,33 +297,37 @@ class BatchDecodeEngine:
             # inactive slots must not advance (their slot may be re-admitted later)
             cache["length"] = jnp.where(active, cache["length"], old_len)
             logits = jnp.where(g_allowed[gstate], logits, -jnp.inf)
-            nxt = _sample(rng, logits, temperature, top_ps, use_top_p)
+            if use_penalties:
+                logits = _penalize(logits, meta, pmask, gcnt)
+            nxt = _sample(rng, logits, meta, use_filters)
             gstate = jnp.where(active, g_nxt[gstate, nxt], gstate)
+            if use_penalties:
+                gcnt = gcnt.at[jnp.arange(B_slots), nxt].add(
+                    active.astype(jnp.int32))
             # everything the host reads, in ONE array: each separate
             # device->host pull costs a full tunnel RTT (~25 ms, measured
             # comparable to the 8B step itself)
             packed = jnp.concatenate([nxt, cache["length"]])
-            return nxt, packed, cache, gstate
+            return nxt, packed, cache, gstate, gcnt
 
-        self._step = jax.jit(_step, donate_argnums=(1, 5),
-                             static_argnums=(8, 9))
+        self._step = jax.jit(_step, donate_argnums=(1, 5, 9),
+                             static_argnums=(10, 11, 12))
 
         def _step_k(params, cache, tokens, rng, meta, gstate, g_allowed,
-                    g_nxt, window, use_top_p):
+                    g_nxt, pmask, gcnt, window, use_filters, use_penalties):
             # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
             # when no admissions are pending). Emits [B, K] tokens; rows that hit
             # EOS mid-window keep sampling — the host discards post-EOS tokens
             # (the grammar automaton parks at state 0 after EOS, so the junk
-            # tail can't walk it out of bounds).
-            # meta f32 [3B+1]: [temperature(B), active(B), top_p(B), k_steps]
-            temperature = meta[:B_slots]
+            # tail can't walk it out of bounds; penalty counts of retired
+            # slots are reset at their next admission).
+            # meta f32 [8B+1]: _step's rows + trailing k_steps
             active = meta[B_slots:2 * B_slots] > 0.5
-            top_ps = meta[2 * B_slots:3 * B_slots]
-            k_steps = meta[3 * B_slots].astype(jnp.int32)
+            k_steps = meta[8 * B_slots].astype(jnp.int32)
             old_len = cache["length"]
 
             def body(i, carry):
-                cache, tok, out, rng, gs = carry
+                cache, tok, out, rng, gs, cnt = carry
                 logits, cache = llama.decode_step(params["llm"], cache, tok,
                                                   cfg.llm,
                                                   compute_dtype=self.compute_dtype,
@@ -302,21 +335,26 @@ class BatchDecodeEngine:
                                                   fused=self._fused)
                 rng, sub = jax.random.split(rng)
                 logits = jnp.where(g_allowed[gs], logits, -jnp.inf)
-                nxt = _sample(sub, logits, temperature, top_ps, use_top_p)
+                if use_penalties:
+                    logits = _penalize(logits, meta, pmask, cnt)
+                nxt = _sample(sub, logits, meta, use_filters)
                 gs = jnp.where(active, g_nxt[gs, nxt], gs)
+                if use_penalties:
+                    cnt = cnt.at[jnp.arange(B_slots), nxt].add(
+                        active.astype(jnp.int32))
                 out = out.at[:, i].set(nxt)
-                return cache, nxt, out, rng, gs
+                return cache, nxt, out, rng, gs, cnt
 
             out0 = jnp.zeros((tokens.shape[0], self.multi_step), jnp.int32)
-            cache, tok, out, _, gstate = jax.lax.fori_loop(
-                0, k_steps, body, (cache, tokens, out0, rng, gstate))
+            cache, tok, out, _, gstate, gcnt = jax.lax.fori_loop(
+                0, k_steps, body, (cache, tokens, out0, rng, gstate, gcnt))
             cache["length"] = jnp.where(active, cache["length"],
                                         old_len)
             packed = jnp.concatenate([out.reshape(-1), cache["length"]])
-            return packed, tok, cache, gstate
+            return packed, tok, cache, gstate, gcnt
 
-        self._step_k = jax.jit(_step_k, donate_argnums=(1, 5),
-                               static_argnums=(8, 9))
+        self._step_k = jax.jit(_step_k, donate_argnums=(1, 5, 9),
+                               static_argnums=(10, 11, 12))
 
         if draft_params is not None:
             assert draft_cfg is not None
@@ -678,6 +716,7 @@ class BatchDecodeEngine:
         self._host_len[slot_idx] = a["base"] + a["length"]
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
         self.gram_state = self.gram_state.at[slot_idx].set(gs)
+        self._seed_penalty_rows(a["req"], slot_idx, first)
         slot = _Slot(a["req"])
         slot.generated.append(first)
         slot.budget -= 1
@@ -699,6 +738,7 @@ class BatchDecodeEngine:
         self._host_len[slot_idx] = length
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
         self.gram_state = self.gram_state.at[slot_idx].set(gs)
+        self._seed_penalty_rows(req, slot_idx, first)
         slot = _Slot(req)
         slot.generated.append(first)
         slot.budget -= 1          # the prefill-sampled token counts toward the budget
@@ -726,17 +766,50 @@ class BatchDecodeEngine:
     def prefix_cache_stats(self) -> Optional[dict]:
         return None if self.prefix_cache is None else self.prefix_cache.stats()
 
+    def _seed_penalty_rows(self, req: Request, slot_idx: int,
+                           first: int) -> None:
+        """Reset this slot's penalty state at admission: prompt presence row
+        + generated counts seeded with the admission-sampled token. Skipped
+        for penalty-free requests (their knob rows are identity no-ops, so
+        stale state is never read)."""
+        if not self._request_has_penalties(req):
+            return
+        jnp = self.jnp
+        self.prompt_mask = self.prompt_mask.at[slot_idx].set(
+            jnp.asarray(self._prompt_presence(req)))
+        self.gen_counts = (self.gen_counts.at[slot_idx].set(0)
+                           .at[slot_idx, first].add(1))
+
+    def _request_has_penalties(self, req: Request) -> bool:
+        return (req.repetition_penalty != 1.0 or req.presence_penalty != 0.0
+                or req.frequency_penalty != 0.0)
+
+    def _prompt_presence(self, req: Request) -> np.ndarray:
+        """[V] bool presence of prompt tokens (image sentinels dropped)."""
+        present = np.zeros((self._vocab_size,), bool)
+        ids = np.asarray(req.input_ids)
+        present[ids[(ids >= 0) & (ids < self._vocab_size)]] = True
+        return present
+
     def _first_token(self, req: Request, logits_row: np.ndarray) -> Tuple[int, int]:
         """Sample the prefill's next token on the host (admission logits are
-        already host-side): greedy at temperature 0, else temperature +
-        nucleus with sample_token's top_p rule; grammar-masked when the
-        request is constrained. Decode-step tokens are sampled in-graph;
-        only this first token is host-sampled. -> (token, grammar state)."""
+        already host-side), applying the same chain as the decode step:
+        grammar mask, penalties (prompt-only at this point — nothing
+        generated yet), temperature, top_k, top_p, min_p. Decode-step tokens
+        are sampled in-graph; only this first token is host-sampled.
+        -> (token, grammar state)."""
         g_off = None
         if req.grammar_id is not None:
             g_off = self._g_offsets[req.grammar_id]
             logits_row = np.where(self._g_allowed_h[g_off], logits_row,
                                   -np.inf)
+        if req.repetition_penalty != 1.0:
+            present = self._prompt_presence(req)
+            rep = req.repetition_penalty
+            adj = np.where(logits_row > 0, logits_row / rep, logits_row * rep)
+            logits_row = np.where(present, adj, logits_row)
+        # presence/frequency penalties count GENERATED tokens only — zero
+        # at the first token
 
         def _state(tok: int) -> int:
             return 0 if g_off is None else int(self._g_nxt_h[g_off, tok])
@@ -745,6 +818,10 @@ class BatchDecodeEngine:
             tok = int(np.argmax(logits_row))
             return tok, _state(tok)
         x = logits_row.astype(np.float64) / max(req.temperature, 1e-6)
+        if req.top_k > 0:
+            order = np.argsort(x)[::-1]
+            kth = x[order[min(req.top_k, x.size) - 1]]
+            x = np.where(x < kth, -np.inf, x)
         if req.top_p < 1.0:
             order = np.argsort(x)[::-1]
             xs = x[order]
@@ -752,6 +829,10 @@ class BatchDecodeEngine:
             p /= p.sum()
             keep = (np.cumsum(p) - p) < req.top_p   # exclusive-cum rule
             x = np.where(x < xs[keep][-1], -np.inf, x)
+        if req.min_p > 0.0:
+            p = np.exp(x - np.nanmax(x[np.isfinite(x)]))
+            p /= p.sum()
+            x = np.where(p < req.min_p * p.max(), -np.inf, x)
         p = np.exp(x - x.max())
         p /= p.sum()
         tok = int(self._np_rng.choice(x.size, p=p))
@@ -790,20 +871,30 @@ class BatchDecodeEngine:
             return 0
 
         self.rng, sub = self.jax.random.split(self.rng)
-        temps = np.zeros((self.max_slots,), np.float32)
-        top_ps = np.ones((self.max_slots,), np.float32)
+        B = self.max_slots
+        knobs = np.zeros((8, B), np.float32)
+        knobs[2] = 1.0                       # top_p default
+        knobs[5] = 1.0                       # repetition_penalty default
         for i in active:
-            temps[i] = self.slots[i].req.temperature
-            top_ps[i] = self.slots[i].req.top_p
-        active_mask = np.zeros((self.max_slots,), bool)
-        active_mask[active] = True
-        # nucleus filtering costs a [B, V] sort per step — compile it in
-        # only when a sampling slot actually asks for it
-        use_top_p = bool(any(top_ps[i] < 1.0 and temps[i] > 0.0
-                             for i in active))
+            r = self.slots[i].req
+            knobs[0, i] = r.temperature
+            knobs[1, i] = 1.0
+            knobs[2, i] = r.top_p
+            knobs[3, i] = r.top_k
+            knobs[4, i] = r.min_p
+            knobs[5, i] = r.repetition_penalty
+            knobs[6, i] = r.presence_penalty
+            knobs[7, i] = r.frequency_penalty
+        # filters cost a [B, V] sort per step and penalties read the [B, V]
+        # count state — compile each in only when an active slot asks
+        use_filters = bool(any(knobs[0, i] > 0.0
+                               and (knobs[2, i] < 1.0 or knobs[3, i] > 0
+                                    or knobs[4, i] > 0.0) for i in active))
+        use_penalties = bool(any(knobs[5, i] != 1.0 or knobs[6, i] != 0.0
+                                 or knobs[7, i] != 0.0 for i in active))
 
         idle = (self._admission is None and self.pending.empty())
-        if (self.draft_params is not None and idle
+        if (self.draft_params is not None and idle and not use_penalties
                 and all(self.slots[i].req.temperature == 0.0
                         and self.slots[i].req.grammar_id is None
                         and self.slots[i].budget > 1
@@ -814,10 +905,9 @@ class BatchDecodeEngine:
                 return sum(s is not None for s in self.slots)
         min_budget = min(self.slots[i].budget for i in active)
         k = min(self.multi_step, max(min_budget, 1)) if idle else 1
-        B = self.max_slots
         # host-side per-tick scalars bundled into ONE upload (see _step)
-        meta = np.concatenate([temps, active_mask.astype(np.float32),
-                               top_ps, np.asarray([k], np.float32)])
+        meta = np.concatenate([knobs.reshape(-1),
+                               np.asarray([k], np.float32)])
         # window bucket: smallest multiple of 256 that covers every active
         # slot through this dispatch — the decode attention reads only that
         # prefix of the cache pool (llama.decode_step window), so short
@@ -826,19 +916,23 @@ class BatchDecodeEngine:
         need = int(max(self._host_len[i] for i in active)) + k + 1
         window = min(self.cache_len, -(-need // 256) * 256)
         if k > 1:
-            packed, last, self.cache, self.gram_state = self._step_k(
-                self.params, self.cache, self.cur_tokens, sub, meta,
-                self.gram_state, self._g_allowed, self._g_nxt, window,
-                use_top_p)
+            packed, last, self.cache, self.gram_state, self.gen_counts = \
+                self._step_k(
+                    self.params, self.cache, self.cur_tokens, sub, meta,
+                    self.gram_state, self._g_allowed, self._g_nxt,
+                    self.prompt_mask, self.gen_counts, window,
+                    use_filters, use_penalties)
             self.cur_tokens = last
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B * self.multi_step].reshape(B, self.multi_step)[:, :k]
             lengths = packed[B * self.multi_step:]
         else:
-            nxt, packed, self.cache, self.gram_state = self._step(
-                self.params, self.cache, self.cur_tokens, sub, meta[:3 * B],
-                self.gram_state, self._g_allowed, self._g_nxt, window,
-                use_top_p)
+            nxt, packed, self.cache, self.gram_state, self.gen_counts = \
+                self._step(
+                    self.params, self.cache, self.cur_tokens, sub,
+                    meta[:8 * B], self.gram_state, self._g_allowed,
+                    self._g_nxt, self.prompt_mask, self.gen_counts, window,
+                    use_filters, use_penalties)
             self.cur_tokens = nxt
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B][:, None]

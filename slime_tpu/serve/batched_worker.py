@@ -153,6 +153,14 @@ class BatchedWorker:
                           max_new_tokens=min(int(p.get("max_new_tokens", 256)), 1024),
                           temperature=float(p.get("temperature", 0.0)),
                           top_p=float(p.get("top_p", 1.0)),
+                          top_k=int(p.get("top_k", 0)),
+                          min_p=float(p.get("min_p", 0.0)),
+                          repetition_penalty=float(
+                              p.get("repetition_penalty", 1.0)),
+                          presence_penalty=float(
+                              p.get("presence_penalty", 0.0)),
+                          frequency_penalty=float(
+                              p.get("frequency_penalty", 0.0)),
                           prefix_id=p.get("prefix_id"), grammar_id=gid)
             self.engine.submit(req)
             generated = []
