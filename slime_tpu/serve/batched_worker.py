@@ -168,19 +168,25 @@ class BatchedWorker:
                 generated.extend(chunk)
                 text = self.tokenizer.decode(generated, skip_special_tokens=True)
                 if matcher is not None and matcher(generated):
-                    yield {"text": matcher.trim(text), "error_code": 0}
+                    yield {"text": matcher.trim(text), "error_code": 0,
+                           "n_tokens": len(generated), "stopped": True}
                     return
-                yield {"text": text, "error_code": 0}
+                yield {"text": text, "error_code": 0,
+                       "n_tokens": len(generated)}
         except Exception as e:  # noqa: BLE001
             yield {"text": f"{SERVER_ERROR_MSG} ({e})",
                    "error_code": ErrorCode["SERVER_ERROR"]}
 
 
-def build_server(worker: BatchedWorker, host: str, port: int) -> JsonHTTPServer:
+def build_server(worker: BatchedWorker, host: str, port: int,
+                 conv_mode: str = None) -> JsonHTTPServer:
     srv = JsonHTTPServer(host, port)
     srv.stream_route("/worker_generate_stream", worker.generate_stream)
     srv.route("/worker_get_status", lambda b: worker.get_status())
     srv.route("/worker_register_prefix", worker.register_prefix)
+    # OpenAI-compatible surface on the same port (serve/openai_api.py)
+    from .openai_api import attach_openai_routes
+    attach_openai_routes(srv, worker, conv_mode=conv_mode)
     return srv
 
 
@@ -217,6 +223,9 @@ def main():
                     help="int8 KV cache with per-(position, head) scales — "
                          "half the cache memory/read traffic, ~1%% "
                          "attention error (tests/test_kv_quant.py)")
+    ap.add_argument("--conv-mode", default=None,
+                    help="conversation template for the OpenAI-compatible "
+                         "/v1 endpoints (default: inferred from model name)")
     ap.add_argument("--prefix-cache-mb", type=int, default=512,
                     help="byte budget for the automatic prefix KV cache "
                          "(radix-style reuse of shared prompt prefixes, "
@@ -260,8 +269,10 @@ def main():
                            spec_k=args.spec_k, mesh=mesh,
                            kv_quant=args.kv_cache_int8,
                            prefix_cache_mb=args.prefix_cache_mb)
-    srv = build_server(worker, args.host, args.port)
-    print(f"batched worker {name} on {args.host}:{srv.port}")
+    srv = build_server(worker, args.host, args.port,
+                       conv_mode=args.conv_mode)
+    print(f"batched worker {name} on {args.host}:{srv.port} "
+          f"(+ OpenAI /v1 endpoints)")
     srv.serve_forever()
 
 

@@ -424,6 +424,17 @@ def _field_regex(spec: dict) -> str:
     raise ValueError(f"unsupported schema type: {t!r}")
 
 
+def json_object_regex(max_pairs: int = 16) -> str:
+    """OpenAI ``response_format: json_object``: ANY flat JSON object —
+    arbitrary string keys, scalar values (string/number/bool/null), up to
+    ``max_pairs`` pairs. Nesting is not regular, so this is the honest
+    regular approximation (schemas go through json_schema_regex)."""
+    value = f"({_STRING}|{_NUMBER}|{_BOOL}|null)"
+    pair = f"{_STRING}:{_WS}{value}"
+    inner = f"({pair}(,{_WS}{pair}){{0,{max_pairs - 1}}})?"
+    return r"\{" + _WS + inner + _WS + r"\}"
+
+
 def json_schema_regex(schema: dict) -> str:
     """Flat object schema -> anchored regex for the serialized JSON.
 

@@ -30,6 +30,7 @@ class JsonHTTPServer:
     def __init__(self, host: str, port: int):
         self.routes: Dict[str, Callable] = {}
         self.stream_routes: Dict[str, Callable] = {}
+        self.sse_routes: Dict[str, Callable] = {}   # OpenAI-style SSE
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -39,6 +40,29 @@ class JsonHTTPServer:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path in outer.sse_routes and (
+                        body.get("stream")
+                        or self.path not in outer.routes):
+                    # server-sent events (the OpenAI streaming wire format):
+                    # "data: <json>\n\n" frames, closed by "data: [DONE]".
+                    # A path registered BOTH ways (OpenAI chat/completions)
+                    # streams iff the body asks for it — OpenAI clients post
+                    # stream=true to the same endpoint
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    try:
+                        for chunk in outer.sse_routes[self.path](body):
+                            self.wfile.write(b"data: "
+                                             + json.dumps(chunk).encode()
+                                             + b"\n\n")
+                            self.wfile.flush()
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                    return
                 if self.path in outer.stream_routes:
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
@@ -76,6 +100,9 @@ class JsonHTTPServer:
 
     def stream_route(self, path: str, fn: Callable) -> None:
         self.stream_routes[path] = fn
+
+    def sse_route(self, path: str, fn: Callable) -> None:
+        self.sse_routes[path] = fn
 
     def serve_forever(self) -> None:
         self.httpd.serve_forever()
