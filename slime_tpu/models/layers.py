@@ -73,6 +73,16 @@ def linear(p, x):
                         preferred_element_type=jnp.float32).astype(x.dtype)
         y = y + jnp.einsum("...r,or->...o", xa, la["B"].astype(x.dtype),
                            preferred_element_type=jnp.float32).astype(x.dtype)
+    if "lora_b" in p:
+        # multi-LoRA serving (serve/batch_engine.register_adapter): PER-ROW
+        # adapters, already gathered to the batch — A [B, r, in], B [B, out,
+        # r]; x leads with the same B. Row b gets its own rank-r delta, so
+        # one batched step serves many fine-tunes of one base
+        la = p["lora_b"]
+        xa = jnp.einsum("b...i,bri->b...r", x, la["A"].astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y + jnp.einsum("b...r,bor->b...o", xa, la["B"].astype(x.dtype),
+                           preferred_element_type=jnp.float32).astype(x.dtype)
     return y
 
 

@@ -616,7 +616,7 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
 
 def _fused_fmt(p):
     """Weight format if a fused decode kernel can serve this projection."""
-    if "lora" in p or "bias" in p:
+    if "lora" in p or "lora_b" in p or "bias" in p:
         return None
     w = p["weight"]
     if isinstance(w, dict):

@@ -41,6 +41,7 @@ class Request:
     frequency_penalty: float = 0.0         # OpenAI: over generated tokens
     prefix_id: Optional[str] = None        # shared prefix from register_prefix()
     grammar_id: Optional[int] = None       # constraint from register_grammar()
+    adapter_id: Optional[int] = None       # LoRA from register_adapter(); 0=base
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
     # outputs
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
@@ -156,6 +157,17 @@ class BatchDecodeEngine:
         # knobs are identity), so they can go stale for free
         self.prompt_mask = jnp.zeros((max_slots, self._vocab_size), bool)
         self.gen_counts = jnp.zeros((max_slots, self._vocab_size), jnp.int32)
+        # multi-LoRA serving (register_adapter): stacked [N, L, r, ...]
+        # adapter registry per projection, per-slot adapter ids, and a
+        # params view with batch-gathered "lora_b" entries rebuilt only when
+        # the slot->adapter map changes
+        self.lora_stacks = None
+        self._lora_rank = None
+        self._n_adapters = 1                  # id 0 = base model
+        self._slot_adapter = np.zeros((max_slots,), np.int64)
+        self._params_lora = None
+        self._params_single = {}              # adapter_id -> prefill view
+        self._use_lora = False
         # host mirror of cache["length"] per slot — picks the decode window
         # bucket without a device pull (refreshed from every packed result)
         self._host_len = np.zeros((max_slots,), np.int64)
@@ -275,7 +287,8 @@ class BatchDecodeEngine:
             return logits - pres * (gcnt > 0) - freq * gen
 
         def _step(params, cache, tokens, rng, meta, gstate, g_allowed, g_nxt,
-                  pmask, gcnt, window, use_filters, use_penalties):
+                  pmask, gcnt, window, use_filters, use_penalties,
+                  use_lora=False):
             # meta f32 [8B]: [temperature(B), active(B), top_p(B), top_k(B),
             # min_p(B), rep(B), pres(B), freq(B)] — host-side per-tick
             # scalars bundled into ONE upload (each separate host->device
@@ -291,9 +304,11 @@ class BatchDecodeEngine:
             # [B]-row gathers per step (register_grammar docstring)
             active = meta[B_slots:2 * B_slots] > 0.5
             old_len = cache["length"]
-            logits, cache = llama.decode_step(params["llm"], cache, tokens, cfg.llm,
-                                              compute_dtype=self.compute_dtype,
-                                              window=window, fused=self._fused)
+            logits, cache = llama.decode_step(
+                params["llm"], cache, tokens, cfg.llm,
+                compute_dtype=self.compute_dtype, window=window,
+                # the fused whole-layer kernels can't see lora_b deltas
+                fused=False if use_lora else self._fused)
             # inactive slots must not advance (their slot may be re-admitted later)
             cache["length"] = jnp.where(active, cache["length"], old_len)
             logits = jnp.where(g_allowed[gstate], logits, -jnp.inf)
@@ -311,10 +326,11 @@ class BatchDecodeEngine:
             return nxt, packed, cache, gstate, gcnt
 
         self._step = jax.jit(_step, donate_argnums=(1, 5, 9),
-                             static_argnums=(10, 11, 12))
+                             static_argnums=(10, 11, 12, 13))
 
         def _step_k(params, cache, tokens, rng, meta, gstate, g_allowed,
-                    g_nxt, pmask, gcnt, window, use_filters, use_penalties):
+                    g_nxt, pmask, gcnt, window, use_filters, use_penalties,
+                    use_lora=False):
             # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
             # when no admissions are pending). Emits [B, K] tokens; rows that hit
             # EOS mid-window keep sampling — the host discards post-EOS tokens
@@ -328,11 +344,10 @@ class BatchDecodeEngine:
 
             def body(i, carry):
                 cache, tok, out, rng, gs, cnt = carry
-                logits, cache = llama.decode_step(params["llm"], cache, tok,
-                                                  cfg.llm,
-                                                  compute_dtype=self.compute_dtype,
-                                                  window=window,
-                                                  fused=self._fused)
+                logits, cache = llama.decode_step(
+                    params["llm"], cache, tok, cfg.llm,
+                    compute_dtype=self.compute_dtype, window=window,
+                    fused=False if use_lora else self._fused)
                 rng, sub = jax.random.split(rng)
                 logits = jnp.where(g_allowed[gs], logits, -jnp.inf)
                 if use_penalties:
@@ -354,7 +369,7 @@ class BatchDecodeEngine:
             return packed, tok, cache, gstate, gcnt
 
         self._step_k = jax.jit(_step_k, donate_argnums=(1, 5, 9),
-                               static_argnums=(10, 11, 12))
+                               static_argnums=(10, 11, 12, 13))
 
         if draft_params is not None:
             assert draft_cfg is not None
@@ -559,6 +574,144 @@ class BatchDecodeEngine:
         self._g_allowed = self.jnp.asarray(self._g_allowed_h)
         self._g_nxt = self.jnp.asarray(self._g_nxt_h)
 
+    def register_adapter(self, lora_state: dict) -> int:
+        """Register a LoRA adapter for per-request serving -> adapter_id.
+
+        ``lora_state`` is the train/lora.py layout ({"rank", "alpha",
+        "adapters": {path: {"A" [L, r, in], "B" [L, out, r]}}}) over THIS
+        engine's stacked llm layers (vision/projector adapters are ignored —
+        serving adapters target the LLM projections). One base model then
+        serves many fine-tunes concurrently: the decode step applies each
+        slot's adapter as two batched rank-r matmuls (layers.linear
+        "lora_b"), gathered from the registry only when the slot->adapter
+        map changes — never per step. Requests select with ``adapter_id``
+        (0 = base). Adapters of different ranks zero-pad to the largest."""
+        jnp = self.jnp
+        scale = lora_state["alpha"] / lora_state["rank"]
+        new = {}
+        for path, ab in lora_state["adapters"].items():
+            parts = path.split("/")
+            if "layers" not in parts:
+                continue                       # non-LLM target
+            proj = parts[-1]
+            A = np.asarray(ab["A"], np.float32)
+            B = np.asarray(ab["B"], np.float32) * scale
+            assert A.ndim == 3 and B.ndim == 3, \
+                "register_adapter needs STACKED [L, ...] adapters"
+            new[proj] = {"A": A, "B": B}
+        assert new, "no llm-layer adapters in lora_state"
+        r_new = max(v["A"].shape[1] for v in new.values())
+        rank = max(self._lora_rank or 0, r_new)
+        # rebuild the [N, L, ...] stacks host-side (registration-time cost):
+        # pad old entries to the new max rank, append the new adapter (zeros
+        # for projections it doesn't target)
+        old_n = self._n_adapters
+        stacks = {}
+        projs = set(new)
+        if self.lora_stacks is not None:
+            projs |= set(self.lora_stacks)
+        for proj in projs:
+            olds = []
+            if self.lora_stacks is not None and proj in self.lora_stacks:
+                oa = np.asarray(self.lora_stacks[proj]["A"])
+                ob = np.asarray(self.lora_stacks[proj]["B"])
+            else:
+                # projection newly targeted: zeros for every prior adapter
+                ex = new[proj]
+                L_, _, in_d = ex["A"].shape
+                _, out_d, _ = ex["B"].shape
+                oa = np.zeros((old_n, L_, 0, in_d), np.float32)
+                ob = np.zeros((old_n, L_, out_d, 0), np.float32)
+            if oa.shape[2] < rank:             # pad old ranks
+                oa = np.pad(oa, ((0, 0), (0, 0), (0, rank - oa.shape[2]),
+                                 (0, 0)))
+                ob = np.pad(ob, ((0, 0), (0, 0), (0, 0),
+                                 (0, rank - ob.shape[3])))
+            if proj in new:
+                na, nb = new[proj]["A"], new[proj]["B"]
+            else:
+                na = np.zeros(oa.shape[1:], np.float32)
+                nb = np.zeros(ob.shape[1:], np.float32)
+            if na.shape[1] < rank:
+                na = np.pad(na, ((0, 0), (0, rank - na.shape[1]), (0, 0)))
+                nb = np.pad(nb, ((0, 0), (0, 0), (0, rank - nb.shape[2])))
+            stacks[proj] = {
+                "A": self.jnp.asarray(np.concatenate([oa, na[None]])),
+                "B": self.jnp.asarray(np.concatenate([ob, nb[None]]))}
+        self.lora_stacks = stacks
+        self._lora_rank = rank
+        self._n_adapters = old_n + 1
+        self._params_single.clear()
+        self._refresh_lora_view(force=True)
+        return self._n_adapters - 1
+
+    def _refresh_lora_view(self, force: bool = False) -> None:
+        """Rebuild the decode params view with per-slot gathered lora_b
+        entries. Called when the slot->adapter map changes."""
+        jnp = self.jnp
+        if self.lora_stacks is None:
+            return
+        self._use_lora = bool(self._slot_adapter.any())
+        if not self._use_lora and not force:
+            return
+        idx = jnp.asarray(self._slot_adapter.astype(np.int32))
+        gathered = {proj: {
+            "A": jnp.transpose(ab["A"][idx], (1, 0, 2, 3)),      # [L,B,r,in]
+            "B": jnp.transpose(ab["B"][idx], (1, 0, 2, 3))}      # [L,B,out,r]
+            for proj, ab in self.lora_stacks.items()}
+        base = self.params["llm"]["layers"]
+        if isinstance(base, dict):            # stacked: scan slices the L dim
+            layers = dict(base)
+            for proj, ab in gathered.items():
+                entry = dict(layers[proj])
+                entry["lora_b"] = ab
+                layers[proj] = entry
+        else:                                 # per-layer list
+            layers = []
+            for li, lp in enumerate(base):
+                lp = dict(lp)
+                for proj, ab in gathered.items():
+                    entry = dict(lp[proj])
+                    entry["lora_b"] = {"A": ab["A"][li], "B": ab["B"][li]}
+                    lp[proj] = entry
+                layers.append(lp)
+        llm = dict(self.params["llm"])
+        llm["layers"] = layers
+        self._params_lora = dict(self.params)
+        self._params_lora["llm"] = llm
+
+    def _prefill_params(self, req: Request):
+        """Params view for this request's admission prefill: the base tree,
+        or one with the request's adapter attached as single "lora" entries
+        (sliced from the registry; cached per adapter_id)."""
+        aid = req.adapter_id or 0
+        if not aid:
+            return self.params
+        if aid not in self._params_single:
+            base = self.params["llm"]["layers"]
+            if isinstance(base, dict):
+                layers = dict(base)
+                for proj, ab in self.lora_stacks.items():
+                    entry = dict(layers[proj])
+                    entry["lora"] = {"A": ab["A"][aid], "B": ab["B"][aid]}
+                    layers[proj] = entry
+            else:
+                layers = []
+                for li, lp in enumerate(base):
+                    lp = dict(lp)
+                    for proj, ab in self.lora_stacks.items():
+                        entry = dict(lp[proj])
+                        entry["lora"] = {"A": ab["A"][aid, li],
+                                         "B": ab["B"][aid, li]}
+                        lp[proj] = entry
+                    layers.append(lp)
+            llm = dict(self.params["llm"])
+            llm["layers"] = layers
+            view = dict(self.params)
+            view["llm"] = llm
+            self._params_single[aid] = view
+        return self._params_single[aid]
+
     def register_prefix(self, input_ids, pixel_values=None, crop_mask=None,
                         prefix_id: Optional[str] = None) -> str:
         """Prefill a shared prefix (e.g. system prompt, optionally with an image)
@@ -636,11 +789,18 @@ class BatchDecodeEngine:
                     0 <= req.grammar_id < len(self.grammars)):
                 req.out_queue.put(None)
                 return False
+            if req.adapter_id and (not 0 < req.adapter_id < self._n_adapters
+                                   or req.prefix_id is not None):
+                # unknown adapter, or shared-prefix KV (computed with the
+                # BASE weights) combined with an adapter that would change it
+                req.out_queue.put(None)
+                return False
             embeds, length, _ = self._embed_request(req)
             C = self.prefill_chunk_len
             base = 0
             auto_hit = []
             if (req.prefix_id is None and req.pixel_values is None
+                    and not req.adapter_id    # adapters change prefix KV
                     and self.prefix_cache is not None):
                 base, auto_hit = self.prefix_cache.match(req.input_ids)
             if req.prefix_id is not None:
@@ -687,7 +847,8 @@ class BatchDecodeEngine:
         chunk = a["embeds"][:, off:off + Cc]   # may overrun into padding; fine
         chunk = jnp.pad(chunk, ((0, 0), (0, Cc - chunk.shape[1]), (0, 0))) \
             if chunk.shape[1] < Cc else chunk
-        logits, a["cache1"] = self._prefill_chunk(self.params, a["cache1"], chunk)
+        logits, a["cache1"] = self._prefill_chunk(
+            self._prefill_params(a["req"]), a["cache1"], chunk)
         a["last_logits"] = logits
         a["last_off"] = off
         a["off"] = end
@@ -717,6 +878,7 @@ class BatchDecodeEngine:
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
         self.gram_state = self.gram_state.at[slot_idx].set(gs)
         self._seed_penalty_rows(a["req"], slot_idx, first)
+        self._assign_adapter(slot_idx, a["req"])
         slot = _Slot(a["req"])
         slot.generated.append(first)
         slot.budget -= 1
@@ -730,7 +892,7 @@ class BatchDecodeEngine:
         if slot_idx is None:
             self.pending.put(req)
             return
-        logits, k, v = self._prefill(self.params, embeds, None)
+        logits, k, v = self._prefill(self._prefill_params(req), embeds, None)
         first, gs = self._first_token(req, np.asarray(logits)[length - 1])
         self._cache_prompt_blocks(req, k, v, length)
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
@@ -739,6 +901,7 @@ class BatchDecodeEngine:
         self.cur_tokens = self.cur_tokens.at[slot_idx].set(first)
         self.gram_state = self.gram_state.at[slot_idx].set(gs)
         self._seed_penalty_rows(req, slot_idx, first)
+        self._assign_adapter(slot_idx, req)
         slot = _Slot(req)
         slot.generated.append(first)
         slot.budget -= 1          # the prefill-sampled token counts toward the budget
@@ -755,7 +918,7 @@ class BatchDecodeEngine:
         float admission KV covering positions [0, length)."""
         pc = self.prefix_cache
         if (pc is None or req.pixel_values is not None
-                or req.prefix_id is not None):
+                or req.prefix_id is not None or req.adapter_id):
             return
         blk = pc.block
         for b, digest, parent in pc.missing_blocks(req.input_ids, length):
@@ -838,11 +1001,20 @@ class BatchDecodeEngine:
         tok = int(self._np_rng.choice(x.size, p=p))
         return tok, _state(tok)
 
+    def _assign_adapter(self, slot_idx: int, req: Request) -> None:
+        aid = req.adapter_id or 0
+        if self._slot_adapter[slot_idx] != aid:
+            self._slot_adapter[slot_idx] = aid
+            self._refresh_lora_view()
+
     def _retire(self, idx: int) -> None:
         slot = self.slots[idx]
         if slot is not None:
             slot.req.out_queue.put(None)
         self.slots[idx] = None
+        if self._slot_adapter[idx]:
+            self._slot_adapter[idx] = 0
+            self._refresh_lora_view()
 
     def tick(self) -> int:
         """Advance admissions (one chunk) and run one decode step for all active
@@ -895,6 +1067,7 @@ class BatchDecodeEngine:
 
         idle = (self._admission is None and self.pending.empty())
         if (self.draft_params is not None and idle and not use_penalties
+                and not self._use_lora
                 and all(self.slots[i].req.temperature == 0.0
                         and self.slots[i].req.grammar_id is None
                         and self.slots[i].budget > 1
@@ -915,13 +1088,14 @@ class BatchDecodeEngine:
         # buckets => a handful of compiled step variants.
         need = int(max(self._host_len[i] for i in active)) + k + 1
         window = min(self.cache_len, -(-need // 256) * 256)
+        step_params = self._params_lora if self._use_lora else self.params
         if k > 1:
             packed, last, self.cache, self.gram_state, self.gen_counts = \
                 self._step_k(
-                    self.params, self.cache, self.cur_tokens, sub, meta,
+                    step_params, self.cache, self.cur_tokens, sub, meta,
                     self.gram_state, self._g_allowed, self._g_nxt,
                     self.prompt_mask, self.gen_counts, window,
-                    use_filters, use_penalties)
+                    use_filters, use_penalties, self._use_lora)
             self.cur_tokens = last
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B * self.multi_step].reshape(B, self.multi_step)[:, :k]
@@ -929,10 +1103,10 @@ class BatchDecodeEngine:
         else:
             nxt, packed, self.cache, self.gram_state, self.gen_counts = \
                 self._step(
-                    self.params, self.cache, self.cur_tokens, sub,
+                    step_params, self.cache, self.cur_tokens, sub,
                     meta[:8 * B], self.gram_state, self._g_allowed,
                     self._g_nxt, self.prompt_mask, self.gen_counts, window,
-                    use_filters, use_penalties)
+                    use_filters, use_penalties, self._use_lora)
             self.cur_tokens = nxt
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B][:, None]

@@ -45,6 +45,7 @@ class BatchedWorker:
                                         draft_cfg=draft_cfg, spec_k=spec_k,
                                         mesh=mesh, kv_quant=kv_quant,
                                         prefix_cache_mb=prefix_cache_mb)
+        self.adapters = {}   # name -> adapter_id (load_adapter)
         self.engine.start()
         if register and controller_addr:
             self.register_to_controller()
@@ -122,6 +123,36 @@ class BatchedWorker:
             self._grammar_cache[key] = self.engine.register_grammar(tdfa)
         return self._grammar_cache[key]
 
+    def _adapter_id(self, p: dict):
+        """Multi-LoRA: ``adapter`` (name from --adapter-path) or
+        ``adapter_id`` (int from register_adapter) in the payload."""
+        if p.get("adapter"):
+            return self.adapters.get(str(p["adapter"]))
+        if p.get("adapter_id") is not None:
+            return int(p["adapter_id"])
+        return None
+
+    def load_adapter(self, name: str, adapter_dir: str) -> int:
+        """Load a reference-layout LoRA checkpoint dir (adapter_model.bin +
+        adapter_config.json) and register it for per-request serving."""
+        import json as _json
+        import os
+
+        import torch
+
+        from ..train import lora as lora_lib
+        with open(os.path.join(adapter_dir, "adapter_config.json")) as f:
+            acfg = _json.load(f)
+        sd = torch.load(os.path.join(adapter_dir, "adapter_model.bin"),
+                        map_location="cpu", weights_only=True)
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+        state = lora_lib.import_peft(sd, r=int(acfg.get("r", 64)),
+                                     alpha=int(acfg.get("lora_alpha", 16)))
+        state = lora_lib.stack_adapter_state(state, self.cfg.llm.num_layers)
+        aid = self.engine.register_adapter(state)
+        self.adapters[name] = aid
+        return aid
+
     def generate_stream(self, p: dict):
         try:
             prompt = p["prompt"]
@@ -161,7 +192,8 @@ class BatchedWorker:
                               p.get("presence_penalty", 0.0)),
                           frequency_penalty=float(
                               p.get("frequency_penalty", 0.0)),
-                          prefix_id=p.get("prefix_id"), grammar_id=gid)
+                          prefix_id=p.get("prefix_id"), grammar_id=gid,
+                          adapter_id=self._adapter_id(p))
             self.engine.submit(req)
             generated = []
             for chunk in req.stream():
@@ -223,6 +255,11 @@ def main():
                     help="int8 KV cache with per-(position, head) scales — "
                          "half the cache memory/read traffic, ~1%% "
                          "attention error (tests/test_kv_quant.py)")
+    ap.add_argument("--adapter-path", action="append", default=[],
+                    metavar="NAME=DIR",
+                    help="serve a LoRA adapter alongside the base model "
+                         "(repeatable); requests select it with "
+                         '{"adapter": NAME}')
     ap.add_argument("--conv-mode", default=None,
                     help="conversation template for the OpenAI-compatible "
                          "/v1 endpoints (default: inferred from model name)")
@@ -269,6 +306,9 @@ def main():
                            spec_k=args.spec_k, mesh=mesh,
                            kv_quant=args.kv_cache_int8,
                            prefix_cache_mb=args.prefix_cache_mb)
+    for spec in args.adapter_path:
+        nm, _, d = spec.partition("=")
+        worker.load_adapter(nm, d or nm)
     srv = build_server(worker, args.host, args.port,
                        conv_mode=args.conv_mode)
     print(f"batched worker {name} on {args.host}:{srv.port} "

@@ -207,6 +207,32 @@ def export_peft(lora_state: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
+def stack_adapter_state(lora_state: Dict, num_layers: int) -> Dict:
+    """Per-layer adapter paths ('llm/layers/3/q_proj', the import_peft
+    layout) -> stacked paths ('llm/layers/q_proj') with leading-[L] arrays,
+    zeros where a layer wasn't targeted — the layout the serving engine's
+    multi-LoRA registry (serve/batch_engine.register_adapter) and stacked
+    scan trees consume. Already-stacked entries pass through."""
+    per_proj: Dict[str, Dict[int, Dict]] = {}
+    out: Dict = {}
+    for path, ab in lora_state["adapters"].items():
+        m = re.match(r"(.*/layers)/(\d+)/(.+)$", path)
+        if m is None:
+            out[path] = ab                   # stacked (or non-layer) already
+            continue
+        prefix, li, proj = m.group(1), int(m.group(2)), m.group(3)
+        per_proj.setdefault(f"{prefix}/{proj}", {})[li] = ab
+    for spath, by_layer in per_proj.items():
+        ex = next(iter(by_layer.values()))
+        A = np.zeros((num_layers,) + tuple(np.shape(ex["A"])), np.float32)
+        B = np.zeros((num_layers,) + tuple(np.shape(ex["B"])), np.float32)
+        for li, ab in by_layer.items():
+            A[li] = np.asarray(ab["A"])
+            B[li] = np.asarray(ab["B"])
+        out[spath] = {"A": jnp.asarray(A), "B": jnp.asarray(B)}
+    return {**lora_state, "adapters": out}
+
+
 def import_peft(sd: Dict[str, np.ndarray], *, r: int, alpha: int) -> Dict:
     """PEFT adapter state dict (reference LoRA checkpoints) -> lora state with
     adapter paths in OUR pytree layout (so merge/apply_to_params resolve)."""
