@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -56,13 +57,14 @@ class Request:
 
 
 class _Slot:
-    __slots__ = ("req", "generated", "budget", "draft")
+    __slots__ = ("req", "generated", "budget", "draft", "t_first")
 
     def __init__(self, req: Request):
         self.req = req
         self.generated: List[int] = []
         self.budget = req.max_new_tokens
         self.draft = None      # lazy {"len": draft book position} when speculating
+        self.t_first = time.monotonic()   # first token just sampled (TTFT end)
 
 
 class BatchDecodeEngine:
@@ -185,6 +187,9 @@ class BatchDecodeEngine:
         self._admission = None         # in-flight chunked admission state
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        from collections import deque
+        self._metrics = deque(maxlen=512)   # (ttft_s, n_tokens, decode_s)
+        self._t_start = time.monotonic()
 
         # jitted single prefill (per request) and batched decode step
         def _prefill(params, embeds, positions):
@@ -735,6 +740,7 @@ class BatchDecodeEngine:
         return pid
 
     def submit(self, req: Request) -> Request:
+        req._t_submit = time.monotonic()
         self.pending.put(req)
         return req
 
@@ -929,6 +935,24 @@ class BatchDecodeEngine:
     def prefix_cache_stats(self) -> Optional[dict]:
         return None if self.prefix_cache is None else self.prefix_cache.stats()
 
+    def metrics_summary(self) -> dict:
+        """Serving metrics over the last 512 completed requests: TTFT
+        percentiles (submit -> first token, queue time included) and decode
+        throughput. Host-clock based — coarse but attributable."""
+        m = list(self._metrics)
+        if not m:
+            return {"completed": 0}
+        ttft = np.sort(np.asarray([x[0] for x in m]))
+        toks = sum(x[1] for x in m)
+        dec_t = sum(x[2] for x in m)
+        q = lambda p: float(ttft[min(len(ttft) - 1,
+                                     int(p * (len(ttft) - 1)))])
+        return {"completed": len(m), "tokens": int(toks),
+                "ttft_p50_s": round(q(0.5), 4),
+                "ttft_p95_s": round(q(0.95), 4),
+                "decode_tok_s_per_req": round(toks / dec_t, 2),
+                "uptime_s": round(time.monotonic() - self._t_start, 1)}
+
     def _seed_penalty_rows(self, req: Request, slot_idx: int,
                            first: int) -> None:
         """Reset this slot's penalty state at admission: prompt presence row
@@ -1010,6 +1034,12 @@ class BatchDecodeEngine:
     def _retire(self, idx: int) -> None:
         slot = self.slots[idx]
         if slot is not None:
+            now = time.monotonic()
+            t_sub = getattr(slot.req, "_t_submit", slot.t_first)
+            self._metrics.append(
+                (slot.t_first - t_sub,               # TTFT (queue + prefill)
+                 len(slot.generated),
+                 max(now - slot.t_first, 1e-9)))     # decode wall time
             slot.req.out_queue.put(None)
         self.slots[idx] = None
         if self._slot_adapter[idx]:

@@ -84,6 +84,7 @@ class BatchedWorker:
         pc = self.engine.prefix_cache_stats()
         if pc is not None:
             st["prefix_cache"] = pc
+        st["metrics"] = self.engine.metrics_summary()
         return st
 
     def register_prefix(self, p: dict) -> dict:

@@ -111,6 +111,25 @@ def test_top_p_sampling_stays_in_nucleus(setup):
         assert tok in nucleus, (j, tok)
 
 
+def test_metrics_summary(setup):
+    """Completed requests feed TTFT/throughput metrics on the status path."""
+    cfg, params, _ = setup
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=96)
+    assert eng.metrics_summary() == {"completed": 0}
+    rng = np.random.default_rng(21)
+    for _ in range(2):
+        req = Request(input_ids=rng.integers(
+            5, cfg.llm.vocab_size, (6,)).astype(np.int32), max_new_tokens=4)
+        eng.submit(req)
+        for _ in range(30):
+            if eng.tick() == 0 and eng.pending.empty():
+                break
+        _drain(req)
+    m = eng.metrics_summary()
+    assert m["completed"] == 2 and m["tokens"] >= 2
+    assert m["ttft_p50_s"] >= 0 and m["decode_tok_s_per_req"] > 0
+
+
 def test_slot_reuse(setup):
     cfg, params, eng = setup
     rng = np.random.default_rng(1)
