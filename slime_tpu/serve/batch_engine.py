@@ -43,9 +43,14 @@ class Request:
     prefix_id: Optional[str] = None        # shared prefix from register_prefix()
     grammar_id: Optional[int] = None       # constraint from register_grammar()
     adapter_id: Optional[int] = None       # LoRA from register_adapter(); 0=base
+    logprobs: int = 0                      # top-N alternatives per token (<=8)
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
     # outputs
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
+    # when logprobs > 0: one {"logprob", "top": [(id, lp), ...]} per emitted
+    # token, appended BEFORE its token lands in out_queue (safe to read in
+    # lockstep with stream())
+    logprob_entries: List[dict] = field(default_factory=list)
 
     def stream(self):
         """Yield generated token-id lists until completion."""
@@ -291,9 +296,22 @@ class BatchDecodeEngine:
             gen = gcnt.astype(logits.dtype)
             return logits - pres * (gcnt > 0) - freq * gen
 
+        def _logprob_extra(logits, nxt, n_lp):
+            # top-N alternatives + the sampled token's logprob, computed on
+            # the distribution the sampler saw (post grammar/penalties, pre
+            # temperature — vLLM's processed-logits convention). Floats ride
+            # the single int32 packed pull via bitcast
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            top_v, top_i = jax.lax.top_k(lp, n_lp)
+            samp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+            bc = lambda a: jax.lax.bitcast_convert_type(
+                a.astype(jnp.float32), jnp.int32)
+            return [top_i.reshape(-1).astype(jnp.int32),
+                    bc(top_v).reshape(-1), bc(samp)]
+
         def _step(params, cache, tokens, rng, meta, gstate, g_allowed, g_nxt,
                   pmask, gcnt, window, use_filters, use_penalties,
-                  use_lora=False):
+                  use_lora=False, n_logprobs=0):
             # meta f32 [8B]: [temperature(B), active(B), top_p(B), top_k(B),
             # min_p(B), rep(B), pres(B), freq(B)] — host-side per-tick
             # scalars bundled into ONE upload (each separate host->device
@@ -327,15 +345,17 @@ class BatchDecodeEngine:
             # everything the host reads, in ONE array: each separate
             # device->host pull costs a full tunnel RTT (~25 ms, measured
             # comparable to the 8B step itself)
-            packed = jnp.concatenate([nxt, cache["length"]])
+            extra = _logprob_extra(logits, nxt, n_logprobs) if n_logprobs \
+                else []
+            packed = jnp.concatenate([nxt, cache["length"]] + extra)
             return nxt, packed, cache, gstate, gcnt
 
         self._step = jax.jit(_step, donate_argnums=(1, 5, 9),
-                             static_argnums=(10, 11, 12, 13))
+                             static_argnums=(10, 11, 12, 13, 14))
 
         def _step_k(params, cache, tokens, rng, meta, gstate, g_allowed,
                     g_nxt, pmask, gcnt, window, use_filters, use_penalties,
-                    use_lora=False):
+                    use_lora=False, n_logprobs=0):
             # K decode steps in one dispatch (amortizes tunnel/dispatch overhead
             # when no admissions are pending). Emits [B, K] tokens; rows that hit
             # EOS mid-window keep sampling — the host discards post-EOS tokens
@@ -348,7 +368,7 @@ class BatchDecodeEngine:
             old_len = cache["length"]
 
             def body(i, carry):
-                cache, tok, out, rng, gs, cnt = carry
+                cache, tok, out, rng, gs, cnt, lps = carry
                 logits, cache = llama.decode_step(
                     params["llm"], cache, tok, cfg.llm,
                     compute_dtype=self.compute_dtype, window=window,
@@ -362,19 +382,34 @@ class BatchDecodeEngine:
                 if use_penalties:
                     cnt = cnt.at[jnp.arange(B_slots), nxt].add(
                         active.astype(jnp.int32))
+                if n_logprobs:
+                    ex = _logprob_extra(logits, nxt, n_logprobs)
+                    lps = (lps[0].at[:, i].set(
+                               ex[0].reshape(B_slots, n_logprobs)),
+                           lps[1].at[:, i].set(
+                               ex[1].reshape(B_slots, n_logprobs)),
+                           lps[2].at[:, i].set(ex[2]))
                 out = out.at[:, i].set(nxt)
-                return cache, nxt, out, rng, gs, cnt
+                return cache, nxt, out, rng, gs, cnt, lps
 
-            out0 = jnp.zeros((tokens.shape[0], self.multi_step), jnp.int32)
-            cache, tok, out, _, gstate, gcnt = jax.lax.fori_loop(
-                0, k_steps, body, (cache, tokens, out0, rng, gstate, gcnt))
+            K = self.multi_step
+            out0 = jnp.zeros((tokens.shape[0], K), jnp.int32)
+            lps0 = (jnp.zeros((B_slots, K, n_logprobs), jnp.int32),
+                    jnp.zeros((B_slots, K, n_logprobs), jnp.int32),
+                    jnp.zeros((B_slots, K), jnp.int32))
+            cache, tok, out, _, gstate, gcnt, lps = jax.lax.fori_loop(
+                0, k_steps, body, (cache, tokens, out0, rng, gstate, gcnt,
+                                   lps0))
             cache["length"] = jnp.where(active, cache["length"],
                                         old_len)
-            packed = jnp.concatenate([out.reshape(-1), cache["length"]])
+            extra = [lps[0].reshape(-1), lps[1].reshape(-1),
+                     lps[2].reshape(-1)] if n_logprobs else []
+            packed = jnp.concatenate([out.reshape(-1), cache["length"]]
+                                     + extra)
             return packed, tok, cache, gstate, gcnt
 
         self._step_k = jax.jit(_step_k, donate_argnums=(1, 5, 9),
-                               static_argnums=(10, 11, 12, 13))
+                               static_argnums=(10, 11, 12, 13, 14))
 
         if draft_params is not None:
             assert draft_cfg is not None
@@ -999,6 +1034,17 @@ class BatchDecodeEngine:
         # at the first token
 
         def _state(tok: int) -> int:
+            if req.logprobs:
+                # admission-token logprobs, same convention as the decode
+                # step (post grammar/penalties, pre temperature)
+                r64 = logits_row.astype(np.float64)
+                lp = r64 - np.log(np.sum(np.exp(r64 - r64.max()))) \
+                    - r64.max()
+                n = min(req.logprobs, 8)
+                top = np.argsort(lp)[::-1][:n]
+                req.logprob_entries.append({
+                    "logprob": float(lp[tok]),
+                    "top": [(int(t), float(lp[t])) for t in top]})
             return 0 if g_off is None else int(self._g_nxt_h[g_off, tok])
 
         if req.temperature <= 0.0:
@@ -1094,10 +1140,12 @@ class BatchDecodeEngine:
                                     or knobs[4, i] > 0.0) for i in active))
         use_penalties = bool(any(knobs[5, i] != 1.0 or knobs[6, i] != 0.0
                                  or knobs[7, i] != 0.0 for i in active))
+        n_lp = min(8, max((self.slots[i].req.logprobs for i in active),
+                          default=0))
 
         idle = (self._admission is None and self.pending.empty())
         if (self.draft_params is not None and idle and not use_penalties
-                and not self._use_lora
+                and not self._use_lora and n_lp == 0
                 and all(self.slots[i].req.temperature == 0.0
                         and self.slots[i].req.grammar_id is None
                         and self.slots[i].budget > 1
@@ -1119,28 +1167,45 @@ class BatchDecodeEngine:
         need = int(max(self._host_len[i] for i in active)) + k + 1
         window = min(self.cache_len, -(-need // 256) * 256)
         step_params = self._params_lora if self._use_lora else self.params
+        lp_ids = lp_vals = lp_samp = None
         if k > 1:
             packed, last, self.cache, self.gram_state, self.gen_counts = \
                 self._step_k(
                     step_params, self.cache, self.cur_tokens, sub, meta,
                     self.gram_state, self._g_allowed, self._g_nxt,
                     self.prompt_mask, self.gen_counts, window,
-                    use_filters, use_penalties, self._use_lora)
+                    use_filters, use_penalties, self._use_lora, n_lp)
             self.cur_tokens = last
             packed = np.asarray(packed)      # ONE host pull for the dispatch
-            out_np = packed[:B * self.multi_step].reshape(B, self.multi_step)[:, :k]
-            lengths = packed[B * self.multi_step:]
+            K = self.multi_step
+            out_np = packed[:B * K].reshape(B, K)[:, :k]
+            lengths = packed[B * K:B * K + B]
+            if n_lp:
+                o = B * K + B
+                lp_ids = packed[o:o + B * K * n_lp].reshape(B, K, n_lp)
+                o += B * K * n_lp
+                lp_vals = packed[o:o + B * K * n_lp].view(
+                    np.float32).reshape(B, K, n_lp)
+                o += B * K * n_lp
+                lp_samp = packed[o:o + B * K].view(np.float32).reshape(B, K)
         else:
             nxt, packed, self.cache, self.gram_state, self.gen_counts = \
                 self._step(
                     step_params, self.cache, self.cur_tokens, sub,
                     meta[:8 * B], self.gram_state, self._g_allowed,
                     self._g_nxt, self.prompt_mask, self.gen_counts, window,
-                    use_filters, use_penalties, self._use_lora)
+                    use_filters, use_penalties, self._use_lora, n_lp)
             self.cur_tokens = nxt
             packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B][:, None]
-            lengths = packed[B:]
+            lengths = packed[B:2 * B]
+            if n_lp:
+                o = 2 * B
+                lp_ids = packed[o:o + B * n_lp].reshape(B, 1, n_lp)
+                o += B * n_lp
+                lp_vals = packed[o:o + B * n_lp].view(
+                    np.float32).reshape(B, 1, n_lp)
+                lp_samp = packed[o + B * n_lp:].view(np.float32).reshape(B, 1)
         self._host_len[:] = lengths
 
         for i in active:
@@ -1155,6 +1220,13 @@ class BatchDecodeEngine:
                 if s.budget <= 0:
                     break
             if emit:
+                if s.req.logprobs and lp_ids is not None:
+                    n = s.req.logprobs
+                    for j in range(len(emit)):
+                        s.req.logprob_entries.append({
+                            "logprob": float(lp_samp[i, j]),
+                            "top": list(zip(lp_ids[i, j, :n].tolist(),
+                                            lp_vals[i, j, :n].tolist()))})
                 s.generated.extend(emit)
                 s.req.out_queue.put(emit)
                 if s.draft is not None:

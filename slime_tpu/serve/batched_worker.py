@@ -194,18 +194,26 @@ class BatchedWorker:
                           frequency_penalty=float(
                               p.get("frequency_penalty", 0.0)),
                           prefix_id=p.get("prefix_id"), grammar_id=gid,
-                          adapter_id=self._adapter_id(p))
+                          adapter_id=self._adapter_id(p),
+                          logprobs=int(p.get("logprobs") or 0))
             self.engine.submit(req)
             generated = []
             for chunk in req.stream():
                 generated.extend(chunk)
                 text = self.tokenizer.decode(generated, skip_special_tokens=True)
-                if matcher is not None and matcher(generated):
-                    yield {"text": matcher.trim(text), "error_code": 0,
-                           "n_tokens": len(generated), "stopped": True}
-                    return
-                yield {"text": text, "error_code": 0,
+                out = {"text": text, "error_code": 0,
                        "n_tokens": len(generated)}
+                if req.logprobs:
+                    # entries land before their tokens (Request contract)
+                    out["logprobs"] = [
+                        {"token_id": t, **e} for t, e in
+                        zip(generated, req.logprob_entries)]
+                if matcher is not None and matcher(generated):
+                    out["text"] = matcher.trim(text)
+                    out["stopped"] = True
+                    yield out
+                    return
+                yield out
         except Exception as e:  # noqa: BLE001
             yield {"text": f"{SERVER_ERROR_MSG} ({e})",
                    "error_code": ErrorCode["SERVER_ERROR"]}

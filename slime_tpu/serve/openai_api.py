@@ -87,9 +87,11 @@ def _worker_payload(body: dict, prompt: str, images: List[str]) -> dict:
          "presence_penalty": float(body.get("presence_penalty", 0.0)),
          "frequency_penalty": float(body.get("frequency_penalty", 0.0))}
     # common extensions (vLLM/SGLang accept these too)
-    for k in ("top_k", "min_p", "repetition_penalty", "prefix_id"):
+    for k in ("top_k", "min_p", "repetition_penalty", "prefix_id", "adapter"):
         if k in body:
             p[k] = body[k]
+    if body.get("logprobs"):
+        p["logprobs"] = max(1, int(body.get("top_logprobs") or 1))
     stop = body.get("stop")
     if isinstance(stop, list):
         stop = stop[0] if stop else None   # engine matcher takes one string
@@ -122,15 +124,26 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
                           "owned_by": "slime_tpu"}]}
 
     def _drive(body: dict, prompt: str, images: List[str]):
-        """-> iterator of (delta_text, full_text, n_tokens)."""
+        """-> iterator of (delta_text, full_text, n_tokens, chunk)."""
         payload = _worker_payload(body, prompt, images)
         prev = ""
         for chunk in worker.generate_stream(payload):
             if chunk.get("error_code"):
                 raise RuntimeError(chunk.get("text", "generation error"))
             text = chunk["text"]
-            yield text[len(prev):], text, int(chunk.get("n_tokens", 0))
+            yield text[len(prev):], text, int(chunk.get("n_tokens", 0)), chunk
             prev = text
+
+    def _openai_logprobs(chunk: dict):
+        """Worker logprob entries -> the OpenAI chat logprobs block."""
+        if not chunk.get("logprobs"):
+            return None
+        dec = lambda t: worker.tokenizer.decode([t])
+        return {"content": [
+            {"token": dec(e["token_id"]), "logprob": e["logprob"],
+             "top_logprobs": [{"token": dec(t), "logprob": v}
+                              for t, v in e["top"]]}
+            for e in chunk["logprobs"]]}
 
     def _finish(body: dict, n_tokens: int) -> str:
         limit = int(body.get("max_tokens")
@@ -145,7 +158,8 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
     def chat(body: dict) -> dict:
         prompt, images = render_messages(body.get("messages") or [], template)
         text, n = "", 0
-        for _delta, text, n in _drive(body, prompt, images):
+        last = {}
+        for _delta, text, n, last in _drive(body, prompt, images):
             pass
         n_prompt = _count(prompt)
         return {
@@ -155,6 +169,7 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
             "model": model_id,
             "choices": [{"index": 0,
                          "message": {"role": "assistant", "content": text},
+                         "logprobs": _openai_logprobs(last),
                          "finish_reason": _finish(body, n)}],
             "usage": {"prompt_tokens": n_prompt, "completion_tokens": n,
                       "total_tokens": n_prompt + n},
@@ -173,7 +188,7 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
 
         yield frame({"role": "assistant", "content": ""})
         n = 0
-        for delta, _text, n in _drive(body, prompt, images):
+        for delta, _text, n, _c in _drive(body, prompt, images):
             if delta:
                 yield frame({"content": delta})
         yield frame({}, finish=_finish(body, n))
@@ -183,7 +198,7 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
         if isinstance(prompt, list):
             prompt = prompt[0] if prompt else ""
         text, n = "", 0
-        for _d, text, n in _drive(body, prompt, []):
+        for _d, text, n, _c in _drive(body, prompt, []):
             pass
         n_prompt = _count(prompt)
         return {
@@ -204,7 +219,7 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
         cid = "cmpl-" + uuid.uuid4().hex[:16]
         created = int(time.time())
         n = 0
-        for delta, _text, n in _drive(body, prompt, []):
+        for delta, _text, n, _c in _drive(body, prompt, []):
             if delta:
                 yield {"id": cid, "object": "text_completion",
                        "created": created, "model": model_id,
