@@ -41,6 +41,10 @@ def parse_args():
     ap.add_argument("--image-folder", default="")
     ap.add_argument("--image-aspect-ratio", default="anyres")
     ap.add_argument("--group-by-modality-length", action="store_true")
+    ap.add_argument("--seq-packing", action="store_true",
+                    help="pack text-only examples into full sequences "
+                         "(block-diagonal attention, exact loss; "
+                         "data/packing.py) — rejects multimodal datasets")
     # training args
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--per-device-batch-size", type=int, default=8)
@@ -183,8 +187,24 @@ def main():
                       use_pallas=args.use_pallas_attention or None,
                       remat=args.remat, lora=lora_state)
 
+    if args.seq_packing and any(l > 0 for l in ds.modality_lengths):
+        raise SystemExit("--seq-packing is text-only (image features splice "
+                         "into the embedding sequence; token-aligned "
+                         "segments can't describe them)")
+
     def batches():
+        import random as _random
+
+        from slime_tpu.data.packing import packed_loader
         for epoch in range(args.num_train_epochs):
+            if args.seq_packing:
+                order = list(range(len(ds)))
+                _random.Random(args.seed + epoch).shuffle(order)
+                yield from packed_loader(
+                    (ds[i] for i in order), batch_size=global_batch,
+                    seq_len=args.model_max_length,
+                    pad_token_id=tokenizer.pad_token_id or 0)
+                continue
             yield from data_loader(
                 ds, batch_size=global_batch,
                 seq_len=args.model_max_length,

@@ -155,7 +155,7 @@ def _moe(lp, x, cfg: LLMConfig):
 
 
 def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool],
-                  ring: Optional[tuple] = None):
+                  ring: Optional[tuple] = None, segment_ids=None):
     B, S, H = x.shape
     hd = cfg.head_dim
     q = L.linear(lp["q_proj"], x).reshape(B, S, cfg.num_heads, hd)
@@ -175,14 +175,17 @@ def _attn_prefill(lp, x, cos, sin, cfg: LLMConfig, use_pallas: Optional[bool],
     else:
         out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                               v.transpose(0, 2, 1, 3), causal=True,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas,
+                              segment_ids=segment_ids)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, cfg.num_heads * hd)
     return L.linear(lp["o_proj"], out), (k, v)
 
 
-def _layer_prefill(lp, x, cos, sin, cfg, use_pallas, ring=None):
+def _layer_prefill(lp, x, cos, sin, cfg, use_pallas, ring=None,
+                   segment_ids=None):
     h = L.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
-    a, kv = _attn_prefill(lp, h, cos, sin, cfg, use_pallas, ring=ring)
+    a, kv = _attn_prefill(lp, h, cos, sin, cfg, use_pallas, ring=ring,
+                          segment_ids=segment_ids)
     x = x + a
     h = L.rms_norm(lp["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
     if cfg.num_experts > 0:
@@ -232,8 +235,11 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
             compute_dtype=jnp.float32, remat: bool = False,
             scan_layers: bool = False, ring: Optional[tuple] = None,
             return_aux: bool = False, logit_positions=None,
-            return_hidden: bool = False):
+            return_hidden: bool = False, segment_ids=None):
     """Full-sequence forward (training / prefill).
+
+    segment_ids [B, S] (sequence packing, data/packing.py): block-diagonal
+    attention per packed example; pass per-segment restarting positions too.
 
     ring=(mesh, axis): run attention as exact ring attention with the sequence
     sharded over the given mesh axis (context parallelism; see
@@ -273,7 +279,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
 
         def body(carry, lp):
             h, kv, aux = _layer_prefill(lp, carry[0], cos_s, sin_s, cfg,
-                                        use_pallas, ring=ring)
+                                        use_pallas, ring=ring,
+                                        segment_ids=segment_ids)
             return (h, carry[1] + aux), (kv if return_kv else None)
 
         if remat:
@@ -294,7 +301,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
     layer_fn = _layer_prefill
     if remat:
         layer_fn = jax.checkpoint(
-            functools.partial(_layer_prefill, cfg=cfg, use_pallas=use_pallas),
+            functools.partial(_layer_prefill, cfg=cfg, use_pallas=use_pallas,
+                              segment_ids=segment_ids),
             static_argnums=())
     kvs = []
     aux_sum = jnp.float32(0.0)
@@ -302,7 +310,8 @@ def forward(params, embeds, cfg: LLMConfig, *, positions=None,
         if remat:
             x, kv, aux = layer_fn(lp, x, cos_s, sin_s)
         else:
-            x, kv, aux = layer_fn(lp, x, cos_s, sin_s, cfg, use_pallas, ring)
+            x, kv, aux = layer_fn(lp, x, cos_s, sin_s, cfg, use_pallas, ring,
+                                  segment_ids)
         aux_sum = aux_sum + aux
         if return_kv:
             kvs.append(kv)

@@ -385,6 +385,36 @@ def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
     load-balancing loss is added (HF MixtralForCausalLM output_router_logits
     semantics)."""
     want_aux = cfg.llm.num_experts > 0 and cfg.llm.router_aux_loss_coef > 0
+    if batch.get("segment_ids") is not None:
+        # packed text-only batch (data/packing.py): block-diagonal attention
+        # per segment, per-segment RoPE positions, and a shift mask that
+        # never predicts across a segment boundary. Token-count-weighted
+        # NLL is EXACT vs the padded batches it replaces.
+        seg = batch["segment_ids"]
+        embeds = llama.embed(
+            params["llm"], batch["input_ids"]).astype(compute_dtype)
+        out = llama.forward(params["llm"], embeds, cfg.llm,
+                            positions=batch["positions"],
+                            segment_ids=seg, use_pallas=use_pallas,
+                            compute_dtype=compute_dtype, remat=remat,
+                            scan_layers=scan_layers, return_aux=want_aux)
+        logits = out[0]
+        shift_logits = logits[:, :-1]
+        shift_labels = batch["labels"][:, 1:]
+        valid = ((shift_labels != IGNORE_INDEX)
+                 & (seg[:, 1:] == seg[:, :-1]) & (seg[:, 1:] > 0))
+        safe = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        total = jnp.sum(jnp.where(valid, nll, 0.0))
+        count = jnp.maximum(jnp.sum(valid), 1)
+        loss = total / count
+        metrics = {"n_target_tokens": count,
+                   "packing_efficiency": jnp.mean(seg > 0)}
+        if want_aux:
+            metrics["router_aux_loss"] = out[2]
+            loss = loss + cfg.llm.router_aux_loss_coef * out[2]
+        return loss, metrics
     out = forward(params, cfg, batch["input_ids"], batch["attention_mask"],
                   batch["pixel_values"], batch["crop_mask"],
                   batch.get("labels"), training=training, rng=rng,

@@ -363,8 +363,14 @@ def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
 _flash.defvjp(_flash_fwd, _bwd)
 
 
-def reference_attention(q, k, v, *, causal=True, scale=None):
-    """XLA attention (GQA-aware) — numerics oracle and CPU fallback."""
+def reference_attention(q, k, v, *, causal=True, scale=None,
+                        segment_ids=None):
+    """XLA attention (GQA-aware) — numerics oracle and CPU fallback.
+
+    segment_ids [B, S] (sequence packing, data/packing.py): attention is
+    block-diagonal per segment — position i attends j only when their ids
+    match (plus causality). With causal masking the diagonal always
+    survives, so padding rows (id 0) never produce an all-masked softmax."""
     B, H, S, D = q.shape
     KVH = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
@@ -376,6 +382,9 @@ def reference_attention(q, k, v, *, causal=True, scale=None):
     if causal:
         mask = jnp.tril(jnp.ones((S, S), bool))
         s = jnp.where(mask[None, None], s, NEG_INF)
+    if segment_ids is not None:
+        same = segment_ids[:, :, None] == segment_ids[:, None, :]
+        s = jnp.where(same[:, None], s, NEG_INF)
     if q.dtype == jnp.bfloat16:
         # stabilized low-precision softmax (fp32 max-subtract, bf16 exp/normalize):
         # halves probability-matrix HBM traffic; measured win on v5e ViT encode
@@ -390,7 +399,7 @@ def reference_attention(q, k, v, *, causal=True, scale=None):
 
 def flash_attention(q, k, v, *, causal: bool = True, scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
-                    use_pallas: Optional[bool] = None):
+                    use_pallas: Optional[bool] = None, segment_ids=None):
     """q [B, H, S, D]; k, v [B, KVH, S, D] (KVH divides H). Returns [B, H, S, D].
 
     use_pallas=None auto-selects: on TPU, causal attention at S >= 2048 (S and D
@@ -403,6 +412,12 @@ def flash_attention(q, k, v, *, causal: bool = True, scale: Optional[float] = No
     import os
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if segment_ids is not None:
+        # packed sequences (block-diagonal mask): XLA path — the Pallas
+        # kernel has no segment operands yet (its block skipping would also
+        # need to consult them)
+        return reference_attention(q, k, v, causal=causal, scale=scale,
+                                   segment_ids=segment_ids)
     if use_pallas is None:
         env = os.environ.get("SLIME_USE_PALLAS_ATTN")
         if env is not None:

@@ -84,3 +84,32 @@ def test_train_slime_cli(ckpt_dir, img_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out / "config.json")
     assert os.path.exists(out / "metrics.jsonl") or True
+
+
+@pytest.mark.slow
+def test_train_slime_cli_seq_packing(ckpt_dir, tmp_path):
+    """--seq-packing end-to-end: text-only data trains through the packed
+    path (segment ids, block-diagonal attention, exact loss)."""
+    data = [{"id": str(i),
+             "conversations": [{"from": "human", "value": f"question {i} ?"},
+                               {"from": "gpt", "value": "short answer ."}]}
+            for i in range(12)]
+    dj = tmp_path / "t.json"
+    dj.write_text(json.dumps(data))
+    out = tmp_path / "out_packed"
+    r = _run(["scripts/train_slime.py", "--model-path", ckpt_dir,
+              "--data-path", str(dj), "--output-dir", str(out),
+              "--version", "v1", "--seq-packing",
+              "--per-device-batch-size", "2", "--max-steps", "2",
+              "--model-max-length", "128", "--save-steps", "0",
+              "--logging-steps", "1", "--learning-rate", "1e-4"],
+             timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out / "config.json")
+    # multimodal data must be rejected, not silently mispacked
+    data[0]["image"] = "x.jpg"
+    dj.write_text(json.dumps(data))
+    r = _run(["scripts/train_slime.py", "--model-path", ckpt_dir,
+              "--data-path", str(dj), "--output-dir", str(out),
+              "--seq-packing", "--max-steps", "1"], timeout=600)
+    assert r.returncode != 0 and "text-only" in (r.stderr + r.stdout)
