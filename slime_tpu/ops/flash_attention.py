@@ -45,14 +45,21 @@ def _zero_tail(x, block_start, seq_len):
 # Forward kernel
 # ----------------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale: float, causal: bool, block_q: int, block_k: int,
-                seq_len: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
+                scale: float, causal: bool, block_q: int, block_k: int,
+                seq_len: int, segmented: bool = False):
     # Grid order is (b, i, h, j): h sits INSIDE the query tile so that the lse
     # output block (keyed by (b, i) only) is revisited consecutively across all
     # heads — compiled Pallas TPU only preserves an output block in VMEM across
     # consecutive revisits, and h is marked "arbitrary" so a core split can never
     # interleave two heads' read-modify-writes of the same lse block.
+    if segmented:
+        # sequence packing: per-position segment ids restrict attention to
+        # same-segment pairs. sq rides lane-replicated [1, bq, 128] blocks
+        # (Mosaic-friendly row layout); sk is a plain [1, bk] block.
+        sq_ref, sk_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     i = pl.program_id(1)   # query tile
     h = pl.program_id(2)   # query head
     j = pl.program_id(3)   # key tile
@@ -81,6 +88,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         ok = (kj < seq_len) & (qi < seq_len)
         if causal:
             ok &= qi >= kj
+        if segmented:
+            # [bq, 1] == [1, bk] -> [bq, bk]; garbage from an all-masked
+            # FIRST block (p momentarily 1) washes out when the diagonal
+            # block arrives (alpha = exp(-inf - finite) = 0), and every real
+            # query's diagonal is always same-segment
+            ok &= sq_ref[0][:, :1] == sk_ref[...]
         s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_scr[:]                              # [bq, 1]
@@ -106,7 +119,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0] = jnp.where(col == h, lse_vec, lse_ref[0])
 
 
-def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
+def _seg_operands(segment_ids):
+    """seg [B, S] -> (lane-replicated [B, S, 128] int32 for the query rows,
+    [B, S] int32 for the key columns)."""
+    seg = segment_ids.astype(jnp.int32)
+    return jnp.broadcast_to(seg[:, :, None], seg.shape + (128,)), seg
+
+
+def _fwd(q, k, v, seg=None, *, scale, causal, block_q, block_k, interpret):
     B, H, S, D = q.shape
     KVH = k.shape[1]
     group = H // KVH
@@ -116,9 +136,21 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
     # consecutively. h is "arbitrary" — its RMW of lse forbids a core split.
     grid = (B, pl.cdiv(S, bq), H, pl.cdiv(S, bk))
 
+    operands = [q, k, v]
+    seg_specs = []
+    if seg is not None:
+        sq, sk = _seg_operands(seg)
+        operands += [sq, sk]
+        seg_specs = [
+            pl.BlockSpec((1, bq, 128), lambda b, i, h, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda b, i, h, j: (b, j),
+                         memory_space=pltpu.VMEM),
+        ]
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          block_q=bq, block_k=bk, seq_len=S),
+                          block_q=bq, block_k=bk, seq_len=S,
+                          segmented=seg is not None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, i, h, j: (b, h, i, 0),
@@ -127,7 +159,7 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, D), lambda b, i, h, j, g=group: (b, h // g, j, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + seg_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, i, h, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -146,7 +178,7 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)
     return out, lse
 
 
@@ -154,9 +186,13 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k, interpret):
 # Backward kernels
 # ----------------------------------------------------------------------------------
 
-def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                     dk_ref, dv_ref, dk_scr, dv_scr,
-                     *, scale, causal, block_q, block_k, seq_len):
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                     scale, causal, block_q, block_k, seq_len,
+                     segmented: bool = False):
+    if segmented:
+        sq_ref, sk_ref = rest[0], rest[1]
+        rest = rest[2:]
+    dk_ref, dv_ref, dk_scr, dv_scr = rest
     h = pl.program_id(1)
     j = pl.program_id(2)   # key tile (outer)
     i = pl.program_id(3)   # query tile (inner)
@@ -191,6 +227,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ok = (kj < seq_len) & (qi < seq_len)
         if causal:
             ok &= qi >= kj
+        if segmented:
+            ok &= sq_ref[0][:, :1] == sk_ref[...]
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)        # [bq, bk]
         dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do,
@@ -209,8 +247,13 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_scr, *, scale, causal, block_q, block_k, seq_len):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                   scale, causal, block_q, block_k, seq_len,
+                   segmented: bool = False):
+    if segmented:
+        sq_ref, sk_ref = rest[0], rest[1]
+        rest = rest[2:]
+    dq_ref, dq_scr = rest
     h = pl.program_id(1)
     i = pl.program_id(2)   # query tile (outer)
     j = pl.program_id(3)   # key tile (inner)
@@ -244,6 +287,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ok = (kj < seq_len) & (qi < seq_len)
         if causal:
             ok &= qi >= kj
+        if segmented:
+            ok &= sq_ref[0][:, :1] == sk_ref[...]
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -260,6 +305,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd(scale, causal, block_q, block_k, interpret, res, g):
     q, k, v, out, lse = res
+    return _bwd_impl(q, k, v, out, lse, g, None, scale=scale, causal=causal,
+                     block_q=block_q, block_k=block_k, interpret=interpret)
+
+
+def _bwd_impl(q, k, v, out, lse, g, seg, *, scale, causal, block_q, block_k,
+              interpret):
     do = g[0] if isinstance(g, (tuple, list)) else g
     B, H, S, D = q.shape
     KVH = k.shape[1]
@@ -270,11 +321,29 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1).transpose(0, 2, 1)  # [B, S, H]
 
+    operands = [q, k, v, do, lse, delta]
+    seg_specs_kv = seg_specs_q = []
+    if seg is not None:
+        sq, sk = _seg_operands(seg)
+        operands += [sq, sk]
+        seg_specs_kv = [
+            pl.BlockSpec((1, bq, 128), lambda b, h, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda b, h, j, i: (b, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        seg_specs_q = [
+            pl.BlockSpec((1, bq, 128), lambda b, h, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda b, h, i, j: (b, j),
+                         memory_space=pltpu.VMEM),
+        ]
     # dk/dv at full query-head resolution, then reduced over the GQA group.
     grid_kv = (B, H, pl.cdiv(S, bk), pl.cdiv(S, bq))
     dk_full, dv_full = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
-                          block_q=bq, block_k=bk, seq_len=S),
+                          block_q=bq, block_k=bk, seq_len=S,
+                          segmented=seg is not None),
         grid=grid_kv,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0),
@@ -289,7 +358,7 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, H), lambda b, h, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + seg_specs_kv,
         out_specs=[
             pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
@@ -307,7 +376,7 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(*operands)
 
     dk = dk_full.reshape(B, KVH, group, S, D).sum(axis=2).astype(k.dtype)
     dv = dv_full.reshape(B, KVH, group, S, D).sum(axis=2).astype(v.dtype)
@@ -315,7 +384,8 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
     grid_q = (B, H, pl.cdiv(S, bq), pl.cdiv(S, bk))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
-                          block_q=bq, block_k=bk, seq_len=S),
+                          block_q=bq, block_k=bk, seq_len=S,
+                          segmented=seg is not None),
         grid=grid_q,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
@@ -330,7 +400,7 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, H), lambda b, h, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + seg_specs_q,
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
@@ -338,7 +408,7 @@ def _bwd(scale, causal, block_q, block_k, interpret, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(*operands)
 
     return dq, dk, dv
 
@@ -361,6 +431,35 @@ def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
 
 
 _flash.defvjp(_flash_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_seg(q, k, v, seg, scale, causal, block_q, block_k, interpret):
+    """Segment-masked variant (sequence packing): a SEPARATE entry so the
+    unsegmented hot path keeps its exact tuned kernel (no extra operands or
+    per-tile compares when nobody packs)."""
+    out, _ = _fwd(q, k, v, seg, scale=scale, causal=causal,
+                  block_q=block_q, block_k=block_k, interpret=interpret)
+    return out
+
+
+def _flash_seg_fwd(q, k, v, seg, scale, causal, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, seg, scale=scale, causal=causal,
+                    block_q=block_q, block_k=block_k, interpret=interpret)
+    return out, (q, k, v, seg, out, lse)
+
+
+def _flash_seg_bwd(scale, causal, block_q, block_k, interpret, res, g):
+    q, k, v, seg, out, lse = res
+    dq, dk, dv = _bwd_impl(q, k, v, out, lse, g, seg, scale=scale,
+                           causal=causal, block_q=block_q, block_k=block_k,
+                           interpret=interpret)
+    import numpy as np
+    dseg = np.zeros(seg.shape, jax.dtypes.float0)   # int operand: no grad
+    return dq, dk, dv, dseg
+
+
+_flash_seg.defvjp(_flash_seg_fwd, _flash_seg_bwd)
 
 
 def reference_attention(q, k, v, *, causal=True, scale=None,
@@ -412,12 +511,6 @@ def flash_attention(q, k, v, *, causal: bool = True, scale: Optional[float] = No
     import os
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    if segment_ids is not None:
-        # packed sequences (block-diagonal mask): XLA path — the Pallas
-        # kernel has no segment operands yet (its block skipping would also
-        # need to consult them)
-        return reference_attention(q, k, v, causal=causal, scale=scale,
-                                   segment_ids=segment_ids)
     if use_pallas is None:
         env = os.environ.get("SLIME_USE_PALLAS_ATTN")
         if env is not None:
@@ -427,13 +520,23 @@ def flash_attention(q, k, v, *, causal: bool = True, scale: Optional[float] = No
             use_pallas = (jax.default_backend() == "tpu" and causal
                           and S >= 2048 and S % 128 == 0 and D % 128 == 0)
     if not use_pallas:
-        return reference_attention(q, k, v, causal=causal, scale=scale)
+        return reference_attention(q, k, v, causal=causal, scale=scale,
+                                   segment_ids=segment_ids)
+    if segment_ids is not None:
+        # packed sequences (block-diagonal mask): the segment-masked kernel
+        # variant — same tiling, two extra small operands
+        return _flash_seg(q, k, v, segment_ids, scale, causal,
+                          block_q, block_k, False)
     return _flash(q, k, v, scale, causal, block_q, block_k, False)
 
 
 def flash_attention_interpret(q, k, v, *, causal=True, scale=None,
-                              block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+                              block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                              segment_ids=None):
     """Interpreter-mode kernel execution (for CPU correctness tests)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if segment_ids is not None:
+        return _flash_seg(q, k, v, segment_ids, scale, causal,
+                          block_q, block_k, True)
     return _flash(q, k, v, scale, causal, block_q, block_k, True)
