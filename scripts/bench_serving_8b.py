@@ -14,6 +14,8 @@ Env: SLIME_SRV_REQUESTS (16), SLIME_SRV_PROMPT (512 = suffix tokens),
 SLIME_SRV_PREFIX (1024 = shared prefix tokens, prefix scenario),
 SLIME_SRV_NEW (64 tokens per request), SLIME_SRV_SLOTS (8),
 SLIME_SRV_ONLY (comma list of throughput,prefix). One JSON line each.
+CPU smoke: SLIME_SRV_TINY=1 SLIME_PLATFORM=cpu (JAX_PLATFORMS is ignored
+on this image — slime_tpu/__init__.py handles SLIME_PLATFORM).
 
 Method per the repo benchmarking notes: pre-stacked int8 weights built
 directly as int8 on host; timings are host wall-clock around the tick loop
