@@ -56,6 +56,10 @@ def parse_args():
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--warmup-ratio", type=float, default=0.03)
     ap.add_argument("--lr-scheduler-type", default="cosine")
+    ap.add_argument("--optim", default="adamw",
+                    choices=["adamw", "adamw8bit"],
+                    help="adamw8bit stores Adam moments as blockwise int8 "
+                         "(~2.06 B/param vs 8 — train/opt8.py)")
     ap.add_argument("--model-max-length", type=int, default=2048)
     ap.add_argument("--save-steps", type=int, default=1000)
     ap.add_argument("--async-save", action="store_true",
@@ -159,7 +163,8 @@ def main():
         freeze_mm_mlp_adapter=args.freeze_mm_mlp_adapter,
         freeze_backbone=args.freeze_backbone,
         mm_learnable_gated=args.mm_learnable_gated,
-        gradient_accumulation_steps=args.gradient_accumulation_steps)
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        optim=args.optim)
     rc = RunConfig(output_dir=args.output_dir, save_steps=args.save_steps,
                    log_steps=args.logging_steps, max_steps=total_steps,
                    seed=args.seed,

@@ -42,6 +42,9 @@ class TrainConfig:
     unfreeze_mm_vision_tower: bool = False
     mm_learnable_gated: int = -1
     gradient_accumulation_steps: int = 1
+    # "adamw" (fp32 moments) or "adamw8bit" (blockwise int8 moments,
+    # train/opt8.py — 3.9x less optimizer HBM; the bnb-8-bit-Adam role)
+    optim: str = "adamw"
 
 
 def _path_str(path) -> str:
@@ -100,12 +103,19 @@ def make_schedule(tc: TrainConfig, lr: float):
 def make_optimizer(params, tc: TrainConfig):
     """Returns (optax.GradientTransformation, labels pytree)."""
     def adamw(lr):
-        return optax.chain(
-            optax.clip_by_global_norm(tc.max_grad_norm),
-            optax.adamw(make_schedule(tc, lr), b1=tc.adam_b1, b2=tc.adam_b2,
-                        eps=tc.adam_eps, weight_decay=tc.weight_decay,
-                        mask=_decay_mask(params)),
-        )
+        if tc.optim == "adamw8bit":
+            from .opt8 import adamw8bit
+            inner = adamw8bit(make_schedule(tc, lr), b1=tc.adam_b1,
+                              b2=tc.adam_b2, eps=tc.adam_eps,
+                              weight_decay=tc.weight_decay,
+                              mask=_decay_mask(params))
+        else:
+            inner = optax.adamw(make_schedule(tc, lr), b1=tc.adam_b1,
+                                b2=tc.adam_b2, eps=tc.adam_eps,
+                                weight_decay=tc.weight_decay,
+                                mask=_decay_mask(params))
+        return optax.chain(optax.clip_by_global_norm(tc.max_grad_norm),
+                           inner)
 
     labels = label_tree(params, tc)
     tx = optax.multi_transform(
