@@ -458,27 +458,45 @@ class BatchDecodeEngine:
             cap = self.cache_len - K - 2
 
             def _one_round(params, dparams, cache, d_cache, cur, d_len_c,
-                           alive, window):
+                           alive, window, rng=None, temps=None, tps=None,
+                           use_sampling=False):
                 """One batched draft-K/verify/rollback round over ALL slots
                 (dead/non-spec rows compute but their lengths/tokens are
                 pinned). Returns (cache, d_cache, cur', d_len', targets
                 [B, K+1], acc [B]): per slot, targets[b, :acc[b]+1] are
-                exactly the target's greedy tokens."""
+                exactly the target's greedy tokens — or, with use_sampling,
+                the accepted proposals + rejection-resampled/bonus token of
+                the distribution-exact Leviathan scheme
+                (serve/speculative.rejection_round)."""
+                from .speculative import rejection_round, warp_probs
                 d_cache = dict(d_cache)
                 d_cache["length"] = d_len_c
+                V = self._vocab_size
 
                 def dbody(i, carry):
-                    dc, tok, props = carry
+                    dc, tok, props, qrows, drng = carry
                     lg, dc = llama.decode_step(dparams["llm"], dc, tok, dl,
                                                compute_dtype=self.compute_dtype,
                                                window=window,
                                                fused=self._fused)
-                    nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-                    return dc, nxt, props.at[:, i].set(nxt)
+                    if use_sampling:
+                        drng, sub = jax.random.split(drng)
+                        q = warp_probs(lg, temps, tps)          # [B, V]
+                        nxt = jax.random.categorical(
+                            sub, jnp.log(q + 1e-30),
+                            axis=-1).astype(jnp.int32)
+                        qrows = qrows.at[:, i].set(q)
+                    else:
+                        nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+                    return dc, nxt, props.at[:, i].set(nxt), qrows, drng
 
-                d_cache, _, props = jax.lax.fori_loop(
+                qrows0 = (jnp.zeros((B, K, V), jnp.float32) if use_sampling
+                          else jnp.zeros((B, K, 1), jnp.float32))
+                drng0 = rng if rng is not None else jax.random.PRNGKey(0)
+                d_cache, _, props, qrows, drng_out = jax.lax.fori_loop(
                     0, K, dbody, (d_cache, cur,
-                                  jnp.zeros((B, K), jnp.int32)))
+                                  jnp.zeros((B, K), jnp.int32), qrows0,
+                                  drng0))
 
                 # verify: every slot's [cur, props...] as ONE (K+1)-wide
                 # chunk — B*(K+1) <= 64 keeps the fused prefill_chunk path
@@ -490,11 +508,15 @@ class BatchDecodeEngine:
                     params["llm"], cache, embeds, cfg.llm,
                     compute_dtype=self.compute_dtype, window=window,
                     fused=self._fused)
-                targets = jnp.argmax(logits, -1).astype(jnp.int32)  # [B,K+1]
-
-                match = props == targets[:, :K]
-                acc = jnp.where(match.all(axis=1), K,
-                                jnp.argmin(match, axis=1))
+                if use_sampling:
+                    p_rows = warp_probs(logits, temps, tps)     # [B,K+1,V]
+                    targets, acc = rejection_round(drng_out, props, qrows,
+                                                   p_rows)
+                else:
+                    targets = jnp.argmax(logits, -1).astype(jnp.int32)
+                    match = props == targets[:, :K]
+                    acc = jnp.where(match.all(axis=1), K,
+                                    jnp.argmin(match, axis=1))
                 n_emit = jnp.where(alive, acc + 1, 0)
 
                 # rollback: verified prefix per slot; dead rows untouched
@@ -513,7 +535,8 @@ class BatchDecodeEngine:
                 return cache, d_cache, new_cur, d_len_c + n_emit, targets, acc
 
             def _spec_rounds(params, dparams, cache, d_cache, cur_tokens,
-                             meta, window):
+                             meta, window, rng=None, sknobs=None,
+                             use_sampling=False):
                 """Up to R batched draft/verify rounds in ONE dispatch (host
                 syncs through the tunnel cost a full device round each — r2
                 measured ~25 ms RTT vs a 21 ms 8B round, so one-round-per-
@@ -537,6 +560,9 @@ class BatchDecodeEngine:
                 d_len0 = meta[:B]
                 budget = meta[B:2 * B]
                 spec = meta[2 * B:3 * B] > 0
+                temps = sknobs[:B] if use_sampling else None
+                tps = sknobs[B:2 * B] if use_sampling else None
+                rng0 = rng if rng is not None else jax.random.PRNGKey(0)
 
                 def cond(carry):
                     r, alive = carry[0], carry[6]
@@ -545,9 +571,11 @@ class BatchDecodeEngine:
                 def body(carry):
                     (r, cache, d_cache, cur, d_len_c, emitted, alive,
                      toks_o, accs_o) = carry
+                    rrng = jax.random.fold_in(rng0, r)
                     cache, d_cache, cur, d_len_c, targets, acc = _one_round(
                         params, dparams, cache, d_cache, cur, d_len_c,
-                        alive, window)
+                        alive, window, rng=rrng, temps=temps, tps=tps,
+                        use_sampling=use_sampling)
                     accs_o = jax.lax.dynamic_update_slice(
                         accs_o, jnp.where(alive, acc, -1)[None], (r, 0))
                     toks_o = jax.lax.dynamic_update_slice(
@@ -573,7 +601,7 @@ class BatchDecodeEngine:
 
             self._spec_rounds = jax.jit(_spec_rounds,
                                         donate_argnums=(2, 3, 4),
-                                        static_argnums=(6,))
+                                        static_argnums=(6, 9))
 
     # ------------------------------------------------------------------
     def register_grammar(self, token_dfa) -> int:
@@ -1146,7 +1174,9 @@ class BatchDecodeEngine:
         idle = (self._admission is None and self.pending.empty())
         if (self.draft_params is not None and idle and not use_penalties
                 and not self._use_lora and n_lp == 0
-                and all(self.slots[i].req.temperature == 0.0
+                and all((self.slots[i].req.temperature == 0.0
+                         or (self.slots[i].req.top_k == 0
+                             and self.slots[i].req.min_p == 0.0))
                         and self.slots[i].req.grammar_id is None
                         and self.slots[i].budget > 1
                         and int(self._host_len[i]) + self.spec_k + 2
@@ -1281,13 +1311,25 @@ class BatchDecodeEngine:
             budgets[i] = s.budget
             mask[i] = 1
         meta = np.concatenate([d_lens, budgets, mask]).astype(np.int32)
+        # sampled slots run the distribution-exact rejection scheme; greedy
+        # slots in the same dispatch reduce to prefix matching (one-hot
+        # warped rows). The sampling variant only compiles when asked.
+        sknobs = np.zeros((2 * B,), np.float32)
+        sknobs[B:] = 1.0
+        use_sampling = False
+        for i in active:
+            sknobs[i] = self.slots[i].req.temperature
+            sknobs[B + i] = self.slots[i].req.top_p
+            use_sampling |= self.slots[i].req.temperature > 0.0
+        self.rng, srng = self.jax.random.split(self.rng)
         # window bucket covering every target slot AND draft through all R rounds
         need = (max(max(int(self._host_len[i]), int(d_lens[i]))
                     for i in active) + R * (K + 1) + 2)
         window = min(self.cache_len, -(-need // 256) * 256)
         packed, self.cur_tokens, self.cache, self.d_cache = \
             self._spec_rounds(self.params, self.draft_params, self.cache,
-                              self.d_cache, self.cur_tokens, meta, window)
+                              self.d_cache, self.cur_tokens, meta, window,
+                              srng, self.jnp.asarray(sknobs), use_sampling)
         packed = np.asarray(packed)          # ONE host pull for the dispatch
         lengths = packed[:B]
         accs = packed[B:B + R * B].reshape(R, B)

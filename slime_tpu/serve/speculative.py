@@ -260,3 +260,81 @@ def speculative_generate_device(params_target, cfg_target: SliMEConfig,
     toks = np.asarray(out)[:n][None]
     rate = int(n_acc) / max(int(n_prop), 1)
     return toks, rate
+
+
+# ----------------------------------------------------------------------------------
+# Rejection-sampled speculation (Leviathan et al. / Chen & Jozefowicz scheme)
+# ----------------------------------------------------------------------------------
+
+def warp_probs(logits, temperature, top_p):
+    """Per-row warped sampling distribution: logits [B, ..., V] -> probs with
+    temperature scaling and nucleus truncation+renormalization, matching
+    generate.sample_token_dynamic's exclusive-cum rule. temperature <= 0
+    rows collapse to one-hot argmax (the greedy limit), so one formula
+    serves mixed greedy/sampled batches."""
+    V = logits.shape[-1]
+    t = jnp.maximum(temperature, 1e-6)
+    while t.ndim < logits.ndim:
+        t = t[..., None]
+    scaled = logits / t
+    sorted_l = jnp.sort(scaled, axis=-1)[..., ::-1]
+    sp = jax.nn.softmax(sorted_l, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1)
+    tp = top_p
+    while tp.ndim < logits.ndim:
+        tp = tp[..., None]
+    cutoff_idx = jnp.sum(cum - sp < tp, axis=-1, keepdims=True) - 1
+    cutoff = jnp.take_along_axis(sorted_l, cutoff_idx, axis=-1)
+    filt = jnp.where((tp < 1.0) & (scaled < cutoff), -jnp.inf, scaled)
+    probs = jax.nn.softmax(filt, axis=-1)
+    greedy = jax.nn.one_hot(jnp.argmax(logits, axis=-1), V,
+                            dtype=probs.dtype)
+    tcond = temperature
+    while tcond.ndim < probs.ndim - 1:
+        tcond = tcond[..., None]
+    return jnp.where(tcond[..., None] > 0, probs, greedy)
+
+
+def rejection_round(rng, props, q_rows, p_rows):
+    """One speculative round's accept/resample, distribution-exact.
+
+    props [B, K] draft proposals sampled from q_rows [B, K, V] (warped draft
+    probs); p_rows [B, K+1, V] warped target probs at the same positions.
+    Token i accepts with prob min(1, p_i(x_i)/q_i(x_i)); at the first
+    rejection the token resamples from norm(max(p_i - q_i, 0)); if all K
+    accept, a bonus token samples from p_K. Returns (tokens [B, K+1], acc
+    [B]) in the greedy-spec packing: tokens[b, :acc[b]] are accepted
+    proposals, tokens[b, acc[b]] the resampled/bonus token — the emitted
+    sequence is tokens[b, :acc[b]+1].
+
+    The composite law equals sampling each position directly from p
+    (Leviathan et al. 2023, Thm 1); tests/test_spec_sampling.py checks it
+    by Monte Carlo. Greedy rows (one-hot p and q) reduce EXACTLY to the
+    longest-matching-prefix rule of the greedy path.
+    """
+    B, K, V = q_rows.shape
+    r_acc, r_res = jax.random.split(rng)
+    q_x = jnp.take_along_axis(
+        q_rows, props[..., None], axis=-1)[..., 0]          # [B, K]
+    p_x = jnp.take_along_axis(
+        p_rows[:, :K], props[..., None], axis=-1)[..., 0]   # [B, K]
+    u = jax.random.uniform(r_acc, (B, K))
+    accept = u * q_x < p_x            # u < p/q without dividing by zero
+    acc = jnp.where(accept.all(axis=1), K, jnp.argmin(accept, axis=1))
+
+    # residual distribution at the rejection position (bonus: plain p_K)
+    p_at = jnp.take_along_axis(p_rows, acc[:, None, None],
+                               axis=1)[:, 0]                # [B, V]
+    q_pad = jnp.concatenate([q_rows, jnp.zeros((B, 1, V), q_rows.dtype)],
+                            axis=1)
+    q_at = jnp.take_along_axis(q_pad, acc[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_at - jnp.where(acc[:, None] < K, q_at, 0.0), 0.0)
+    Z = jnp.sum(resid, axis=-1, keepdims=True)
+    # degenerate residual (p==q exactly, or greedy rows): fall back to p
+    resid = jnp.where(Z > 0, resid / jnp.where(Z > 0, Z, 1.0), p_at)
+    fix = jax.random.categorical(r_res, jnp.log(resid + 1e-30),
+                                 axis=-1).astype(jnp.int32)
+    pos = jnp.arange(K + 1)[None]
+    tokens = jnp.concatenate([props, jnp.zeros((B, 1), props.dtype)], axis=1)
+    tokens = jnp.where(pos == acc[:, None], fix[:, None], tokens)
+    return tokens, acc.astype(jnp.int32)
