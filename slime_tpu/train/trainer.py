@@ -16,6 +16,7 @@ Rebuilds train() (llava/train/train.py:943-1199) + LLaVATrainer
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -48,6 +49,7 @@ class RunConfig:
     adapters_only_save: bool = False      # staged pretrain: mm_projector/sampler only
     resume_from: Optional[str] = None
     async_save: bool = False              # non-blocking Orbax train-state saves
+    handle_preemption: bool = True        # SIGTERM -> final state save + clean exit
 
 
 class Trainer:
@@ -93,6 +95,17 @@ class Trainer:
     def train(self, batches: Iterable[Dict]) -> Dict:
         import jax
 
+        from .preemption import PreemptionGuard
+
+        guard = PreemptionGuard()
+        use_guard = self.rc.handle_preemption and PreemptionGuard.install_ok()
+        with (guard if use_guard else contextlib.nullcontext()):
+            m = self._train_loop(batches, guard if use_guard else None)
+        return m
+
+    def _train_loop(self, batches: Iterable[Dict], guard) -> Dict:
+        import jax
+
         last_log = time.perf_counter()
         tokens_since = 0
         step0 = int(self.state["step"])
@@ -100,6 +113,18 @@ class Trainer:
         for batch in batches:
             step = int(self.state["step"])
             if self.rc.max_steps is not None and step >= self.rc.max_steps:
+                break
+            if guard is not None and guard.triggered:
+                # preemption grace window: write a durable state checkpoint at
+                # the step boundary (the train state is consistent here) and
+                # leave — latest_checkpoint() resumes from it on the next boot
+                step = int(self.state["step"])
+                print(f"[train] preemption signal — saving state-{step} and "
+                      "exiting", flush=True)
+                state_ckpt.save_train_state(
+                    os.path.join(self.rc.output_dir, f"state-{step}"),
+                    self.state, extra={"step": step, "preempted": True},
+                    async_save=False)
                 break
             if self.mesh is not None:
                 batch = mesh_lib.shard_batch(self.mesh, batch)
