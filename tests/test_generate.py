@@ -111,3 +111,31 @@ def test_sample_token_top_k(rng):
     # top_k=0 / >=V leaves the distribution unrestricted (smoke)
     t = sample_token(jax.random.PRNGKey(0), logits, temperature=1.0, top_k=0)
     assert t.shape == (4,)
+
+
+def test_moe_greedy_matches_full_forward():
+    """Mixtral-family decode: the incremental KV-cache decode loop must emit
+    the same greedy tokens as repeated full forwards (the MoE router runs per
+    decoded token inside decode_step — reference Mixtral serves through the
+    same HF generate path as llama, llava_mixtral.py:46)."""
+    import dataclasses
+
+    cfg = SliMEConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, num_experts=4,
+                                     num_experts_per_tok=2))
+    params = slime.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(5, cfg.llm.vocab_size, (2, 6)).astype(np.int32)
+    mask = np.ones_like(ids, bool)
+    toks = np.asarray(gen.generate(params, cfg, jnp.asarray(ids),
+                                   jnp.asarray(mask), max_new_tokens=5,
+                                   eos_id=-1))
+    seq = ids.copy()
+    for t in range(5):
+        logits, _ = llama.forward(params["llm"],
+                                  llama.embed(params["llm"], jnp.asarray(seq)),
+                                  cfg.llm)
+        nxt = np.argmax(np.asarray(logits)[:, -1], axis=-1)
+        np.testing.assert_array_equal(toks[:, t], nxt, err_msg=f"step {t}")
+        seq = np.concatenate([seq, nxt[:, None].astype(np.int32)], axis=1)
