@@ -44,6 +44,7 @@ class Request:
     grammar_id: Optional[int] = None       # constraint from register_grammar()
     adapter_id: Optional[int] = None       # LoRA from register_adapter(); 0=base
     logprobs: int = 0                      # top-N alternatives per token (<=8)
+    cancelled: bool = False                # set by engine.cancel() at retire time
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
     # outputs
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
@@ -190,6 +191,10 @@ class BatchDecodeEngine:
         self.prefill_chunk_len = 256   # admission granularity (bounds tick latency)
         self.multi_step = 8            # decode steps per dispatch when queue is idle
         self._admission = None         # in-flight chunked admission state
+        # cancellation: ids accumulate from any thread, applied at tick start
+        # (the one point where slot state is not mid-dispatch)
+        self._cancel_ids: set = set()
+        self._cancel_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         from collections import deque
@@ -807,6 +812,50 @@ class BatchDecodeEngine:
         self.pending.put(req)
         return req
 
+    def cancel(self, request_id: str) -> None:
+        """Abort a request (client disconnect / stop-string cut): callable
+        from any thread. Takes effect at the next tick boundary — the request
+        is dropped from the pending queue, its in-flight admission is
+        abandoned, or its decode slot retires, freeing capacity immediately
+        instead of decoding an unread stream to budget exhaustion (the
+        vLLM/SGLang abort role; the reference's HF generate loop has no
+        equivalent — a dead client holds its GPU until max_new_tokens)."""
+        with self._cancel_lock:
+            self._cancel_ids.add(request_id)
+
+    def _apply_cancellations(self) -> None:
+        if not self._cancel_ids:
+            return
+        with self._cancel_lock:
+            ids, self._cancel_ids = self._cancel_ids, set()
+        # pending queue: rebuild without the cancelled requests
+        kept = []
+        while True:
+            try:
+                r = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            if r.request_id in ids:
+                r.cancelled = True
+                r.out_queue.put(None)
+            else:
+                kept.append(r)
+        for r in kept:
+            self.pending.put(r)
+        # in-flight chunked admission
+        a = self._admission
+        if a is not None and a["req"].request_id in ids:
+            a["req"].cancelled = True
+            a["req"].out_queue.put(None)
+            self._admission = None
+        # active decode slots
+        for i, s in enumerate(self.slots):
+            if s is not None and s.req.request_id in ids:
+                s.req.cancelled = True
+                self._retire(i)
+        # unknown ids are requests that already finished (their stream is
+        # closed) — nothing to do
+
     def _free_slot(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
             if s is None:
@@ -1123,6 +1172,7 @@ class BatchDecodeEngine:
     def tick(self) -> int:
         """Advance admissions (one chunk) and run one decode step for all active
         slots. Returns the number of active slots after the step."""
+        self._apply_cancellations()
         # one admission chunk per tick bounds added decode latency
         in_flight = self._admission_step()
         while not in_flight and not self.pending.empty() \

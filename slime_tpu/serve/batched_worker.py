@@ -198,22 +198,32 @@ class BatchedWorker:
                           logprobs=int(p.get("logprobs") or 0))
             self.engine.submit(req)
             generated = []
-            for chunk in req.stream():
-                generated.extend(chunk)
-                text = self.tokenizer.decode(generated, skip_special_tokens=True)
-                out = {"text": text, "error_code": 0,
-                       "n_tokens": len(generated)}
-                if req.logprobs:
-                    # entries land before their tokens (Request contract)
-                    out["logprobs"] = [
-                        {"token_id": t, **e} for t, e in
-                        zip(generated, req.logprob_entries)]
-                if matcher is not None and matcher(generated):
-                    out["text"] = matcher.trim(text)
-                    out["stopped"] = True
+            done = False
+            try:
+                for chunk in req.stream():
+                    generated.extend(chunk)
+                    text = self.tokenizer.decode(generated,
+                                                 skip_special_tokens=True)
+                    out = {"text": text, "error_code": 0,
+                           "n_tokens": len(generated)}
+                    if req.logprobs:
+                        # entries land before their tokens (Request contract)
+                        out["logprobs"] = [
+                            {"token_id": t, **e} for t, e in
+                            zip(generated, req.logprob_entries)]
+                    if matcher is not None and matcher(generated):
+                        out["text"] = matcher.trim(text)
+                        out["stopped"] = True
+                        yield out
+                        return
                     yield out
-                    return
-                yield out
+                done = True
+            finally:
+                # the stream ended early — client disconnect (GeneratorExit
+                # lands at our yield) or a stop-string cut. Free the decode
+                # slot now instead of generating into a dead stream.
+                if not done:
+                    self.engine.cancel(req.request_id)
         except Exception as e:  # noqa: BLE001
             yield {"text": f"{SERVER_ERROR_MSG} ({e})",
                    "error_code": ErrorCode["SERVER_ERROR"]}

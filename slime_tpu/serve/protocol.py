@@ -52,8 +52,9 @@ class JsonHTTPServer:
                     self.send_header("Content-Type", "text/event-stream")
                     self.send_header("Cache-Control", "no-cache")
                     self.end_headers()
+                    gen = outer.sse_routes[self.path](body)
                     try:
-                        for chunk in outer.sse_routes[self.path](body):
+                        for chunk in gen:
                             self.wfile.write(b"data: "
                                              + json.dumps(chunk).encode()
                                              + b"\n\n")
@@ -61,18 +62,25 @@ class JsonHTTPServer:
                         self.wfile.write(b"data: [DONE]\n\n")
                         self.wfile.flush()
                     except (BrokenPipeError, ConnectionResetError):
-                        pass
+                        # client went away: close the generator NOW so the
+                        # producer can cancel its in-flight engine request
+                        if hasattr(gen, "close"):
+                            gen.close()
                     return
                 if self.path in outer.stream_routes:
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
                     self.end_headers()
+                    gen = outer.stream_routes[self.path](body)
                     try:
-                        for chunk in outer.stream_routes[self.path](body):
+                        for chunk in gen:
                             self.wfile.write(json.dumps(chunk).encode() + DELIM)
                             self.wfile.flush()
                     except (BrokenPipeError, ConnectionResetError):
-                        pass
+                        # client went away: close the generator NOW so the
+                        # producer can cancel its in-flight engine request
+                        if hasattr(gen, "close"):
+                            gen.close()
                     return
                 fn = outer.routes.get(self.path)
                 if fn is None:

@@ -551,3 +551,85 @@ def test_spec_engine_windowed_exact(spec_setup):
     got_spec = _run_engine(spec, ids, 10)
     assert got_spec == got_plain and len(got_spec) >= 1
     assert int(max(spec._host_len)) + spec.spec_rounds * 4 + 2 < 1024
+
+
+def test_cancel_active_slot_frees_capacity(setup):
+    """engine.cancel on a decoding request retires its slot at the next tick
+    (the vLLM/SGLang abort role) — the stream ends and capacity frees."""
+    cfg, params, eng = setup
+    rng = np.random.default_rng(11)
+    long_req = Request(input_ids=rng.integers(
+        5, cfg.llm.vocab_size, (6,)).astype(np.int32), max_new_tokens=64)
+    eng.submit(long_req)
+    for _ in range(3):                       # admit + decode a few tokens
+        eng.tick()
+    assert any(s is not None and s.req is long_req for s in eng.slots)
+    eng.cancel(long_req.request_id)
+    eng.tick()
+    assert not any(s is not None and s.req is long_req for s in eng.slots)
+    assert long_req.cancelled
+    got = _drain(long_req)                   # stream terminated (None sentinel)
+    assert len(got) < 64
+    # the engine still serves: a fresh request completes normally
+    nxt = Request(input_ids=rng.integers(
+        5, cfg.llm.vocab_size, (5,)).astype(np.int32), max_new_tokens=3)
+    eng.submit(nxt)
+    for _ in range(30):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    assert len(_drain(nxt)) >= 1 and not nxt.cancelled
+
+
+def test_cancel_pending_request_never_admits(setup):
+    cfg, params, eng = setup
+    rng = np.random.default_rng(12)
+    # fill every slot with long requests, then queue one more
+    fill = [Request(input_ids=rng.integers(
+        5, cfg.llm.vocab_size, (6,)).astype(np.int32), max_new_tokens=32)
+        for _ in range(eng.max_slots)]
+    queued = Request(input_ids=rng.integers(
+        5, cfg.llm.vocab_size, (6,)).astype(np.int32), max_new_tokens=32)
+    for r in fill:
+        eng.submit(r)
+    eng.submit(queued)
+    for _ in range(6):
+        eng.tick()
+    eng.cancel(queued.request_id)
+    for r in fill:                           # drain the rest
+        eng.cancel(r.request_id)
+    for _ in range(10):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    assert queued.cancelled and _drain(queued) == []
+
+
+def test_worker_generator_close_cancels_engine_request(setup):
+    """Closing the worker's stream generator mid-flight (what the HTTP layer
+    does on client disconnect, serve/protocol.py) cancels the engine request."""
+    import time
+
+    from slime_tpu.serve.batched_worker import BatchedWorker
+    from .toy_tokenizer import ToyTokenizer
+
+    cfg, params, _ = setup
+    tok = ToyTokenizer()
+    tok("hello world this is a longer seed sentence for vocab")
+    worker = BatchedWorker(controller_addr=None, worker_addr="x",
+                           model_name="slime-tiny-cancel", params=params,
+                           cfg=cfg, tokenizer=tok, max_slots=2, cache_len=96,
+                           register=False)
+    eng = worker.engine
+    try:
+        gen = worker.generate_stream({"prompt": "hello world this is long",
+                                      "max_new_tokens": 64})
+        first = next(gen)                    # at least one chunk streamed
+        assert first.get("error_code") == 0, first
+        gen.close()                          # client disconnected
+        deadline = time.monotonic() + 15.0
+        while time.monotonic() < deadline:
+            if all(s is None for s in eng.slots) and eng.pending.empty():
+                break
+            time.sleep(0.02)
+        assert all(s is None for s in eng.slots), "cancel must free the slot"
+    finally:
+        eng.stop()
