@@ -121,12 +121,19 @@ class Controller:
         if not addr:
             yield {"text": SERVER_ERROR_MSG, "error_code": ErrorCode["SERVER_ERROR"]}
             return
+        r = None
         try:
             r = requests.post(addr + "/worker_generate_stream", json=params,
                               stream=True, timeout=100)
             yield from iter_stream_response(r)
         except Exception:
             yield {"text": SERVER_ERROR_MSG, "error_code": ErrorCode["SERVER_ERROR"]}
+        finally:
+            # our client hung up (GeneratorExit lands at the yield): drop the
+            # upstream connection too, so the worker sees the disconnect and
+            # cancels its engine request instead of decoding to budget
+            if r is not None:
+                r.close()
 
     def worker_api_get_status(self) -> dict:
         names = self.list_models()

@@ -633,3 +633,61 @@ def test_worker_generator_close_cancels_engine_request(setup):
         assert all(s is None for s in eng.slots), "cancel must free the slot"
     finally:
         eng.stop()
+
+
+def test_controller_proxy_disconnect_cancels_worker_request(setup):
+    """Client disconnect at the CONTROLLER propagates: the proxy closes its
+    upstream connection, the worker's HTTP layer closes the stream generator,
+    and the engine request cancels (controller.py worker_api_generate_stream
+    finally-close; the reference proxy at controller.py:193-215 has no
+    cancellation anywhere downstream)."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from slime_tpu.serve.batched_worker import BatchedWorker, build_server
+    from slime_tpu.serve.controller import Controller
+    from slime_tpu.serve.controller import build_server as build_controller
+    from .toy_tokenizer import ToyTokenizer
+
+    cfg, params, _ = setup
+    tok = ToyTokenizer()
+    tok("hello world this is a longer seed sentence for vocab")
+    ctrl = Controller("shortest_queue")
+    csrv = build_controller(ctrl, "localhost", 0)
+    threading.Thread(target=csrv.serve_forever, daemon=True).start()
+    worker = BatchedWorker(controller_addr=f"http://localhost:{csrv.port}",
+                           worker_addr="pending", model_name="slime-tiny-prx",
+                           params=params, cfg=cfg, tokenizer=tok, max_slots=2,
+                           cache_len=96, register=False)
+    wsrv = build_server(worker, "localhost", 0)
+    worker.worker_addr = f"http://localhost:{wsrv.port}"
+    threading.Thread(target=wsrv.serve_forever, daemon=True).start()
+    worker.register_to_controller()
+    try:
+        body = json.dumps({"model": "slime-tiny-prx",
+                           "prompt": "hello world this is long",
+                           "max_new_tokens": 64}).encode()
+        s = socket.create_connection(("localhost", csrv.port))
+        s.sendall(b"POST /worker_generate_stream HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: " + str(len(body)).encode()
+                  + b"\r\n\r\n" + body)
+        data = b""
+        while b"\x00" not in data:           # first proxied chunk arrived
+            data += s.recv(4096)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     b"\x01\x00\x00\x00\x00\x00\x00\x00")
+        s.close()                            # RST mid-stream
+        deadline = time.monotonic() + 20.0
+        while time.monotonic() < deadline:
+            if all(sl is None for sl in worker.engine.slots) \
+                    and worker.engine.pending.empty():
+                break
+            time.sleep(0.05)
+        assert all(sl is None for sl in worker.engine.slots), \
+            "disconnect at the controller must cancel the worker request"
+    finally:
+        worker.engine.stop()
+        wsrv.shutdown()
+        csrv.shutdown()
