@@ -134,6 +134,49 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
             yield text[len(prev):], text, int(chunk.get("n_tokens", 0)), chunk
             prev = text
 
+    def _n_choices(body: dict) -> int:
+        return max(1, min(int(body.get("n") or 1), 8))
+
+    def _drive_many(body: dict, prompt: str, images: List[str], n: int):
+        """n engine requests concurrently -> (choice_idx, delta, text,
+        n_tokens, chunk) events. Each choice is its own engine request, so
+        the continuous-batching engine decodes all n in one batched step and
+        choices 2..n prefill through the automatic prefix cache (their prompt
+        IS the cached prefix). A consumer that stops early (client
+        disconnect) sets the stop flag; each thread then falls out of its
+        worker stream, whose cancellation path frees the engine slot."""
+        import queue as queue_mod
+        import threading
+
+        out: "queue_mod.Queue" = queue_mod.Queue()
+        stop = threading.Event()
+
+        def run(i: int) -> None:
+            try:
+                for delta, text, ntok, chunk in _drive(body, prompt, images):
+                    out.put(("tok", i, delta, text, ntok, chunk))
+                    if stop.is_set():
+                        break          # exits the worker generator -> cancel
+            except BaseException as e:  # noqa: BLE001 — reraised on the consumer
+                out.put(("err", i, e, None, None, None))
+            finally:
+                out.put(("end", i, None, None, None, None))
+
+        for i in range(n):
+            threading.Thread(target=run, args=(i,), daemon=True).start()
+        live = n
+        try:
+            while live:
+                kind, i, a, b, c, d = out.get()
+                if kind == "end":
+                    live -= 1
+                elif kind == "err":
+                    raise a
+                else:
+                    yield i, a, b, c, d
+        finally:
+            stop.set()
+
     def _openai_logprobs(chunk: dict):
         """Worker logprob entries -> the OpenAI chat logprobs block."""
         if not chunk.get("logprobs"):
@@ -157,22 +200,30 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
 
     def chat(body: dict) -> dict:
         prompt, images = render_messages(body.get("messages") or [], template)
-        text, n = "", 0
-        last = {}
-        for _delta, text, n, last in _drive(body, prompt, images):
-            pass
+        nc = _n_choices(body)
+        texts, toks, lasts = [""] * nc, [0] * nc, [{}] * nc
+        if nc == 1:
+            for _delta, texts[0], toks[0], lasts[0] in _drive(body, prompt,
+                                                              images):
+                pass
+        else:
+            for i, _d, text, ntok, chunk in _drive_many(body, prompt, images,
+                                                        nc):
+                texts[i], toks[i], lasts[i] = text, ntok, chunk
         n_prompt = _count(prompt)
         return {
             "id": "chatcmpl-" + uuid.uuid4().hex[:16],
             "object": "chat.completion",
             "created": int(time.time()),
             "model": model_id,
-            "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": text},
-                         "logprobs": _openai_logprobs(last),
-                         "finish_reason": _finish(body, n)}],
-            "usage": {"prompt_tokens": n_prompt, "completion_tokens": n,
-                      "total_tokens": n_prompt + n},
+            "choices": [{"index": i,
+                         "message": {"role": "assistant", "content": texts[i]},
+                         "logprobs": _openai_logprobs(lasts[i]),
+                         "finish_reason": _finish(body, toks[i])}
+                        for i in range(nc)],
+            "usage": {"prompt_tokens": n_prompt,
+                      "completion_tokens": sum(toks),
+                      "total_tokens": n_prompt + sum(toks)},
         }
 
     def chat_stream(body: dict) -> Iterable[dict]:
@@ -180,36 +231,55 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
         cid = "chatcmpl-" + uuid.uuid4().hex[:16]
         created = int(time.time())
 
-        def frame(delta: dict, finish=None) -> dict:
+        def frame(delta: dict, finish=None, idx: int = 0) -> dict:
             return {"id": cid, "object": "chat.completion.chunk",
                     "created": created, "model": model_id,
-                    "choices": [{"index": 0, "delta": delta,
+                    "choices": [{"index": idx, "delta": delta,
                                  "finish_reason": finish}]}
 
-        yield frame({"role": "assistant", "content": ""})
-        n = 0
-        for delta, _text, n, _c in _drive(body, prompt, images):
-            if delta:
-                yield frame({"content": delta})
-        yield frame({}, finish=_finish(body, n))
+        nc = _n_choices(body)
+        for i in range(nc):
+            yield frame({"role": "assistant", "content": ""}, idx=i)
+        toks = [0] * nc
+        if nc == 1:
+            for delta, _text, toks[0], _c in _drive(body, prompt, images):
+                if delta:
+                    yield frame({"content": delta})
+        else:
+            # choice chunks interleave; each carries its choice index
+            # (the OpenAI wire format for n > 1)
+            for i, delta, _text, ntok, _c in _drive_many(body, prompt,
+                                                         images, nc):
+                toks[i] = ntok
+                if delta:
+                    yield frame({"content": delta}, idx=i)
+        for i in range(nc):
+            yield frame({}, finish=_finish(body, toks[i]), idx=i)
 
     def completions(body: dict) -> dict:
         prompt = body.get("prompt") or ""
         if isinstance(prompt, list):
             prompt = prompt[0] if prompt else ""
-        text, n = "", 0
-        for _d, text, n, _c in _drive(body, prompt, []):
-            pass
+        nc = _n_choices(body)
+        texts, toks = [""] * nc, [0] * nc
+        if nc == 1:
+            for _d, texts[0], toks[0], _c in _drive(body, prompt, []):
+                pass
+        else:
+            for i, _d, text, ntok, _c in _drive_many(body, prompt, [], nc):
+                texts[i], toks[i] = text, ntok
         n_prompt = _count(prompt)
         return {
             "id": "cmpl-" + uuid.uuid4().hex[:16],
             "object": "text_completion",
             "created": int(time.time()),
             "model": model_id,
-            "choices": [{"index": 0, "text": text,
-                         "finish_reason": _finish(body, n)}],
-            "usage": {"prompt_tokens": n_prompt, "completion_tokens": n,
-                      "total_tokens": n_prompt + n},
+            "choices": [{"index": i, "text": texts[i],
+                         "finish_reason": _finish(body, toks[i])}
+                        for i in range(nc)],
+            "usage": {"prompt_tokens": n_prompt,
+                      "completion_tokens": sum(toks),
+                      "total_tokens": n_prompt + sum(toks)},
         }
 
     def completions_stream(body: dict) -> Iterable[dict]:
@@ -218,17 +288,27 @@ def attach_openai_routes(srv, worker, conv_mode: str = None) -> None:
             prompt = prompt[0] if prompt else ""
         cid = "cmpl-" + uuid.uuid4().hex[:16]
         created = int(time.time())
-        n = 0
-        for delta, _text, n, _c in _drive(body, prompt, []):
-            if delta:
-                yield {"id": cid, "object": "text_completion",
-                       "created": created, "model": model_id,
-                       "choices": [{"index": 0, "text": delta,
-                                    "finish_reason": None}]}
-        yield {"id": cid, "object": "text_completion", "created": created,
-               "model": model_id,
-               "choices": [{"index": 0, "text": "",
-                            "finish_reason": _finish(body, n)}]}
+
+        def frame(text: str, finish=None, idx: int = 0) -> dict:
+            return {"id": cid, "object": "text_completion",
+                    "created": created, "model": model_id,
+                    "choices": [{"index": idx, "text": text,
+                                 "finish_reason": finish}]}
+
+        nc = _n_choices(body)
+        toks = [0] * nc
+        if nc == 1:
+            for delta, _text, toks[0], _c in _drive(body, prompt, []):
+                if delta:
+                    yield frame(delta)
+        else:
+            for i, delta, _text, ntok, _c in _drive_many(body, prompt, [],
+                                                         nc):
+                toks[i] = ntok
+                if delta:
+                    yield frame(delta, idx=i)
+        for i in range(nc):
+            yield frame("", finish=_finish(body, toks[i]), idx=i)
 
     # a path registered both ways streams iff the body posts stream=true
     # (JsonHTTPServer dispatch rule)

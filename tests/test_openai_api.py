@@ -149,3 +149,63 @@ def test_response_format_json_object(server):
     got = rq.post(f"{url}/v1/chat/completions", json=body, timeout=120).json()
     assert got["choices"][0]["message"]["content"].strip() in ("", "{}", "{ }")
     assert len(worker.engine.grammars) >= 1   # grammar actually registered
+
+
+def test_chat_n_choices_greedy_identical(server):
+    """n>1 returns n indexed choices; at greedy all equal the n=1 result
+    (each choice is its own engine request — batched decode + prefix-cache
+    prefill reuse), and usage sums completion tokens across choices."""
+    import requests as rq
+    url, _ = server
+    base = {"model": "slime-tiny",
+            "messages": [{"role": "user", "content": "hello world this is"}],
+            "max_tokens": 5, "temperature": 0}
+    one = rq.post(f"{url}/v1/chat/completions", json=base, timeout=120).json()
+    got = rq.post(f"{url}/v1/chat/completions", json={**base, "n": 3},
+                  timeout=180).json()
+    assert [c["index"] for c in got["choices"]] == [0, 1, 2]
+    ref = one["choices"][0]["message"]["content"]
+    for c in got["choices"]:
+        assert c["message"]["content"] == ref
+        assert c["finish_reason"] in ("stop", "length")
+    assert got["usage"]["completion_tokens"] \
+        == 3 * one["usage"]["completion_tokens"]
+
+
+def test_chat_n_choices_stream_interleaved(server):
+    """Streaming n>1: chunks carry their choice index; per-index text equals
+    the non-streamed choice text at greedy."""
+    import requests as rq
+    url, _ = server
+    body = {"messages": [{"role": "user", "content": "hello world"}],
+            "max_tokens": 4, "temperature": 0, "n": 2, "stream": True}
+    r = rq.post(f"{url}/v1/chat/completions", json=body, stream=True,
+                timeout=180)
+    texts = {0: "", 1: ""}
+    finish = {}
+    for line in r.iter_lines():
+        if not line or not line.startswith(b"data: "):
+            continue
+        payload = line[len(b"data: "):]
+        if payload == b"[DONE]":
+            break
+        f = json.loads(payload)["choices"][0]
+        texts[f["index"]] += (f["delta"].get("content") or "")
+        if f["finish_reason"]:
+            finish[f["index"]] = f["finish_reason"]
+    assert set(finish) == {0, 1}
+    body2 = {k: v for k, v in body.items() if k != "stream"}
+    got = rq.post(f"{url}/v1/chat/completions", json=body2,
+                  timeout=180).json()
+    for c in got["choices"]:
+        assert texts[c["index"]] == c["message"]["content"]
+
+
+def test_completions_n_choices(server):
+    import requests as rq
+    url, _ = server
+    got = rq.post(f"{url}/v1/completions",
+                  json={"prompt": "hello world this", "max_tokens": 4,
+                        "temperature": 0, "n": 2}, timeout=180).json()
+    assert [c["index"] for c in got["choices"]] == [0, 1]
+    assert got["choices"][0]["text"] == got["choices"][1]["text"]
