@@ -93,7 +93,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
             # FIRST block (p momentarily 1) washes out when the diagonal
             # block arrives (alpha = exp(-inf - finite) = 0), and every real
             # query's diagonal is always same-segment
-            ok &= sq_ref[0][:, :1] == sk_ref[...]
+            ok &= sq_ref[0][:, :1] == sk_ref[0]
         s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_scr[:]                              # [bq, 1]
@@ -123,7 +123,11 @@ def _seg_operands(segment_ids):
     """seg [B, S] -> (lane-replicated [B, S, 128] int32 for the query rows,
     [B, S] int32 for the key columns)."""
     seg = segment_ids.astype(jnp.int32)
-    return jnp.broadcast_to(seg[:, :, None], seg.shape + (128,)), seg
+    # column ids get a singleton middle dim: a (1, bk) block of a [B, S]
+    # array violates Mosaic's last-two-dims rule on hardware when B > 1
+    # (1 is neither 8-divisible nor equal to B); (1, 1, bk) of [B, 1, S]
+    # is legal for any B
+    return jnp.broadcast_to(seg[:, :, None], seg.shape + (128,)), seg[:, None, :]
 
 
 def _fwd(q, k, v, seg=None, *, scale, causal, block_q, block_k, interpret):
@@ -144,7 +148,7 @@ def _fwd(q, k, v, seg=None, *, scale, causal, block_q, block_k, interpret):
         seg_specs = [
             pl.BlockSpec((1, bq, 128), lambda b, i, h, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk), lambda b, i, h, j: (b, j),
+            pl.BlockSpec((1, 1, bk), lambda b, i, h, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ]
     out, lse = pl.pallas_call(
@@ -228,7 +232,7 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         if causal:
             ok &= qi >= kj
         if segmented:
-            ok &= sq_ref[0][:, :1] == sk_ref[...]
+            ok &= sq_ref[0][:, :1] == sk_ref[0]
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)        # [bq, bk]
         dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do,
@@ -288,7 +292,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         if causal:
             ok &= qi >= kj
         if segmented:
-            ok &= sq_ref[0][:, :1] == sk_ref[...]
+            ok &= sq_ref[0][:, :1] == sk_ref[0]
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -329,13 +333,13 @@ def _bwd_impl(q, k, v, out, lse, g, seg, *, scale, causal, block_q, block_k,
         seg_specs_kv = [
             pl.BlockSpec((1, bq, 128), lambda b, h, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk), lambda b, h, j, i: (b, j),
+            pl.BlockSpec((1, 1, bk), lambda b, h, j, i: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ]
         seg_specs_q = [
             pl.BlockSpec((1, bq, 128), lambda b, h, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk), lambda b, h, i, j: (b, j),
+            pl.BlockSpec((1, 1, bk), lambda b, h, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ]
     # dk/dv at full query-head resolution, then reduced over the GQA group.

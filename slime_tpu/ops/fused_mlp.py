@@ -81,7 +81,7 @@ def _kernel(l_ref, x_ref, nw_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
         xf = x_ref[...].astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         h_ref[...] = (xf * jax.lax.rsqrt(var + eps)
-                      * nw_ref[0][None, :]).astype(dt)
+                      * nw_ref[0, 0][None, :]).astype(dt)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     h = h_ref[...]
@@ -230,7 +230,9 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, H), lambda c, l: (0, 0)),            # x
-            pl.BlockSpec((1, H), lambda c, l: (l[0], 0)),         # norm w
+            # norm w travels as [L, 1, H]: a (1, H) block of [L, H] violates
+            # Mosaic's last-two-dims rule on hardware (1 ∤ 8, 1 != L)
+            pl.BlockSpec((1, 1, H), lambda c, l: (l[0], 0, 0)),   # norm w
             g_spec, gs_spec,
             g_spec, gs_spec,   # up shares gate's geometry
             d_spec, ds_spec,
@@ -246,6 +248,11 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # three double-buffered weight blocks/step (~24 MB at bi=1024,
+            # 8B width) exceed the 16 MB default scoped-VMEM budget; v5e has
+            # 128 MB — big blocks are the point of the whole-layer stream
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lidx, x, nw.astype(jnp.float32), gq, gs, uq, us, dq, ds)
+    )(lidx, x, nw.astype(jnp.float32).reshape(nw.shape[0], 1, H),
+      gq, gs, uq, us, dq, ds)

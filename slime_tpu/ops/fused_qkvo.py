@@ -72,7 +72,7 @@ def _qkv_kernel(l_ref, x_ref, nw_ref, wq_ref, sq_ref, wk_ref, sk_ref,
         xf = x_ref[...].astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         h_ref[...] = (xf * jax.lax.rsqrt(var + eps)
-                      * nw_ref[0][None, :]).astype(dt)
+                      * nw_ref[0, 0][None, :]).astype(dt)
 
     h = h_ref[...]
 
@@ -166,7 +166,11 @@ def fused_qkv_decode(x, layers, layer_idx, *, eps: float = 1e-5,
         grid=(cq + ck + cv,),
         in_specs=[
             pl.BlockSpec((B, H), lambda c, l: (0, 0)),           # x
-            pl.BlockSpec((1, H), lambda c, l: (l[0], 0)),        # norm w
+            # norm w is [L, 1, H] (not [L, H]): Mosaic requires the last TWO
+            # block dims to be 8/128-divisible or full — a (1, H) block of a
+            # [L, H] array fails on hardware (1 ∤ 8, 1 != L); (1, 1, H) of
+            # [L, 1, H] is full in both checked dims
+            pl.BlockSpec((1, 1, H), lambda c, l: (l[0], 0, 0)),  # norm w
             w_spec(iq), s_spec(iq),
             w_spec(ik), s_spec(ik),
             w_spec(iv), s_spec(iv),
@@ -186,10 +190,11 @@ def fused_qkv_decode(x, layers, layer_idx, *, eps: float = 1e-5,
                    jax.ShapeDtypeStruct((B, NKV), x.dtype),
                    jax.ShapeDtypeStruct((B, NKV), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),  # see fused_mlp note
         interpret=interpret,
-    )(jnp.asarray([layer_idx], jnp.int32), x, nw.astype(jnp.float32),
-      wq, sq, wk, sk, wv, sv)
+    )(jnp.asarray([layer_idx], jnp.int32), x,
+      nw.astype(jnp.float32).reshape(L, 1, H), wq, sq, wk, sk, wv, sv)
 
 
 def fused_o_residual(attn, x, layers, layer_idx, *, block_out: int = 0,
@@ -222,6 +227,7 @@ def fused_o_residual(attn, x, layers, layer_idx, *, block_out: int = 0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),  # see fused_mlp note
         interpret=interpret,
     )(jnp.asarray([layer_idx], jnp.int32), attn, x, wo, so)
