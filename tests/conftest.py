@@ -5,8 +5,11 @@ exercised without TPU hardware (SURVEY.md §4: the fake-backend layer the refere
 never had).
 """
 import os
+import tempfile
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Keep serving/gradio conversation logs out of the repo root during test runs.
+os.environ.setdefault("SLIME_LOGDIR", tempfile.mkdtemp(prefix="slime_test_logs_"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -269,3 +269,36 @@ def test_gradio_build_demo_gate():
         pass
     with pytest.raises(ImportError, match="gradio is not installed"):
         gws.build_demo("http://localhost:1")
+
+
+def test_moderation_hook(monkeypatch):
+    """violates_moderation (reference llava/utils.py:102-120): no-op without an
+    API key; flags via the API response when a key is present; fails open on
+    network errors."""
+    from slime_tpu.serve import gradio_web_server as gws
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    assert gws.violates_moderation("anything") is False  # zero-egress default
+
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+
+    class FakeResp:
+        def __init__(self, flagged):
+            self._flagged = flagged
+
+        def json(self):
+            return {"results": [{"flagged": self._flagged}]}
+
+    import requests
+    monkeypatch.setattr(requests, "post",
+                        lambda *a, **k: FakeResp(True))
+    assert gws.violates_moderation("bad text") is True
+    monkeypatch.setattr(requests, "post",
+                        lambda *a, **k: FakeResp(False))
+    assert gws.violates_moderation("fine text") is False
+
+    def boom(*a, **k):
+        raise requests.RequestException("no egress")
+
+    monkeypatch.setattr(requests, "post", boom)
+    assert gws.violates_moderation("text") is False  # fail-open, like reference
