@@ -360,9 +360,12 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
             crop_mask, labels=None, *, training: bool = False,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
             compute_dtype=jnp.float32, remat: bool = False,
-            scan_layers: bool = False, return_aux: bool = False):
+            scan_layers: bool = False, return_aux: bool = False,
+            return_hidden: bool = False):
     """End-to-end forward. Returns (logits [B, L, V] fp32, FusedBatch); with
-    return_aux=True also the router load-balancing aux loss (MoE configs)."""
+    return_aux=True also the router load-balancing aux loss (MoE configs).
+    return_hidden=True skips the LM head and returns final hidden states
+    instead of logits (pair with ops.loss.chunked_cross_entropy)."""
     fused = prepare_multimodal(params, cfg, input_ids, attention_mask,
                                pixel_values, crop_mask, labels,
                                training=training, rng=rng,
@@ -370,7 +373,8 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
     out = llama.forward(params["llm"], fused.embeds, cfg.llm,
                         positions=fused.positions, use_pallas=use_pallas,
                         compute_dtype=compute_dtype, remat=remat,
-                        scan_layers=scan_layers, return_aux=return_aux)
+                        scan_layers=scan_layers, return_aux=return_aux,
+                        return_hidden=return_hidden)
     if return_aux:
         return out[0], fused, out[2]
     return out[0], fused
@@ -379,12 +383,28 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
 def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
             compute_dtype=jnp.float32, remat: bool = False,
-            scan_layers: bool = False):
+            scan_layers: bool = False, loss_chunk: Optional[int] = "auto"):
     """Next-token cross entropy with IGNORE_INDEX masking (HF shift semantics).
     For MoE configs with cfg.llm.router_aux_loss_coef > 0 the router
     load-balancing loss is added (HF MixtralForCausalLM output_router_logits
-    semantics)."""
+    semantics).
+
+    The vocab projection + NLL run CHUNKED over the sequence
+    (ops.loss.chunked_cross_entropy): the LLM returns final hidden states and
+    the loss never materializes [B, S, V] logits — at Llama-3 widths
+    (V=128256, S=2048) that removes ~1 GB of fp32 activations per sample per
+    device, the dominant term the reference pays for with ZeRO-3
+    (llava/model/language_model/llava_llama.py:41-157 routes through HF's
+    dense CE). loss_chunk="auto" picks chunking only when it pays
+    (V >= 16384 and S > chunk); pass an int to force a chunk size or None to
+    force one dense projection. Both paths are mathematically identical
+    (lse - gold == -log_softmax gather); chunking only reorders the
+    over-sequence summation."""
+    from ..ops.loss import DEFAULT_LOSS_CHUNK, chunked_cross_entropy
     want_aux = cfg.llm.num_experts > 0 and cfg.llm.router_aux_loss_coef > 0
+    if loss_chunk == "auto":
+        loss_chunk = DEFAULT_LOSS_CHUNK if cfg.llm.vocab_size >= 16384 else None
+    head = params["llm"]["lm_head"]
     if batch.get("segment_ids") is not None:
         # packed text-only batch (data/packing.py): block-diagonal attention
         # per segment, per-segment RoPE positions, and a shift mask that
@@ -397,17 +417,20 @@ def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
                             positions=batch["positions"],
                             segment_ids=seg, use_pallas=use_pallas,
                             compute_dtype=compute_dtype, remat=remat,
-                            scan_layers=scan_layers, return_aux=want_aux)
-        logits = out[0]
-        shift_logits = logits[:, :-1]
-        shift_labels = batch["labels"][:, 1:]
-        valid = ((shift_labels != IGNORE_INDEX)
-                 & (seg[:, 1:] == seg[:, :-1]) & (seg[:, 1:] > 0))
-        safe = jnp.where(valid, shift_labels, 0)
-        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        total = jnp.sum(jnp.where(valid, nll, 0.0))
-        count = jnp.maximum(jnp.sum(valid), 1)
+                            scan_layers=scan_layers, return_aux=want_aux,
+                            return_hidden=True)
+        hidden = out[0]
+        # Fold the segment-boundary rule into the labels: a token is a valid
+        # target only if it continues its predecessor's segment (never the
+        # first token of a segment, never padding). chunked CE's shift=True
+        # then reproduces the reference shift mask exactly.
+        continues = (seg[:, 1:] == seg[:, :-1]) & (seg[:, 1:] > 0)
+        prev_ok = jnp.concatenate(
+            [jnp.zeros_like(continues[:, :1]), continues], axis=1)
+        masked_labels = jnp.where(prev_ok, batch["labels"], IGNORE_INDEX)
+        total, count = chunked_cross_entropy(hidden, head, masked_labels,
+                                             chunk=loss_chunk)
+        count = jnp.maximum(count, 1)
         loss = total / count
         metrics = {"n_target_tokens": count,
                    "packing_efficiency": jnp.mean(seg > 0)}
@@ -419,16 +442,12 @@ def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
                   batch["pixel_values"], batch["crop_mask"],
                   batch.get("labels"), training=training, rng=rng,
                   use_pallas=use_pallas, compute_dtype=compute_dtype,
-                  remat=remat, scan_layers=scan_layers, return_aux=want_aux)
-    logits, fused = out[0], out[1]
-    shift_logits = logits[:, :-1]
-    shift_labels = fused.labels[:, 1:]
-    valid = shift_labels != IGNORE_INDEX
-    safe = jnp.where(valid, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    total = jnp.sum(jnp.where(valid, nll, 0.0))
-    count = jnp.maximum(jnp.sum(valid), 1)
+                  remat=remat, scan_layers=scan_layers, return_aux=want_aux,
+                  return_hidden=True)
+    hidden, fused = out[0], out[1]
+    total, count = chunked_cross_entropy(hidden, head, fused.labels,
+                                         chunk=loss_chunk)
+    count = jnp.maximum(count, 1)
     loss = total / count
     metrics = {"n_target_tokens": count}
     if want_aux:

@@ -29,9 +29,31 @@ from ..constants import IGNORE_INDEX
 DEFAULT_LOSS_CHUNK = 256
 
 
-def _dense_nll(x, w, targets, valid):
+def _head_logits(x, head):
+    """Vocab projection for the loss path, fp32 logits.
+
+    ``head`` is either a raw [V, H] weight array or an lm_head param dict
+    ({"weight": array-or-quant-dict, optional "lora": {"A","B"}}) so the
+    chunked loss composes with a quantized (QLoRA) base and/or LoRA adapters
+    exactly like models.layers.linear does on the decode path. Dequant/adapter
+    work happens per chunk inside the checkpointed scan body — per-chunk int8
+    reads instead of a full live bf16 copy of a 128k-vocab head."""
+    w = head["weight"] if isinstance(head, dict) else head
+    if isinstance(w, dict):
+        from .quantization import dequantize_weight
+        w = dequantize_weight(w)
     logits = jnp.einsum("bsh,vh->bsv", x, w.astype(x.dtype),
                         preferred_element_type=jnp.float32)
+    if isinstance(head, dict) and "lora" in head:
+        a, b = head["lora"]["A"], head["lora"]["B"]
+        logits = logits + jnp.einsum(
+            "bsr,vr->bsv", jnp.einsum("bsh,rh->bsr", x, a.astype(x.dtype)),
+            b.astype(x.dtype), preferred_element_type=jnp.float32)
+    return logits
+
+
+def _dense_nll(x, w, targets, valid):
+    logits = _head_logits(x, w)
     safe = jnp.where(valid, targets, 0)
     lse = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]

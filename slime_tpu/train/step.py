@@ -26,13 +26,18 @@ from .optim import TrainConfig, make_optimizer
 def make_train_step(cfg: SliMEConfig, tc: TrainConfig, tx,
                     use_pallas: Optional[bool] = None,
                     compute_dtype=jnp.bfloat16, remat: bool = False,
-                    scan_layers: bool = False):
-    """Returns step(state, batch, rng) -> (state, metrics); jitted, state donated."""
+                    scan_layers: bool = False, loss_chunk="auto"):
+    """Returns step(state, batch, rng) -> (state, metrics); jitted, state donated.
+
+    The loss is chunked over the sequence (ops.loss) so the step never
+    materializes [B, S, V] logits; loss_chunk="auto" chunks only at real vocab
+    widths (see slime.loss_fn)."""
 
     def loss(params, batch, rng):
         return slime.loss_fn(params, cfg, batch, training=True, rng=rng,
                              use_pallas=use_pallas, compute_dtype=compute_dtype,
-                             remat=remat, scan_layers=scan_layers)
+                             remat=remat, scan_layers=scan_layers,
+                             loss_chunk=loss_chunk)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
@@ -52,7 +57,7 @@ def make_lora_train_step(cfg: SliMEConfig, tc: TrainConfig, tx, *,
                          rank: int, alpha: int,
                          use_pallas: Optional[bool] = None,
                          compute_dtype=jnp.bfloat16, remat: bool = False,
-                         scan_layers: bool = False):
+                         scan_layers: bool = False, loss_chunk="auto"):
     """LoRA/QLoRA step: only the adapter factors (+ projector/sampler extras)
     are trained; the base — bf16 or QUANTIZED int8/int4 — is a frozen input.
 
@@ -73,7 +78,8 @@ def make_lora_train_step(cfg: SliMEConfig, tc: TrainConfig, tx, *,
                      "adapters": trainable["adapters"]})
         return slime.loss_fn(params, cfg, batch, training=True, rng=rng,
                              use_pallas=use_pallas, compute_dtype=compute_dtype,
-                             remat=remat, scan_layers=scan_layers)
+                             remat=remat, scan_layers=scan_layers,
+                             loss_chunk=loss_chunk)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, base_params, batch, rng):
