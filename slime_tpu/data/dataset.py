@@ -215,36 +215,66 @@ def data_loader(dataset: SupervisedDataset, *, batch_size: int, seq_len: int,
                           pad_token_id=pad_token_id, seq_len=seq_len)
 
 
-def prefetch(iterator, depth: int = 2):
-    """Run ``iterator`` in a background thread, keeping up to ``depth`` batches
-    ready. Overlaps host-side preprocessing (image decode, tokenization,
-    collation) with device steps — the input-pipeline half of the reference's
-    DataLoader(num_workers=4, pin_memory) (train.py HF TrainingArguments), done
-    the JAX way: the device step dispatches asynchronously, so one ready batch
-    on the host hides the whole preprocess latency.
+class Prefetcher:
+    """Bounded-queue background input pipeline with stall accounting.
 
-    Exceptions in the producer re-raise at the consuming side; the thread is a
-    daemon, so abandoning the iterator never hangs shutdown."""
-    import queue as _queue
-    import threading as _threading
+    Runs ``iterator`` in a daemon thread, keeping up to ``depth`` batches ready
+    — the input-pipeline half of the reference's DataLoader(num_workers=4,
+    pin_memory) (llava/train/train.py HF TrainingArguments +
+    scripts/llama/llama3_8b_sft.sh:40), done the JAX way: host preprocessing
+    (image decode / anyres slicing / tokenization / collation — PIL and the
+    C++ preprocessor both release the GIL) AND the host->device transfer
+    (``map_fn``, e.g. mesh shard_batch) run in the producer thread, so a ready
+    device-resident batch always awaits the consumer while the previous step
+    executes.
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    ``stall_s`` accumulates the time the CONSUMER spent blocked on an empty
+    queue — divide by the loop's wall time for the host-stall fraction the
+    trainer logs (docs/Training.md). Producer exceptions re-raise at the
+    consuming side; the daemon thread never blocks interpreter shutdown."""
+
     _END = object()
 
-    def producer():
-        try:
-            for item in iterator:
-                q.put(item)
-            q.put(_END)
-        except BaseException as e:  # noqa: BLE001 — surface on the consumer side
-            q.put(e)
+    def __init__(self, iterator, depth: int = 2, map_fn=None):
+        import queue as _queue
+        import threading as _threading
 
-    t = _threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+        self.stall_s = 0.0
+        self.batches = 0
+
+        def producer():
+            try:
+                for item in iterator:
+                    self._q.put(map_fn(item) if map_fn is not None else item)
+                self._q.put(Prefetcher._END)
+            except BaseException as e:  # noqa: BLE001 — surface on the consumer
+                self._q.put(e)
+
+        self._t = _threading.Thread(target=producer, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import time as _time
+
+        if self._q.empty():
+            t0 = _time.perf_counter()
+            item = self._q.get()
+            self.stall_s += _time.perf_counter() - t0
+        else:
+            item = self._q.get()
+        if item is Prefetcher._END:
+            raise StopIteration
         if isinstance(item, BaseException):
             raise item
-        yield item
+        self.batches += 1
+        return item
+
+
+def prefetch(iterator, depth: int = 2):
+    """Generator view of Prefetcher (kept for callers that don't need stall
+    stats)."""
+    yield from Prefetcher(iterator, depth=depth)

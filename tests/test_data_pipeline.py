@@ -157,3 +157,67 @@ def test_prefetch_order_and_errors():
         next(it)
 
     assert list(prefetch(iter([]), depth=1)) == []
+
+
+def test_prefetcher_map_fn_and_stall_accounting():
+    """Prefetcher runs map_fn in the producer thread, preserves order, and
+    accounts consumer stall time (the host-stall metric the trainer logs)."""
+    import time
+
+    from slime_tpu.data.dataset import Prefetcher
+
+    pf = Prefetcher(iter(range(10)), depth=2, map_fn=lambda x: x * 2)
+    assert list(pf) == [x * 2 for x in range(10)]
+    assert pf.batches == 10
+
+    def slow_producer():
+        for i in range(3):
+            time.sleep(0.05)
+            yield i
+
+    pf = Prefetcher(slow_producer(), depth=2)
+    assert list(pf) == [0, 1, 2]
+    assert pf.stall_s > 0.02  # consumer had to wait on the slow producer
+
+
+def test_trainer_prefetch_matches_synchronous(tmp_path):
+    """Same data + seed with and without the background input pipeline give
+    the identical final state (prefetch only reorders host work)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.models import slime
+    from slime_tpu.train.optim import TrainConfig
+    from slime_tpu.train.trainer import RunConfig, Trainer
+    from slime_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, S = 2, 12
+    t = cfg.vision.image_size
+    MC = 1 + cfg.max_local_crops
+    ids = rng.integers(5, cfg.llm.vocab_size, (B, S)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    batch = {"input_ids": ids, "attention_mask": np.ones((B, S), bool),
+             "pixel_values": rng.standard_normal((B, MC, 3, t, t)).astype(np.float32),
+             "crop_mask": np.ones((B, MC), bool),
+             "labels": np.where(ids == IMAGE_TOKEN_INDEX, IGNORE_INDEX, ids)}
+    tc = TrainConfig(total_steps=4, learning_rate=1e-3)
+
+    def run(depth):
+        tr = Trainer(params, cfg, tc,
+                     RunConfig(output_dir=str(tmp_path / f"d{depth}"),
+                               save_steps=0, log_steps=100, max_steps=4,
+                               prefetch_depth=depth),
+                     compute_dtype=jnp.float32)
+        tr.train(dict(batch) for _ in range(4))
+        return tr.state
+
+    s_sync, s_pf = run(0), run(2)
+    assert int(s_sync["step"]) == int(s_pf["step"]) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(s_sync["params"]),
+                    jax.tree_util.tree_leaves(s_pf["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -59,7 +59,12 @@ def test_sigterm_saves_state_and_resumes(tmp_path):
     params = slime.init(jax.random.PRNGKey(0), cfg)
     tc = TrainConfig(total_steps=50, learning_rate=1e-3)
     out = str(tmp_path / "run")
-    rc = RunConfig(output_dir=out, save_steps=0, log_steps=100, max_steps=50)
+    # prefetch_depth=0: with the background input pipeline the producer runs
+    # ahead of consumption, so a generator-side SIGTERM lands at a
+    # nondeterministic consumed-step count; the synchronous path keeps this
+    # test's step arithmetic exact (the save/resume contract is identical).
+    rc = RunConfig(output_dir=out, save_steps=0, log_steps=100, max_steps=50,
+                   prefetch_depth=0)
     tr = Trainer(params, cfg, tc, rc, compute_dtype=jnp.float32)
 
     kill_at = 3
