@@ -81,7 +81,7 @@ def _text_embeds_for_selector(params, input_ids, attention_mask):
 def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
                   input_ids, attention_mask, *, training: bool = False,
                   rng: Optional[jax.Array] = None, local_token_perm=None,
-                  unpad_order=None,
+                  unpad_order=None, remat: bool = False,
                   compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (img_embeds [B, T_img, H], img_valid [B, T_img]).
 
@@ -95,7 +95,7 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
     feats = vit.apply(params["vision"],
                       pixel_values.reshape(B * MC, *pixel_values.shape[2:])
                       .astype(compute_dtype),
-                      cfg.vision)                     # [B*MC, P, mm]
+                      cfg.vision, remat=remat)        # [B*MC, P, mm]
     feats = feats.reshape(B, MC, P, -1)
 
     if not cfg.has_sampler:
@@ -223,7 +223,7 @@ def _splice_one(text_emb, text_valid, text_labels, img_emb, img_valid, img_pos,
 def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
                        pixel_values, crop_mask, labels=None, *,
                        training: bool = False, rng: Optional[jax.Array] = None,
-                       max_len: Optional[int] = None,
+                       max_len: Optional[int] = None, remat: bool = False,
                        compute_dtype=jnp.float32) -> FusedBatch:
     """Full fusion: encode images + splice into the token stream.
 
@@ -237,7 +237,7 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
 
     img_embeds, img_valid = encode_images(
         params, cfg, pixel_values, crop_mask, input_ids, attention_mask,
-        training=training, rng=rng, compute_dtype=compute_dtype)
+        training=training, rng=rng, remat=remat, compute_dtype=compute_dtype)
 
     is_img = input_ids == IMAGE_TOKEN_INDEX
     safe_ids = jnp.where(is_img, 0, input_ids)
@@ -316,7 +316,7 @@ def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask
                              pixel_values, crop_mask, labels=None, *,
                              training: bool = False,
                              rng: Optional[jax.Array] = None,
-                             max_len: Optional[int] = None,
+                             max_len: Optional[int] = None, remat: bool = False,
                              compute_dtype=jnp.float32) -> FusedBatch:
     """Multi-image fusion: pixel_values [B, N, MC, 3, t, t]; crop_mask [B, N, MC].
     Each of the first N '<image>' sentinels expands into its image's feature block.
@@ -332,7 +332,7 @@ def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask
     attn_rep = jnp.repeat(attention_mask, N, axis=0)
     img_embeds, img_valid = encode_images(
         params, cfg, pv, cm, ids_rep, attn_rep, training=training, rng=rng,
-        compute_dtype=compute_dtype)
+        remat=remat, compute_dtype=compute_dtype)
     T = img_embeds.shape[1]
     img_embeds = img_embeds.reshape(B, N, T, -1)
     img_valid = img_valid.reshape(B, N, T)
@@ -368,7 +368,7 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
     instead of logits (pair with ops.loss.chunked_cross_entropy)."""
     fused = prepare_multimodal(params, cfg, input_ids, attention_mask,
                                pixel_values, crop_mask, labels,
-                               training=training, rng=rng,
+                               training=training, rng=rng, remat=remat,
                                compute_dtype=compute_dtype)
     out = llama.forward(params["llm"], fused.embeds, cfg.llm,
                         positions=fused.positions, use_pallas=use_pallas,

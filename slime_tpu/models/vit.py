@@ -148,13 +148,21 @@ def embed_patches(params, pixel_values, cfg: VisionConfig):
     return x + params["position_embedding"].astype(x.dtype)
 
 
-def apply(params, pixel_values, cfg: VisionConfig):
-    """[B, 3, H, W] -> patch features [B, P, E] (CLS dropped, layer ``select_layer``)."""
+def apply(params, pixel_values, cfg: VisionConfig, *, remat: bool = False):
+    """[B, 3, H, W] -> patch features [B, P, E] (CLS dropped, layer ``select_layer``).
+
+    remat=True rematerializes each encoder block on the backward pass
+    (jax.checkpoint): the training-time memory knob for the multimodal step —
+    the backward stash drops from ~8 tensors/block to the block input alone,
+    which is what lets the 70B composed plan budget the vision tower at
+    O(layers * crops * 577 * E) instead of O(8x) that (parallel/memory_plan.py).
+    Values are bit-identical either way."""
     x = embed_patches(params, pixel_values, cfg)
     x = L.layer_norm(params["pre_layernorm"], x, eps=cfg.layer_norm_eps)
     n_run = cfg.num_layers + cfg.select_layer + 1 if cfg.select_layer < 0 else cfg.select_layer
+    block = jax.checkpoint(_block, static_argnums=(2,)) if remat else _block
     for i in range(n_run):
-        x = _block(params["layers"][i], x, cfg)
+        x = block(params["layers"][i], x, cfg)
     if cfg.select_feature == "patch":
         x = x[:, 1:]
     return x

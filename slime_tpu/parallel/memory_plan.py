@@ -190,3 +190,92 @@ def fit_table(cfg: LLMConfig, meshes, **kw):
     for m in meshes:
         out.append((m, plan(cfg, **m, **kw)))
     return out
+
+
+def plan_mm(cfg, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
+            n_pp: int = 1, batch: int = 8, seq: Optional[int] = None,
+            param_bytes: int = 2, opt_bytes: int = 4, master_fp32: bool = True,
+            n_micro: Optional[int] = None, loss_chunk: Optional[int] = "default"
+            ) -> MemoryPlan:
+    """MemoryPlan for the FULL SliME model (vision tower + projector + sampler
+    + fusion + pipelined decoder) under composed.make_composed_mm_train_step.
+
+    cfg is a SliMEConfig. On top of the LLM plan (``plan`` over cfg.llm at the
+    FUSED sequence length — image tokens count, so seq defaults to
+    cfg.tokenizer_model_max_length exactly as the step runs):
+
+    - vision/projector/sampler param state (params+grads+Adam+master) with the
+      real rule shardings (parallel/mesh.py) over fsdp/model, replicated over
+      pp — exact, from abstract shapes;
+    - vision activations as the step computes them: the crop batch is sharded
+      over data x fsdp x pp (composed.py constrains pixel_values so pp acts as
+      extra data parallelism for the encode), the ViT rematerializes per block
+      (vit.apply(remat=True)) so the backward stash is one block INPUT per
+      layer, plus one block's recompute working set (attention probabilities
+      included — the encoder kernel keeps them in VMEM on TPU, counted in HBM
+      here as the conservative bound), plus the fused-embed splice buffers.
+    """
+    from ..models import slime as slime_mod
+
+    fused_seq = seq if seq is not None else cfg.tokenizer_model_max_length
+    base = plan(cfg.llm, n_data=n_data, n_fsdp=n_fsdp, n_model=n_model,
+                n_pp=n_pp, batch=batch, seq=fused_seq, param_bytes=param_bytes,
+                opt_bytes=opt_bytes, master_fp32=master_fp32, n_micro=n_micro,
+                loss_chunk=loss_chunk)
+
+    axis_sizes = {"data": n_data, "fsdp": n_fsdp, "model": n_model, "pp": n_pp}
+    abstract = jax.eval_shape(
+        lambda: slime_mod.init(jax.random.PRNGKey(0), cfg))
+    vis = {k: v for k, v in abstract.items() if k != "llm"}
+
+    vis_bytes = 0
+    n_vis_params = 0
+
+    def _acc(path, leaf):
+        nonlocal vis_bytes, n_vis_params
+        spec = mesh_lib.param_pspec(path, leaf, _FakeMesh(axis_sizes))
+        vis_bytes += _local_bytes(tuple(leaf.shape), spec, axis_sizes,
+                                  param_bytes)
+        n_vis_params += int(np.prod(leaf.shape)) if leaf.shape else 1
+
+    jax.tree_util.tree_map_with_path(_acc, vis)
+
+    vis_grads = vis_bytes
+    vis_opt = 2 * vis_bytes * opt_bytes // param_bytes
+    vis_master = vis_bytes * 4 // param_bytes if master_fp32 else 0
+
+    # --- vision activations ---
+    vc = cfg.vision
+    MC = 1 + cfg.max_local_crops
+    crops_local = max(batch * MC // (n_data * n_fsdp * n_pp), 1)
+    S_vis = vc.num_patches + 1                       # +CLS
+    E = vc.hidden_size
+    n_blocks = (vc.num_layers + vc.select_layer + 1 if vc.select_layer < 0
+                else vc.select_layer)
+    act = 2  # bf16
+    stash = n_blocks * crops_local * S_vis * E * act
+    heads_local = max(vc.num_heads // max(n_model, 1), 1)
+    working = crops_local * S_vis * (
+        4 * E + max(E, vc.intermediate_size // max(n_model, 1))) * act \
+        + crops_local * heads_local * S_vis * S_vis * act
+    # splice buffers: text+image embeds and the fused output, batch over
+    # data x fsdp (the fused sequence is replicated over pp for the wavefront)
+    B_loc = max(batch // (n_data * n_fsdp), 1)
+    fused_buf = 3 * B_loc * fused_seq * cfg.llm.hidden_size * act
+    vis_acts = stash + working + fused_buf
+
+    gb = 2.0 ** 30
+    total = (base.total + vis_bytes + vis_grads + vis_opt + vis_master
+             + vis_acts)
+    cats = dict(base.per_category_gb)
+    cats["vision_state"] = round(
+        (vis_bytes + vis_grads + vis_opt + vis_master) / gb, 2)
+    cats["vision_acts"] = round(vis_acts / gb, 2)
+    cats["total"] = round(total / gb, 2)
+    return MemoryPlan(
+        params=base.params + vis_bytes, grads=base.grads + vis_grads,
+        opt_moments=base.opt_moments + vis_opt,
+        master_params=base.master_params + vis_master,
+        activations=base.activations + vis_acts, logits=base.logits,
+        total=total, n_params=base.n_params + n_vis_params,
+        per_category_gb=cats)

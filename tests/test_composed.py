@@ -85,3 +85,57 @@ def test_composed_train_step_matches_single_device():
     np.testing.assert_allclose(composed_losses, ref_losses, rtol=2e-3)
     # loss must decrease through the composed optimizer path too
     assert composed_losses[1] < composed_losses[0]
+
+
+@pytest.mark.slow
+def test_composed_mm_train_step_full_multimodal():
+    """The composed step trains the FULL SliME model (vision tower + gated
+    projector + sampler + fusion + pipelined decoder), matching the
+    single-device slime.loss_fn oracle — the 70B-story completeness check
+    (reference trains the full multimodal model every SFT step,
+    llava/train/train.py:1096-1099)."""
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from slime_tpu.models import slime
+
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-3)
+
+    B, S = 8, 24
+    MC = 1 + cfg.max_local_crops
+    t = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    ids = rng.integers(8, cfg.llm.vocab_size, (B, S)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    labels = np.where(ids == IMAGE_TOKEN_INDEX, IGNORE_INDEX, ids)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((B, S), bool),
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((B, MC, 3, t, t)).astype(np.float32)),
+        "crop_mask": jnp.asarray(np.ones((B, MC), bool)),
+        "labels": jnp.asarray(labels),
+    }
+    key = jax.random.PRNGKey(7)
+
+    mesh = composed.make_composed_mesh(1, 2, 2, 2)
+    state = composed.init_composed_mm_train_state(params, tx, mesh=mesh)
+    step = composed.make_composed_mm_train_step(
+        cfg, tx, mesh=mesh, n_micro=4, compute_dtype=jnp.float32)
+    v0 = np.asarray(state["vision"]["vision"]["layers"][0]["q_proj"]["weight"])
+    sbatch = composed.composed_batch(mesh, batch)
+    state, metrics = step(state, sbatch, key)
+    loss0 = float(metrics["loss"])
+    state, metrics2 = step(state, sbatch, key)
+    loss1 = float(metrics2["loss"])
+    assert np.isfinite(loss0) and loss1 < loss0
+
+    # gradients reached the vision tower (full-model training, not LLM-only)
+    v1 = np.asarray(state["vision"]["vision"]["layers"][0]["q_proj"]["weight"])
+    assert not np.allclose(v0, v1)
+
+    # single-device oracle: identical math through slime.loss_fn
+    ref, _ = slime.loss_fn(params, cfg, batch, training=True, rng=key,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(loss0, float(ref), rtol=2e-3)

@@ -44,6 +44,61 @@ def test_more_chips_never_more_bytes():
     assert totals[0] >= totals[1] >= totals[2]
 
 
+def test_slime70b_full_multimodal_fits_v5e_128():
+    """The fit claim upgraded to SliME-70B, not Llama-70B (VERDICT r3 #4):
+    vision tower + projector + sampler state AND their activations (crop
+    batch sharded over data x fsdp x pp, per-block ViT remat, splice buffers)
+    budgeted on top of the pipelined decoder — still fits 16 GB v5e chips at
+    (fsdp=8, tp=4, pp=4) = 128 chips."""
+    from slime_tpu.config import SliMEConfig
+
+    cfg = SliMEConfig.slime_70b()
+    p = mp.plan_mm(cfg, n_fsdp=8, n_model=4, n_pp=4, batch=32)
+    assert p.fits(16 * 2 ** 30), p.per_category_gb
+    # the vision additions are visible and small but nonzero
+    assert 0.05 < p.per_category_gb["vision_state"] < 1.0
+    assert 0.05 < p.per_category_gb["vision_acts"] < 2.0
+    # consistency: the MM plan strictly contains the LLM-only plan
+    base = mp.plan(cfg.llm, n_fsdp=8, n_model=4, n_pp=4, batch=32,
+                   seq=cfg.tokenizer_model_max_length)
+    assert p.total > base.total
+    assert p.n_params > base.n_params
+
+
+@pytest.mark.slow
+def test_slime70b_composed_mm_step_lowers():
+    """The SliME-70B multimodal composed step (ViT + projector + sampler +
+    fusion + wavefront + chunked CE + AdamW) shape-only lowers on 128 virtual
+    devices — the compiler check behind plan_mm's fit table. (The fp32
+    partitioner compile leg stays with the text-only test; this one pins that
+    the MULTIMODAL graph traces through the composed shardings at 70B scale.)"""
+    import os
+    import subprocess
+    import sys
+
+    prog = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 128, len(jax.devices())
+from slime_tpu.config import SliMEConfig
+from slime_tpu.parallel.composed import lower_composed_mm_abstract
+cfg = SliMEConfig.slime_70b()
+low = lower_composed_mm_abstract(cfg, n_fsdp=8, n_model=4, n_pp=4,
+                                 batch=32, seq=256)
+txt = low.as_text()
+assert "shard_map" in txt or "stablehlo" in txt
+print("OK-SLIME70B-MM-LOWERED")
+"""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=128"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=560, env=env,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "OK-SLIME70B-MM-LOWERED" in r.stdout
+
+
 @pytest.mark.slow
 def test_70b_composed_step_lowers_and_partitions():
     """The fit table's mesh is compiler-checked, not just arithmetic: the FULL
