@@ -140,6 +140,27 @@ void normalize_into(const float* hwc, int h, int w, float* chw_out, int tile,
   }
 }
 
+// Write an HWC float [0,255] region into a CHW uint8 tile (round-to-nearest,
+// PIL's own quantization of resize output). Normalization then happens ON
+// DEVICE (slime.encode_images uint8 path) — the crop batch ships host->device
+// at 1/4 the float32 bytes, which is what the transfer can't hide behind the
+// running train step on tunnel/DCN-attached hosts.
+void quantize_into(const float* hwc, int h, int w, uint8_t* chw_out, int tile,
+                   int oy, int ox) {
+  for (int c = 0; c < 3; ++c) {
+    uint8_t* plane = chw_out + static_cast<size_t>(c) * tile * tile;
+    for (int y = 0; y < h; ++y) {
+      const float* row = hwc + (static_cast<size_t>(y) * w) * 3 + c;
+      uint8_t* orow = plane + static_cast<size_t>(oy + y) * tile + ox;
+      for (int x = 0; x < w; ++x) {
+        float v = row[static_cast<size_t>(x) * 3];
+        v = std::min(std::max(v, 0.f), 255.f);
+        orow[x] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
 // --- anyres grid selection (mirrors slime_tpu/data/anyres.py) -------------------
 
 void candidate_grids(int scale, std::vector<std::pair<int, int>>& out) {
@@ -182,29 +203,27 @@ void select_best_uhd(int ow, int oh, int tile, int* bw, int* bh) {
   *bh = best_h;
 }
 
-}  // namespace
-
-extern "C" {
-
-// img: HWC uint8 [h, w, 3]. out: [max_crops, 3, tile, tile] float32 (zeroed by
-// callee). mask: [max_crops] uint8. Returns number of valid crops (1 + cols*rows)
-// or -1 if the grid exceeds max_crops.
-int slime_anyres_preprocess(const uint8_t* img, int h, int w, int tile,
-                            int max_crops, float* out, uint8_t* mask,
-                            int* grid_cols, int* grid_rows) {
+// Shared anyres pipeline: emits either normalized float32 crops (out_f32) or
+// raw uint8 crops for on-device normalization (out_u8). Exactly one of the
+// out pointers is non-null.
+int anyres_core(const uint8_t* img, int h, int w, int tile, int max_crops,
+                float* out_f32, uint8_t* out_u8, uint8_t* mask,
+                int* grid_cols, int* grid_rows) {
   int bw = 0, bh = 0;
   select_best_uhd(w, h, tile, &bw, &bh);
   int cols = bw / tile, rows = bh / tile;
   if (1 + cols * rows > max_crops) return -1;
 
   size_t crop_sz = static_cast<size_t>(3) * tile * tile;
-  std::memset(out, 0, sizeof(float) * crop_sz * max_crops);
+  if (out_f32) std::memset(out_f32, 0, sizeof(float) * crop_sz * max_crops);
+  if (out_u8) std::memset(out_u8, 0, crop_sz * max_crops);
   std::memset(mask, 0, max_crops);
 
   // Global view: square resize to tile x tile.
   std::vector<float> g(crop_sz);
   resize_bicubic(img, h, w, g.data(), tile, tile);
-  normalize_into(g.data(), tile, tile, out, tile, 0, 0);
+  if (out_f32) normalize_into(g.data(), tile, tile, out_f32, tile, 0, 0);
+  else quantize_into(g.data(), tile, tile, out_u8, tile, 0, 0);
   mask[0] = 1;
 
   // Fit-resize into the best-resolution canvas (aspect preserved, centered).
@@ -237,14 +256,43 @@ int slime_anyres_preprocess(const uint8_t* img, int h, int w, int tile,
                     &canvas[((static_cast<size_t>(r * tile + y) * bw) + c * tile) * 3],
                     sizeof(float) * tile * 3);
       }
-      // tilebuf holds [0,255]-scale floats; normalize_into expects the same
-      normalize_into(tilebuf.data(), tile, tile, out + crop_sz * k, tile, 0, 0);
+      // tilebuf holds [0,255]-scale floats
+      if (out_f32)
+        normalize_into(tilebuf.data(), tile, tile, out_f32 + crop_sz * k,
+                       tile, 0, 0);
+      else
+        quantize_into(tilebuf.data(), tile, tile, out_u8 + crop_sz * k,
+                      tile, 0, 0);
       mask[k] = 1;
     }
   }
   *grid_cols = cols;
   *grid_rows = rows;
   return 1 + cols * rows;
+}
+
+}  // namespace
+
+extern "C" {
+
+// img: HWC uint8 [h, w, 3]. out: [max_crops, 3, tile, tile] float32 (zeroed by
+// callee). mask: [max_crops] uint8. Returns number of valid crops (1 + cols*rows)
+// or -1 if the grid exceeds max_crops.
+int slime_anyres_preprocess(const uint8_t* img, int h, int w, int tile,
+                            int max_crops, float* out, uint8_t* mask,
+                            int* grid_cols, int* grid_rows) {
+  return anyres_core(img, h, w, tile, max_crops, out, nullptr, mask,
+                     grid_cols, grid_rows);
+}
+
+// uint8-output variant: crops stay [0,255] uint8 (PIL's own rounding of the
+// resize output) and CLIP normalization happens on device — 1/4 the
+// host->device bytes of the float32 stack.
+int slime_anyres_preprocess_u8(const uint8_t* img, int h, int w, int tile,
+                               int max_crops, uint8_t* out, uint8_t* mask,
+                               int* grid_cols, int* grid_rows) {
+  return anyres_core(img, h, w, tile, max_crops, nullptr, out, mask,
+                     grid_cols, grid_rows);
 }
 
 // Plain resize+normalize (pad mode / video frames): one tile out.

@@ -40,6 +40,12 @@ def parse_args():
     ap.add_argument("--data-path", nargs="+", required=True)
     ap.add_argument("--image-folder", default="")
     ap.add_argument("--image-aspect-ratio", default="anyres")
+    ap.add_argument("--pixel-dtype", default="uint8",
+                    choices=["uint8", "float32"],
+                    help="pixel transport: uint8 ships raw crops and "
+                         "CLIP-normalizes on device (1/4 the host->device "
+                         "bytes; identical math); float32 ships normalized "
+                         "crops (the reference layout)")
     ap.add_argument("--group-by-modality-length", action="store_true")
     ap.add_argument("--seq-packing", action="store_true",
                     help="pack text-only examples into full sequences "
@@ -151,7 +157,8 @@ def main():
                            image_aspect_ratio=args.image_aspect_ratio,
                            conv_version=args.version,
                            max_crops=1 + cfg.max_local_crops,
-                           tile=cfg.vision.image_size)
+                           tile=cfg.vision.image_size,
+                           pixel_dtype=args.pixel_dtype)
 
     n_batches = max(len(ds) // args.per_device_batch_size, 1) * args.num_train_epochs
     total_steps = args.max_steps or n_batches

@@ -33,7 +33,11 @@ class SupervisedDataset:
                  image_folder: str = "", image_aspect_ratio: str = "anyres",
                  conv_version: str = "v1", max_crops: int = MAX_CROPS,
                  is_multimodal: bool = True, seed: int = 3407,
-                 tile: int = 336, use_native_preprocess: bool = True):
+                 tile: int = 336, use_native_preprocess: bool = True,
+                 pixel_dtype: str = "float32"):
+        # pixel_dtype="uint8": ship raw [0,255] crops and CLIP-normalize on
+        # device (slime.encode_images) — 1/4 the host->device pixel bytes;
+        # the training-input fast path on tunnel/DCN-attached hosts
         if isinstance(data_paths, str):
             data_paths = [data_paths]
         self.tokenizer = tokenizer
@@ -44,6 +48,11 @@ class SupervisedDataset:
         self.is_multimodal = is_multimodal
         self.tile = tile
         self.use_native_preprocess = use_native_preprocess and tile == 336
+        assert pixel_dtype in ("float32", "uint8"), pixel_dtype
+        # uint8 transport only exists for the anyres path; pad mode keeps fp32
+        if image_aspect_ratio not in ("anyres", "any_res"):
+            pixel_dtype = "float32"
+        self.pixel_dtype = pixel_dtype
 
         datasets = []
         for p in data_paths:
@@ -100,7 +109,8 @@ class SupervisedDataset:
             if self.image_aspect_ratio in ("anyres", "any_res"):
                 crops, mask, _ = process_anyres_image_host(
                     img, tile=self.tile, max_crops=self.max_crops,
-                    use_native=self.use_native_preprocess)
+                    use_native=self.use_native_preprocess,
+                    normalize=self.pixel_dtype == "float32")
             else:
                 one = process_pad_image_host(img, tile=self.tile)
                 crops = np.zeros((self.max_crops,) + one.shape, np.float32)
@@ -112,7 +122,8 @@ class SupervisedDataset:
         else:
             # text-only rows still carry zero image slots so batch shapes are uniform
             t = self.tile
-            item["pixel_values"] = np.zeros((self.max_crops, 3, t, t), np.float32)
+            item["pixel_values"] = np.zeros((self.max_crops, 3, t, t),
+                                            getattr(np, self.pixel_dtype))
             item["crop_mask"] = np.zeros((self.max_crops,), bool)
         return item
 

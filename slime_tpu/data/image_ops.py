@@ -65,20 +65,31 @@ def _resize_pil(img, size: Tuple[int, int], resample=None):
 
 
 def process_anyres_image_host(img, *, tile: int = IMAGE_WIDTH,
-                              max_crops: int = MAX_CROPS, use_native: bool = False
+                              max_crops: int = MAX_CROPS, use_native: bool = False,
+                              normalize: bool = True
                               ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
-    """PIL image -> (crops [max_crops,3,336,336] float32, crop_mask [max_crops] bool,
+    """PIL image -> (crops [max_crops,3,336,336], crop_mask [max_crops] bool,
     grid (cols, rows)).
 
     crops[0] is the global 336x336 view; crops[1:1+cols*rows] are the local tiles of the
     resize-and-padded image, row-major; the rest are zero-padded with mask False.
     use_native routes through the C++ library (native/slime_preprocess.cpp) when built.
+
+    normalize=True emits CLIP-normalized float32 crops (the reference layout).
+    normalize=False emits raw uint8 crops — the PIL path already passes
+    through uint8 after resize, so this is exactly the same data at 1/4 the
+    host->device bytes; CLIP normalization happens on device
+    (slime.encode_images accepts uint8 pixel_values). On tunnel/DCN-attached
+    hosts the pixel transfer is what the input pipeline cannot hide behind
+    the running step, so this is the training-input fast path.
     """
     if use_native:
         from . import native
         if native.available():
             arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
-            return native.anyres_preprocess_native(arr, tile=tile, max_crops=max_crops)
+            return native.anyres_preprocess_native(arr, tile=tile,
+                                                   max_crops=max_crops,
+                                                   normalize=normalize)
     img = img.convert("RGB")
     best = anyres.select_best_resolution_uhd(img.size, (tile, tile))
     (nw, nh), (px, py) = anyres.resize_and_pad_geometry(img.size, best)
@@ -90,18 +101,20 @@ def process_anyres_image_host(img, *, tile: int = IMAGE_WIDTH,
     n_local = cols * rows
     assert 1 + n_local <= max_crops, f"grid {cols}x{rows} exceeds crop budget {max_crops}"
 
-    out = np.zeros((max_crops, 3, tile, tile), dtype=np.float32)
+    post = clip_normalize if normalize else (lambda x: x)
+    out = np.zeros((max_crops, 3, tile, tile),
+                   dtype=np.float32 if normalize else np.uint8)
     mask = np.zeros((max_crops,), dtype=bool)
 
     # Global view: plain square resize (reference uses processor shortest_edge resize)
-    out[0] = clip_normalize(_pil_to_chw(_resize_pil(img, (tile, tile))))
+    out[0] = post(_pil_to_chw(_resize_pil(img, (tile, tile))))
     mask[0] = True
 
     canvas_np = _pil_to_chw(canvas)
     k = 1
     for j in range(rows):
         for i in range(cols):
-            out[k] = clip_normalize(canvas_np[:, j * tile:(j + 1) * tile, i * tile:(i + 1) * tile])
+            out[k] = post(canvas_np[:, j * tile:(j + 1) * tile, i * tile:(i + 1) * tile])
             mask[k] = True
             k += 1
     return out, mask, (cols, rows)

@@ -66,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
     ]
+    lib.slime_anyres_preprocess_u8.restype = ctypes.c_int
+    lib.slime_anyres_preprocess_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
     _LIB = lib
     return _LIB
 
@@ -75,22 +82,34 @@ def available() -> bool:
 
 
 def anyres_preprocess_native(img_hwc: np.ndarray, *, tile: int = IMAGE_WIDTH,
-                             max_crops: int = MAX_CROPS
+                             max_crops: int = MAX_CROPS, normalize: bool = True
                              ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
-    """uint8 HWC image -> (crops [max_crops,3,t,t] f32, mask, (cols, rows))."""
+    """uint8 HWC image -> (crops [max_crops,3,t,t], mask, (cols, rows)).
+
+    normalize=True: CLIP-normalized float32 crops (device-ready). False: raw
+    uint8 crops — ship 1/4 the bytes and normalize on device
+    (slime.encode_images handles uint8 pixel_values)."""
     lib = _load()
     assert lib is not None, "native preprocessing library not built"
     img = np.ascontiguousarray(img_hwc, dtype=np.uint8)
     h, w = img.shape[:2]
-    out = np.empty((max_crops, 3, tile, tile), np.float32)
     mask = np.zeros((max_crops,), np.uint8)
     cols = ctypes.c_int(0)
     rows = ctypes.c_int(0)
-    n = lib.slime_anyres_preprocess(
-        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, tile, max_crops,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.byref(cols), ctypes.byref(rows))
+    if normalize:
+        out = np.empty((max_crops, 3, tile, tile), np.float32)
+        n = lib.slime_anyres_preprocess(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, tile,
+            max_crops, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(cols), ctypes.byref(rows))
+    else:
+        out = np.empty((max_crops, 3, tile, tile), np.uint8)
+        n = lib.slime_anyres_preprocess_u8(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, tile,
+            max_crops, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(cols), ctypes.byref(rows))
     assert n > 0, "crop grid exceeded max_crops"
     return out, mask.astype(bool), (cols.value, rows.value)
 

@@ -92,6 +92,16 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
     P = cfg.vision.num_patches
     dim = cfg.mm_resampler_dim
 
+    if pixel_values.dtype == jnp.uint8:
+        # uint8 transport: the host ships raw [0,255] crops at 1/4 the float32
+        # bytes (process_anyres_image_host(normalize=False)) and CLIP
+        # normalization runs here, in fp32 before the compute-dtype cast —
+        # the same arithmetic the host path applies, so results are identical
+        from ..constants import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+        mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32).reshape(3, 1, 1)
+        std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32).reshape(3, 1, 1)
+        pixel_values = (pixel_values.astype(jnp.float32) / 255.0 - mean) / std
+
     feats = vit.apply(params["vision"],
                       pixel_values.reshape(B * MC, *pixel_values.shape[2:])
                       .astype(compute_dtype),

@@ -295,3 +295,34 @@ def test_splice_fuzz(tiny):
                                    err_msg=f"trial {trial}")
         np.testing.assert_array_equal(np.asarray(fused.labels), ref_l,
                                       err_msg=f"trial {trial}")
+
+
+def test_uint8_pixel_transport_matches_fp32(tiny):
+    """uint8 pixel_values (device-side CLIP normalize, 1/4 the transfer
+    bytes) produce the same forward/loss as the fp32 path when the valid
+    crops carry the same image data — incl. a partial crop_mask, proving
+    the differently-valued PADDED crops never leak."""
+    cfg, params = tiny
+    batch = _mk_batch(cfg, B=2, S=16, seed=5)
+    # uint8 source crops; the fp32 batch is their host-side normalization
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, batch["pixel_values"].shape, np.uint8)
+    from slime_tpu.data.image_ops import clip_normalize
+    f32 = clip_normalize(u8)
+    # fp32 path zeroes padded crops (host layout); uint8 path ships raw zeros
+    cm = np.asarray(batch["crop_mask"])[:, :, None, None, None]
+    b_f32 = dict(batch, pixel_values=jnp.asarray(f32 * cm))
+    b_u8 = dict(batch, pixel_values=jnp.asarray(u8 * cm.astype(np.uint8)))
+
+    l1, _ = slime.loss_fn(params, cfg, b_f32)
+    l2, _ = slime.loss_fn(params, cfg, b_u8)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+    logits1, _ = slime.forward(params, cfg, batch["input_ids"],
+                               batch["attention_mask"], b_f32["pixel_values"],
+                               batch["crop_mask"])
+    logits2, _ = slime.forward(params, cfg, batch["input_ids"],
+                               batch["attention_mask"], b_u8["pixel_values"],
+                               batch["crop_mask"])
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
+                               atol=2e-5)

@@ -71,3 +71,33 @@ def test_native_faster_than_pil(rng):
     t_pil = time.perf_counter() - t0
     # informational but enforce it's not drastically slower
     assert t_native < t_pil * 1.5, (t_native, t_pil)
+
+
+def test_u8_output_matches_f32_native(rng):
+    """uint8 transport (normalize=False): native u8 crops, CLIP-normalized,
+    match the native f32 crops to one uint8 quantum."""
+    from slime_tpu.data.image_ops import clip_normalize
+
+    img = _rand_img(rng, 500, 700)
+    f32, m1, g1 = native.anyres_preprocess_native(img)
+    u8, m2, g2 = native.anyres_preprocess_native(img, normalize=False)
+    assert u8.dtype == np.uint8 and g1 == g2 and (m1 == m2).all()
+    d = clip_normalize(u8) * m1[:, None, None, None] - f32
+    # one quantum = (0.5/255)/min(std) ~= 0.0075
+    assert np.abs(d).max() < 0.5 / 255 / 0.26 + 1e-5
+
+
+def test_u8_output_matches_f32_pil(rng):
+    """PIL fallback path: the crops already pass through uint8 after resize,
+    so normalize(u8 crops) is EXACTLY the f32 path on valid crops."""
+    from PIL import Image
+
+    from slime_tpu.data.image_ops import clip_normalize, process_anyres_image_host
+
+    img = Image.fromarray(_rand_img(rng, 500, 700))
+    f32, m1, _ = process_anyres_image_host(img, use_native=False)
+    u8, m2, _ = process_anyres_image_host(img, use_native=False,
+                                          normalize=False)
+    assert u8.dtype == np.uint8 and (m1 == m2).all()
+    np.testing.assert_array_equal(clip_normalize(u8) * m1[:, None, None, None],
+                                  f32)
