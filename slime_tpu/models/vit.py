@@ -83,8 +83,9 @@ def _attention(p, x, num_heads: int):
         # quantize_tower packs q/k/v into one [3E, E] weight so a single
         # activation read+quant feeds all three projections (x traffic at
         # E=1024 is ~1/3 of the MXU time for a lone [E,E] projection)
-        qkv = _linear(p["qkv"], x).reshape(B, S, 3, num_heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qkv = _linear(p["qkv"], x)
+        q, k, v = (t.reshape(B, S, num_heads, hd)
+                   for t in jnp.split(qkv, 3, axis=-1))
     else:
         q = _linear(p["q_proj"], x).reshape(B, S, num_heads, hd)
         k = _linear(p["k_proj"], x).reshape(B, S, num_heads, hd)
@@ -99,6 +100,34 @@ def _block(p, x, cfg: VisionConfig):
     h = L.layer_norm(p["layer_norm2"], x, eps=cfg.layer_norm_eps)
     h = _linear(p["fc2"], quick_gelu(_linear(p["fc1"], h)))
     return x + h
+
+
+def pack_qkv_tower(params, cfg: VisionConfig):
+    """Pack each running layer's q/k/v projections into one [3E, E] "qkv"
+    linear (fp analogue of quantize_tower's packing; `_attention` consumes
+    either layout). One bigger MXU dot replaces three [E, E] dots and the
+    activation tile is read once instead of three times. Inference-time
+    transform: apply AFTER load; export/save only understands the separate
+    layout (training keeps q/k/v separate so checkpoints round-trip)."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    n_run = cfg.num_layers + cfg.select_layer + 1 if cfg.select_layer < 0 \
+        else cfg.select_layer
+    layers = []
+    for i, lp in enumerate(params["layers"]):
+        if i >= n_run or "qkv" in lp:
+            layers.append(lp)
+            continue
+        nl = {k: v for k, v in lp.items()
+              if k not in ("q_proj", "k_proj", "v_proj")}
+        nl["qkv"] = {
+            "weight": jnp.concatenate(
+                [lp[k]["weight"] for k in ("q_proj", "k_proj", "v_proj")], axis=0),
+            "bias": jnp.concatenate(
+                [lp[k]["bias"] for k in ("q_proj", "k_proj", "v_proj")], axis=0),
+        }
+        layers.append(nl)
+    out["layers"] = layers
+    return out
 
 
 def quantize_tower(params, cfg: VisionConfig):

@@ -45,3 +45,21 @@ def test_vit_select_layer_minus_one(small):
         ref = hf(x, output_hidden_states=True).hidden_states[-1][:, 1:].numpy()
     ours = vit.apply(params, jnp.asarray(x.numpy()), cfg1)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4, rtol=1e-3)
+
+
+def test_pack_qkv_tower_exact(small):
+    """fp QKV packing (one [3E,E] dot) is numerically identical to the
+    separate q/k/v projections — the inference-time encode transform."""
+    cfg, _, params = small
+    packed = vit.pack_qkv_tower(params, cfg)
+    n_run = cfg.num_layers + cfg.select_layer + 1
+    for i, lp in enumerate(packed["layers"]):
+        if i < n_run:
+            assert "qkv" in lp and "q_proj" not in lp
+        else:
+            assert "q_proj" in lp
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 3, 56, 56)).astype(np.float32))
+    a = vit.apply(params, x, cfg)
+    b = vit.apply(packed, x, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
