@@ -190,6 +190,12 @@ class BatchDecodeEngine:
                 block=prefix_block, budget_bytes=prefix_cache_mb << 20)
         self.prefill_chunk_len = 256   # admission granularity (bounds tick latency)
         self.multi_step = 8            # decode steps per dispatch when queue is idle
+        # overlapped decode: in the steady idle regime the engine keeps ONE
+        # dispatch in flight and processes dispatch N-1's packed result while
+        # N runs on device — the host pull + bookkeeping (measured ~21 ms per
+        # dispatch at 8B through the tunnel) stops serializing between device
+        # steps. (packed_handle, k, active_ids, slot_snapshot, n_lp) or None.
+        self._inflight = None
         self._admission = None         # in-flight chunked admission state
         # cancellation: ids accumulate from any thread, applied at tick start
         # (the one point where slot state is not mid-dispatch)
@@ -1172,6 +1178,13 @@ class BatchDecodeEngine:
     def tick(self) -> int:
         """Advance admissions (one chunk) and run one decode step for all active
         slots. Returns the number of active slots after the step."""
+        # drain the overlapped dispatch before anything that mutates slot or
+        # queue state (cancellations, admissions): emits stay in order and
+        # admissions see settled budgets/slots
+        if self._inflight is not None and (
+                self._cancel_ids or not self.pending.empty()
+                or self._admission is not None):
+            self._flush_inflight()
         self._apply_cancellations()
         # one admission chunk per tick bounds added decode latency
         in_flight = self._admission_step()
@@ -1183,6 +1196,7 @@ class BatchDecodeEngine:
 
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
+            self._flush_inflight()   # tokens for retired slots are discarded
             return 1 if (in_flight or self._admission is not None) else 0
 
         # finished-by-first-token check (EOS as the very first sample)
@@ -1232,10 +1246,13 @@ class BatchDecodeEngine:
                         and int(self._host_len[i]) + self.spec_k + 2
                         <= self.cache_len
                         for i in active)):
+            self._flush_inflight()   # spec emits must not reorder with ours
             if self._spec_tick(active):
                 return sum(s is not None for s in self.slots)
+        # tokens already dispatched but not yet pulled (overlapped mode)
+        k_prev = self._inflight[1] if self._inflight is not None else 0
         min_budget = min(self.slots[i].budget for i in active)
-        k = min(self.multi_step, max(min_budget, 1)) if idle else 1
+        k = min(self.multi_step, max(min_budget - k_prev, 1)) if idle else 1
         # host-side per-tick scalars bundled into ONE upload (see _step)
         meta = np.concatenate([knobs.reshape(-1),
                                np.asarray([k], np.float32)])
@@ -1243,11 +1260,11 @@ class BatchDecodeEngine:
         # slot through this dispatch — the decode attention reads only that
         # prefix of the cache pool (llama.decode_step window), so short
         # contexts don't stream cache_len KV every step. A handful of
-        # buckets => a handful of compiled step variants.
-        need = int(max(self._host_len[i] for i in active)) + k + 1
+        # buckets => a handful of compiled step variants. _host_len can be
+        # k_prev tokens stale when a dispatch is still in flight.
+        need = int(max(self._host_len[i] for i in active)) + k_prev + k + 1
         window = min(self.cache_len, -(-need // 256) * 256)
         step_params = self._params_lora if self._use_lora else self.params
-        lp_ids = lp_vals = lp_samp = None
         if k > 1:
             packed, last, self.cache, self.gram_state, self.gen_counts = \
                 self._step_k(
@@ -1256,7 +1273,54 @@ class BatchDecodeEngine:
                     self.prompt_mask, self.gen_counts, window,
                     use_filters, use_penalties, self._use_lora, n_lp)
             self.cur_tokens = last
-            packed = np.asarray(packed)      # ONE host pull for the dispatch
+        else:
+            nxt, packed, self.cache, self.gram_state, self.gen_counts = \
+                self._step(
+                    step_params, self.cache, self.cur_tokens, sub,
+                    meta[:8 * B], self.gram_state, self._g_allowed,
+                    self._g_nxt, self.prompt_mask, self.gen_counts, window,
+                    use_filters, use_penalties, self._use_lora, n_lp)
+            self.cur_tokens = nxt
+
+        # overlapped decode: in the steady idle regime keep THIS dispatch in
+        # flight and process the previous one — the host pull + token
+        # bookkeeping runs while the device executes the new steps. Flushed
+        # before anything that mutates slot state (tick start / retirement).
+        snapshot = [self.slots[i] for i in active]
+        overlap = (idle and k > 1 and min_budget - k_prev > k
+                   and need + self.multi_step < self.cache_len)
+        prev, self._inflight = self._inflight, None
+        if overlap:
+            self._inflight = (packed, k, active, snapshot, n_lp)
+            if prev is None:
+                return sum(s is not None for s in self.slots)
+            retired = self._emit_packed(*prev)
+            if retired:
+                # slot set changed under the in-flight dispatch; drain it so
+                # admissions see settled state next tick
+                self._flush_inflight()
+        else:
+            if prev is not None:
+                self._emit_packed(*prev)
+            self._emit_packed(packed, k, active, snapshot, n_lp)
+        return sum(s is not None for s in self.slots)
+
+    def _flush_inflight(self) -> None:
+        """Pull + process the overlapped dispatch, if any."""
+        prev, self._inflight = self._inflight, None
+        if prev is not None:
+            self._emit_packed(*prev)
+
+    def _emit_packed(self, packed, k: int, active: List[int], snapshot,
+                     n_lp: int) -> bool:
+        """Pull one dispatch's packed result and credit tokens to its slots.
+        Returns True if any slot retired. Slots that were retired (cancel) or
+        reassigned since dispatch are skipped by identity."""
+        B = self.max_slots
+        eos = self.cfg.eos_token_id
+        packed = np.asarray(packed)          # ONE host pull for the dispatch
+        lp_ids = lp_vals = lp_samp = None
+        if k > 1:
             K = self.multi_step
             out_np = packed[:B * K].reshape(B, K)[:, :k]
             lengths = packed[B * K:B * K + B]
@@ -1269,14 +1333,6 @@ class BatchDecodeEngine:
                 o += B * K * n_lp
                 lp_samp = packed[o:o + B * K].view(np.float32).reshape(B, K)
         else:
-            nxt, packed, self.cache, self.gram_state, self.gen_counts = \
-                self._step(
-                    step_params, self.cache, self.cur_tokens, sub,
-                    meta[:8 * B], self.gram_state, self._g_allowed,
-                    self._g_nxt, self.prompt_mask, self.gen_counts, window,
-                    use_filters, use_penalties, self._use_lora, n_lp)
-            self.cur_tokens = nxt
-            packed = np.asarray(packed)      # ONE host pull for the dispatch
             out_np = packed[:B][:, None]
             lengths = packed[B:2 * B]
             if n_lp:
@@ -1286,10 +1342,13 @@ class BatchDecodeEngine:
                 lp_vals = packed[o:o + B * n_lp].view(
                     np.float32).reshape(B, 1, n_lp)
                 lp_samp = packed[o + B * n_lp:].view(np.float32).reshape(B, 1)
-        self._host_len[:] = lengths
 
-        for i in active:
+        retired = False
+        for i, snap in zip(active, snapshot):
             s = self.slots[i]
+            if s is not snap:   # retired/reassigned since dispatch — discard
+                continue
+            self._host_len[i] = lengths[i]
             emit = []
             for t in out_np[i].tolist():
                 if t == eos:
@@ -1317,7 +1376,8 @@ class BatchDecodeEngine:
                     s.draft = None
             if s.budget <= 0 or int(lengths[i]) >= self.cache_len - 1:
                 self._retire(i)
-        return sum(s is not None for s in self.slots)
+                retired = True
+        return retired
 
     def _spec_tick(self, active: List[int]) -> bool:
         """Up to ``spec_rounds`` batched speculative draft/verify rounds for

@@ -691,3 +691,38 @@ def test_controller_proxy_disconnect_cancels_worker_request(setup):
         worker.engine.stop()
         wsrv.shutdown()
         csrv.shutdown()
+
+def test_overlapped_decode_exact():
+    """The idle-regime overlapped tick (one dispatch kept in flight, previous
+    dispatch's tokens emitted while the next runs) must not change tokens or
+    drop/duplicate emits across flush points. Budget 40 >> multi_step=8 so
+    several dispatches overlap, the tail hits the non-overlap branch
+    (budget - k_prev <= k), and retirement flushes in-flight state. A second
+    request arriving mid-stream exercises the flush-before-admission path."""
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    S = 7
+    ids1 = rng.integers(5, cfg.llm.vocab_size, (S,)).astype(np.int32)
+    ids2 = rng.integers(5, cfg.llm.vocab_size, (S + 2,)).astype(np.int32)
+    ref1 = np.asarray(generate(params, cfg, jnp.asarray(ids1[None]),
+                               jnp.ones((1, S), bool), max_new_tokens=40,
+                               eos_id=-1))[0].tolist()
+    ref2 = np.asarray(generate(params, cfg, jnp.asarray(ids2[None]),
+                               jnp.ones((1, S + 2), bool), max_new_tokens=24,
+                               eos_id=-1))[0].tolist()
+
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=256)
+    r1 = eng.submit(Request(input_ids=ids1, max_new_tokens=40))
+    # let r1 enter the overlapped idle regime before r2 shows up
+    for _ in range(4):
+        eng.tick()
+    assert eng._inflight is not None, "overlap did not engage"
+    r2 = eng.submit(Request(input_ids=ids2, max_new_tokens=24))
+    for _ in range(120):
+        if eng.tick() == 0 and eng.pending.empty():
+            break
+    assert eng._inflight is None
+    got1, got2 = _drain(r1), _drain(r2)
+    assert got1 == ref1 and len(got1) == 40
+    assert got2 == ref2 and len(got2) == 24
