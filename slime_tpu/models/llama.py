@@ -522,7 +522,7 @@ def prefill_chunk(params, cache, embeds, cfg: LLMConfig,
     if fused is None:
         B_, C_, _ = embeds.shape
         fused = (jax.default_backend() == "tpu" and cfg.num_experts == 0
-                 and B_ * C_ <= 64 and _fused_mlp_ok(params.get("layers")))
+                 and B_ * C_ <= 64 and _fused_auto_ok(params.get("layers")))
     if fused:
         assert isinstance(params["layers"], dict) and _fused_mlp_ok(
             params["layers"]), "fused prefill needs stacked fused-able layers"
@@ -645,6 +645,16 @@ def _fused_mlp_ok(layers) -> bool:
         return False
     fmts = {_fused_fmt(layers[k]) for k in ("gate_proj", "up_proj", "down_proj")}
     return len(fmts) == 1 and None not in fmts
+
+
+def _fused_auto_ok(layers) -> bool:
+    """Auto-gate: fused-capable AND the intermediate dim tiles cleanly at the
+    kernel's preferred chunk (ops/fused_mlp.auto_block_ok). Intermediates
+    like a draft's 5504 = 43*128 only admit a degenerate 128-wide chunk —
+    measured ~4x slower than XLA — so auto prefers XLA there; explicit
+    ``fused=True`` still runs via the fallback chunk."""
+    from ..ops.fused_mlp import auto_block_ok
+    return _fused_mlp_ok(layers) and auto_block_ok(layers)
 
 
 def _fused_attn_ok(layers) -> bool:
@@ -779,7 +789,7 @@ def decode_step(params, cache, token_ids, cfg: LLMConfig,
     """
     if fused is None:
         fused = (jax.default_backend() == "tpu" and cfg.num_experts == 0
-                 and _fused_mlp_ok(params.get("layers")))
+                 and _fused_auto_ok(params.get("layers")))
     if fused:
         assert isinstance(params["layers"], dict) and _fused_mlp_ok(
             params["layers"]), "fused decode needs stacked fused-able layers"

@@ -160,6 +160,40 @@ def prepare_fused_layers(layers: dict) -> dict:
     return layers
 
 
+# preferred intermediate chunk per weight format (VMEM-sized for 8B width)
+_PREFERRED_BLOCK = {"bf16": 512, "int8": 1024, "q4g": 2048}
+
+
+def auto_block_ok(layers) -> bool:
+    """True when the MLP's intermediate dim tiles cleanly at the preferred
+    chunk size — the condition for the fused kernel to be an AUTO win.
+
+    Intermediates like 5504 = 43*128 only admit a degenerate 128-wide
+    fallback chunk (43 tiny grid steps, pipeline-bound: measured ~4x slower
+    than the XLA path on a 0.6B draft). Explicit ``fused=True`` callers still
+    run via the fallback; auto-gating should prefer XLA instead."""
+    gw = layers["gate_proj"]["weight"]
+    fmt = _fmt_of(gw)
+    gq = gw if fmt == "bf16" else gw.get("q4g", gw.get("q"))
+    I = gq.shape[1]
+    want = _PREFERRED_BLOCK[fmt]
+    return _block_divisor(I, want) >= min(I, want) // 2
+
+
+def _block_divisor(I: int, want: int, *, step: int = 128) -> int:
+    """Largest multiple of ``step`` that divides I, at most ``want``.
+
+    The down-proj grid slices the intermediate dim into chunks of ``bi``, so
+    bi must divide I exactly (Llama intermediates like 5504 = 43*128 are NOT
+    divisible by the preferred 512/1024 blocks). Falls back to I itself when
+    no step-multiple divides it (then the kernel runs single-chunk)."""
+    bi = min(want, I)
+    bi -= bi % step
+    while bi >= step and I % bi:
+        bi -= step
+    return bi if bi >= step and I % bi == 0 else I
+
+
 def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
                      block_inter: int = 0, interpret: bool = False):
     """x [B, H] -> x + SwiGLU(rms_norm(x)) for layer ``layer_idx``.
@@ -181,7 +215,7 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
 
     if fmt == "bf16":
         L, I = gw.shape[0], gw.shape[1]
-        bi = min(block_inter or 512, I)
+        bi = _block_divisor(I, block_inter or 512)
         gq, uq, dq = gw, uw, dw
         gs = us = ds = jnp.zeros((1, 1, 1), jnp.float32)  # dummies
         group = 0
@@ -195,7 +229,7 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
                       dw["scale"].astype(jnp.float32))
         assert gs.shape[-1] == 1, "int8 fused MLP expects per-row scales"
         L, I = gq.shape[0], gq.shape[1]
-        bi = min(block_inter or 1024, I)
+        bi = _block_divisor(I, block_inter or 1024)
         group = 0
         g_spec = pl.BlockSpec((1, bi, H), lambda c, l: (l[0], c, 0))
         d_spec = pl.BlockSpec((1, H, bi), lambda c, l: (l[0], 0, c))
@@ -212,7 +246,7 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
             # tests / ad-hoc callers: transpose in-graph (prepare_fused_layers
             # does this once, outside jit, for the production path)
             ds = jnp.swapaxes(ds, -1, -2)
-        bi = min(block_inter or 2048, I)
+        bi = _block_divisor(I, block_inter or 2048, step=2 * group)
         # down chunks slice the PACKED in-dim: each 128-lane packed block
         # carries two groups, so chunks must cover whole packed blocks
         assert bi % (2 * group) == 0, (bi, group)

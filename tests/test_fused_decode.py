@@ -147,3 +147,45 @@ def test_fused_prefill_chunk_matches_scan(rng, fmt, quant_kv):
             np.testing.assert_allclose(np.asarray(cache_b[key]),
                                        np.asarray(cache_a[key]),
                                        atol=5e-3, rtol=5e-3)
+
+
+def test_fused_decode_nondivisible_intermediate(rng):
+    """Llama intermediates like 5504 = 43*128 are not divisible by the
+    preferred 512/1024 chunk — the block picker must fall back to a dividing
+    block instead of asserting (hit by bench_spec_engine_8b's bf16 draft)."""
+    from slime_tpu.ops.fused_mlp import _block_divisor
+
+    assert _block_divisor(5504, 512) == 128          # 5504 = 43 * 128
+    assert _block_divisor(5632, 512) == 512          # 5632 = 11 * 512
+    assert _block_divisor(448, 512) == 448           # want > I -> I
+    assert _block_divisor(5504, 2048, step=256) == 5504  # no 256-divisor
+
+    # auto-gating refuses degenerate fallback chunks (the 0.6B draft's
+    # I=5504 measured ~4x slower fused-at-128 than XLA) but accepts clean
+    # tilings and small models
+    from slime_tpu.ops.fused_mlp import auto_block_ok
+
+    def _lay(I):
+        w = jnp.zeros((2, I, 64), jnp.bfloat16)
+        return {"gate_proj": {"weight": w}, "up_proj": {"weight": w},
+                "down_proj": {"weight": jnp.zeros((2, 64, I), jnp.bfloat16)}}
+
+    assert not auto_block_ok(_lay(5504))   # only 128 divides -> XLA
+    assert auto_block_ok(_lay(5632))       # 512 divides -> fused
+    assert auto_block_ok(_lay(384))        # tiny: single chunk -> fused
+    assert auto_block_ok(_lay(1920))       # 384-wide chunks: fine -> fused
+
+    cfg = LLMConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=384,  # 3 * 128
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+        max_position_embeddings=64, rms_norm_eps=1e-5)
+    params = _params(rng, cfg, "dense")
+    cache_a = llama.init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    cache_b = dict(cache_a)
+    tok = jnp.asarray([5], jnp.int32)
+    for _ in range(2):
+        la, cache_a = llama.decode_step(params, cache_a, tok, cfg, fused=False)
+        lb, cache_b = llama.decode_step(params, cache_b, tok, cfg, fused=True)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   atol=2e-4, rtol=2e-4)
+        tok = jnp.argmax(la, -1).astype(jnp.int32)
