@@ -234,12 +234,18 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
                        pixel_values, crop_mask, labels=None, *,
                        training: bool = False, rng: Optional[jax.Array] = None,
                        max_len: Optional[int] = None, remat: bool = False,
-                       compute_dtype=jnp.float32) -> FusedBatch:
+                       compute_dtype=jnp.float32,
+                       return_img_valid: bool = False) -> FusedBatch:
     """Full fusion: encode images + splice into the token stream.
 
     input_ids [B, S] with IMAGE_TOKEN_INDEX sentinels; labels [B, S] or None.
     Only the FIRST sentinel per sample expands into image features (SliME's data
     format has one image per sample); later sentinels are dropped from the stream.
+
+    ``return_img_valid=True`` additionally returns the [B, T_img] bool
+    pre-compaction image-slot validity (the text-guided selection outcome) —
+    the serving engine reconstructs the fused layout from it to key the
+    multimodal prefix cache (serve/prefix_cache.py identity streams).
     """
     B, S = input_ids.shape
     if max_len is None:
@@ -265,6 +271,8 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
 
     out = jax.vmap(functools.partial(_splice_one, max_len=max_len))(
         text_emb, text_valid, text_labels, img_embeds, img_valid, img_pos)
+    if return_img_valid:
+        return FusedBatch(*out), img_valid
     return FusedBatch(*out)
 
 

@@ -24,6 +24,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..config import SliMEConfig
+from ..constants import IMAGE_TOKEN_INDEX
 from ..models import llama, slime
 
 
@@ -93,10 +94,15 @@ class BatchDecodeEngine:
         pinned in tests/test_kv_quant.py.
 
         ``prefix_cache_mb``: byte budget for the AUTOMATIC prefix KV cache
-        (serve/prefix_cache.py — the sglang RadixAttention role): text-only
-        prompts sharing a prefix with any earlier prompt skip recomputing it
-        in ``prefix_block``-token granularity. Exact by construction (reused
-        KV is the KV a fresh prefill would write); 0 disables."""
+        (serve/prefix_cache.py — the sglang RadixAttention role): prompts
+        sharing a prefix with any earlier prompt skip recomputing it in
+        ``prefix_block``-token granularity. Multimodal prompts participate
+        through fused identity streams (token ids + image content hashes per
+        feature slot), so a multi-turn image chat re-prefills only the new
+        turn's text — the vision encode still runs (the new text can change
+        the crop selection; a selection change simply misses past the image
+        span). Exact by construction (a digest match means the reused KV is
+        byte-identical to what a fresh prefill would write); 0 disables."""
         import jax
         import jax.numpy as jnp
 
@@ -869,13 +875,18 @@ class BatchDecodeEngine:
         return None
 
     def _embed_request(self, req: Request):
-        """-> (embeds [1, S, H], length). Multimodal fusion runs here.
+        """-> (embeds [1, S, H], length, ident). Multimodal fusion runs here.
 
         Multimodal suffixes of a text-only shared prefix fuse with the FULL text
         (prefix ids + suffix ids) and then drop the prefix positions: the
         text-guided local-token sampler (models/sampler.py) conditions on the
         prompt text, so fusing the suffix alone would select different image
-        tokens than the reference's full-prompt fusion."""
+        tokens than the reference's full-prompt fusion.
+
+        ``ident`` is the fused identity stream (uint64, prefix_cache.py
+        semantics) for plain multimodal requests — None for text-only (their
+        key is ``input_ids`` itself) and for explicit-prefix combos (not
+        auto-cacheable)."""
         jnp = self.jnp
         ids = np.asarray(req.input_ids)[None]
         if req.pixel_values is not None:
@@ -885,17 +896,52 @@ class BatchDecodeEngine:
                 base = pre["length"]
                 ids = np.concatenate([pre["ids"][None], ids], axis=1)
             attn = np.ones_like(ids, bool)
-            fused = slime.prepare_multimodal(
+            fused, img_valid = slime.prepare_multimodal(
                 self.params, self.cfg, jnp.asarray(ids), jnp.asarray(attn),
                 jnp.asarray(req.pixel_values[None]), jnp.asarray(req.crop_mask[None]),
                 training=False, compute_dtype=self.compute_dtype,
-                max_len=base + self.cache_len - req.max_new_tokens - 1)
-            return (fused.embeds[:, base:], int(fused.lengths[0]) - base,
-                    fused.positions)
+                max_len=base + self.cache_len - req.max_new_tokens - 1,
+                return_img_valid=True)
+            # one packed device pull: [length, img_valid...]
+            packed = np.asarray(jnp.concatenate(
+                [fused.lengths.astype(jnp.int32),
+                 img_valid[0].astype(jnp.int32)]))
+            length = int(packed[0])
+            ident = None
+            if req.prefix_id is None:
+                ident = self._fused_identity(
+                    ids[0], packed[1:].astype(bool), req)[:length]
+            return fused.embeds[:, base:], length - base, ident
         attn = np.ones_like(ids, bool)
         embeds = llama.embed(self.params["llm"],
                              jnp.asarray(ids)).astype(self.compute_dtype)
         return embeds, ids.shape[1], None
+
+    @staticmethod
+    def _fused_identity(ids: np.ndarray, img_valid: np.ndarray,
+                        req: Request) -> np.ndarray:
+        """Host reconstruction of the fused sequence's identity stream.
+
+        Mirrors slime._splice_one's layout exactly: extended order is
+        text[:img_pos] ++ image slots ++ text[img_pos:], the sentinel token
+        and unselected image slots drop out, order is preserved. Identities:
+        token id for text positions, image_slot_identities(content digest)
+        for image-feature slots — so the stream's chain digests address the
+        very content a fresh prefill of those positions would produce."""
+        from .prefix_cache import image_content_digest, image_slot_identities
+        is_img = ids == IMAGE_TOKEN_INDEX
+        img_pos = int(np.argmax(is_img)) if is_img.any() else len(ids)
+        text_ident = np.where(is_img, 0, ids).astype(np.uint64)
+        text_valid = ~is_img
+        img_ident = image_slot_identities(
+            image_content_digest(np.asarray(req.pixel_values),
+                                 np.asarray(req.crop_mask)),
+            img_valid.shape[0])
+        ext_ident = np.concatenate([text_ident[:img_pos], img_ident,
+                                    text_ident[img_pos:]])
+        ext_valid = np.concatenate([text_valid[:img_pos], img_valid,
+                                    text_valid[img_pos:]])
+        return ext_ident[ext_valid]
 
     def _admission_step(self) -> bool:
         """Advance the in-flight chunked admission by one chunk; True when one is
@@ -919,14 +965,16 @@ class BatchDecodeEngine:
                 # BASE weights) combined with an adapter that would change it
                 req.out_queue.put(None)
                 return False
-            embeds, length, _ = self._embed_request(req)
+            embeds, length, ident = self._embed_request(req)
+            cache_key = (ident if req.pixel_values is not None
+                         else np.asarray(req.input_ids))
             C = self.prefill_chunk_len
             base = 0
             auto_hit = []
-            if (req.prefix_id is None and req.pixel_values is None
+            if (req.prefix_id is None and cache_key is not None
                     and not req.adapter_id    # adapters change prefix KV
                     and self.prefix_cache is not None):
-                base, auto_hit = self.prefix_cache.match(req.input_ids)
+                base, auto_hit = self.prefix_cache.match(cache_key)
             if req.prefix_id is not None:
                 pre = self.prefixes[req.prefix_id]
                 base = pre["length"]
@@ -947,7 +995,7 @@ class BatchDecodeEngine:
                 embeds = embeds[:, base:]
                 length -= base
             elif length <= C:
-                self._admit_whole(req, embeds, length)
+                self._admit_whole(req, embeds, length, cache_key)
                 return False
             else:
                 cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
@@ -956,7 +1004,7 @@ class BatchDecodeEngine:
             # already seeded into cache1 (suffix chunks attend to it via pos0).
             self._admission = {"req": req, "embeds": embeds, "length": length,
                                "base": base, "off": 0, "cache1": cache1,
-                               "last_logits": None}
+                               "last_logits": None, "cache_key": cache_key}
         a = self._admission
         C = self.prefill_chunk_len
         off = a["off"]
@@ -994,7 +1042,8 @@ class BatchDecodeEngine:
             a["req"], np.asarray(a["last_logits"])[0, last_in_chunk])
         k = a["cache1"]["k"][:, 0]
         v = a["cache1"]["v"][:, 0]
-        self._cache_prompt_blocks(a["req"], k, v, a["base"] + a["length"])
+        self._cache_prompt_blocks(a["req"], k, v, a["base"] + a["length"],
+                                  a["cache_key"])
         self.cache = self._insert(self.cache, k, v, slot_idx,
                                   a["base"] + a["length"],
                                   self.jnp.asarray(first))
@@ -1011,14 +1060,15 @@ class BatchDecodeEngine:
         if slot.budget <= 0:
             self._retire(slot_idx)
 
-    def _admit_whole(self, req: Request, embeds, length: int) -> None:
+    def _admit_whole(self, req: Request, embeds, length: int,
+                     cache_key=None) -> None:
         slot_idx = self._free_slot()
         if slot_idx is None:
             self.pending.put(req)
             return
         logits, k, v = self._prefill(self._prefill_params(req), embeds, None)
         first, gs = self._first_token(req, np.asarray(logits)[length - 1])
-        self._cache_prompt_blocks(req, k, v, length)
+        self._cache_prompt_blocks(req, k, v, length, cache_key)
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
                                   self.jnp.asarray(first))
         self._host_len[slot_idx] = length
@@ -1035,17 +1085,20 @@ class BatchDecodeEngine:
             self._retire(slot_idx)
 
     def _cache_prompt_blocks(self, req: Request, k_full, v_full,
-                             length: int) -> None:
+                             length: int, cache_key=None) -> None:
         """Feed the just-prefilled prompt's full blocks to the automatic
-        prefix cache (text-only, no explicit prefix — block positions must
-        start at 0 and align with req.input_ids). k/v_full: [L, S, KVH, hd]
-        float admission KV covering positions [0, length)."""
+        prefix cache. ``cache_key`` is the identity stream the blocks hash
+        under: plain input_ids for text-only prompts, the fused identity
+        stream (_fused_identity) for multimodal ones — block positions start
+        at 0 and align with the key either way. Explicit-prefix and adapted
+        requests never cache (their KV isn't a pure function of the key).
+        k/v_full: [L, S, KVH, hd] float admission KV covering [0, length)."""
         pc = self.prefix_cache
-        if (pc is None or req.pixel_values is not None
+        if (pc is None or cache_key is None
                 or req.prefix_id is not None or req.adapter_id):
             return
         blk = pc.block
-        for b, digest, parent in pc.missing_blocks(req.input_ids, length):
+        for b, digest, parent in pc.missing_blocks(cache_key, length):
             kb = self._slice_block(k_full, b * blk, blk=blk)
             vb = self._slice_block(v_full, b * blk, blk=blk)
             pc.put(digest, parent, {"k": kb, "v": vb}, kb.nbytes + vb.nbytes)

@@ -32,7 +32,7 @@ class BatchedWorker:
                  compute_dtype=None, register: bool = True,
                  draft_params=None, draft_cfg: Optional[SliMEConfig] = None,
                  spec_k: int = 4, mesh=None, kv_quant: bool = False,
-                 prefix_cache_mb: int = 512):
+                 prefix_cache_mb: int = 512, prefix_block: int = 64):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name
@@ -44,7 +44,8 @@ class BatchedWorker:
                                         draft_params=draft_params,
                                         draft_cfg=draft_cfg, spec_k=spec_k,
                                         mesh=mesh, kv_quant=kv_quant,
-                                        prefix_cache_mb=prefix_cache_mb)
+                                        prefix_cache_mb=prefix_cache_mb,
+                                        prefix_block=prefix_block)
         self.adapters = {}   # name -> adapter_id (load_adapter)
         self.engine.start()
         if register and controller_addr:

@@ -24,10 +24,24 @@ tokens. Eviction is LRU over a byte budget, cascading to descendants (an
 orphaned child could never be matched — matching walks from the root).
 
 Host-side bookkeeping only lives here; the engine owns the jitted
-seed/extract steps (serve/batch_engine.py). Text-only prompts only: image
-embeddings splice mid-sequence, so token-block boundaries say nothing about
-the fused sequence — multimodal system prompts go through the explicit
-``register_prefix`` API instead.
+seed/extract steps (serve/batch_engine.py).
+
+Multimodal prompts cache too, via **identity streams**: the cache hashes a
+per-position ``uint64`` identity array rather than raw token ids. Text
+positions use the token id (value-preserving, so text-only requests and the
+text spans of multimodal prompts share digests); image-feature positions use
+``image_slot_identities`` — a content hash of the preprocessed pixels mixed
+with the pre-compaction feature slot index, high bit set so they can never
+alias a token id. A fused position's KV is a deterministic function of the
+chain of identities before it (token embeds from ids; feature slot j of image
+digest D from (D, params, cfg) — the text-guided crop *selection* only decides
+which slots survive compaction, and the engine builds the stream from the
+actual post-selection layout), so a digest match implies byte-identical KV:
+reuse stays exact by construction. In the multi-turn chat pattern (same image,
+growing transcript) turn N+1 seeds the whole turn-N fused sequence and
+prefills only the new text — the dominant TTFT term (prefill over the image
+span) disappears; only the vision encode (needed to learn the new turn's crop
+selection) is still paid.
 """
 from __future__ import annotations
 
@@ -35,6 +49,36 @@ import hashlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+_IMG_BIT = np.uint64(1 << 63)
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd => bijective slot mixing
+
+
+def image_content_digest(pixel_values: np.ndarray,
+                         crop_mask: np.ndarray) -> bytes:
+    """Content address of one preprocessed image: pixels + crop layout.
+
+    Covers dtype/shape so a uint8-transport crop stack never aliases a
+    normalized float one.
+    """
+    h = hashlib.blake2b(digest_size=16)
+    pv = np.ascontiguousarray(pixel_values)
+    cm = np.ascontiguousarray(crop_mask)
+    h.update(str((pv.dtype.str, pv.shape, cm.dtype.str, cm.shape)).encode())
+    h.update(pv.tobytes())
+    h.update(cm.tobytes())
+    return h.digest()
+
+
+def image_slot_identities(digest: bytes, n_slots: int) -> np.ndarray:
+    """[n_slots] uint64 identities for an image's pre-compaction feature
+    slots. Slot j's content is a pure function of (digest, params, cfg), so
+    (digest, j) addresses it; the high bit keeps the values disjoint from
+    token ids."""
+    base = np.frombuffer(hashlib.blake2b(digest, digest_size=8).digest(),
+                         "<u8")[0]
+    j = np.arange(n_slots, dtype=np.uint64)
+    return (base ^ (j * _MIX)) | _IMG_BIT
 
 
 class PrefixCache:
@@ -62,9 +106,15 @@ class PrefixCache:
 
     # -- hashing ---------------------------------------------------------
     def _digests(self, ids: np.ndarray, n_blocks: int) -> List[bytes]:
-        """Chain digests for the first ``n_blocks`` full blocks of ``ids``."""
+        """Chain digests for the first ``n_blocks`` full blocks of ``ids``.
+
+        ``ids`` is an identity stream: plain (non-negative) token ids, or the
+        fused-layout stream a multimodal admission builds with
+        ``image_slot_identities``. Both widen to uint64 value-preservingly,
+        so a text-only prompt and the pre-image text span of a multimodal one
+        produce the same digests and share cache entries."""
         out, parent = [], b""
-        ids = np.ascontiguousarray(np.asarray(ids, np.int32))
+        ids = np.ascontiguousarray(np.asarray(ids).astype(np.uint64))
         for b in range(n_blocks):
             blk = ids[b * self.block:(b + 1) * self.block]
             d = hashlib.blake2b(parent + blk.tobytes(), digest_size=16).digest()

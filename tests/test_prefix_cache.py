@@ -161,28 +161,14 @@ def test_quantized_pool_hit_exact(setup):
     assert a0 == a and b0 == a
 
 
-def test_multimodal_and_explicit_prefix_bypass(setup):
-    """Image requests and explicit register_prefix() requests never touch the
-    automatic cache (block positions wouldn't align with token ids)."""
+def test_explicit_prefix_bypasses_auto_cache(setup):
+    """Explicit register_prefix() requests never touch the automatic cache
+    (their KV is seeded from the registered prefix, not a pure function of
+    the request's own identity stream)."""
     cfg, params = setup
     rng = np.random.default_rng(4)
     eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=128,
                             prefix_block=8)
-    # multimodal request
-    from slime_tpu.constants import IMAGE_TOKEN_INDEX
-    t = cfg.vision.image_size
-    n_crops = 1 + cfg.max_local_crops
-    px = rng.standard_normal((n_crops, 3, t, t)).astype(np.float32)
-    cmask = np.ones((n_crops,), bool)
-    ids = np.concatenate([[1, 2], [IMAGE_TOKEN_INDEX],
-                          rng.integers(5, cfg.llm.vocab_size, (20,))]
-                         ).astype(np.int32)
-    got = _run(eng, Request(input_ids=ids, pixel_values=px, crop_mask=cmask,
-                            max_new_tokens=3))
-    assert len(got) >= 1
-    st = eng.prefix_cache.stats()
-    assert st["inserted_blocks"] == 0 and st["hits"] == 0
-    # explicit-prefix request
     pid = eng.register_prefix(rng.integers(5, cfg.llm.vocab_size,
                                            (12,)).astype(np.int32))
     got = _run(eng, Request(input_ids=rng.integers(
@@ -191,3 +177,130 @@ def test_multimodal_and_explicit_prefix_bypass(setup):
     assert len(got) >= 1
     st = eng.prefix_cache.stats()
     assert st["inserted_blocks"] == 0 and st["hits"] == 0
+
+
+# ------------------------------------------------------- multimodal prompts
+def _mm_prompt(cfg, rng, pre_text: int, post_text: int):
+    from slime_tpu.constants import IMAGE_TOKEN_INDEX
+    t = cfg.vision.image_size
+    n_crops = 1 + cfg.max_local_crops
+    px = rng.standard_normal((n_crops, 3, t, t)).astype(np.float32)
+    cmask = np.ones((n_crops,), bool)
+    ids = np.concatenate([rng.integers(5, cfg.llm.vocab_size, (pre_text,)),
+                          [IMAGE_TOKEN_INDEX],
+                          rng.integers(5, cfg.llm.vocab_size, (post_text,))]
+                         ).astype(np.int32)
+    return ids, px, cmask
+
+
+def test_multimodal_turn2_hit_exact(setup):
+    """The multi-turn chat pattern: turn 2 = turn 1's prompt + more text,
+    same image. The fused identity stream must match through the image span
+    (image KV reused, only the new text prefilled) and the emitted tokens
+    must equal a cache-free engine's."""
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    ids1, px, cmask = _mm_prompt(cfg, rng, pre_text=10, post_text=12)
+    extra = rng.integers(5, cfg.llm.vocab_size, (9,)).astype(np.int32)
+    ids2 = np.concatenate([ids1, extra])
+
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=256,
+                            prefix_block=8)
+    r1 = Request(input_ids=ids1, pixel_values=px, crop_mask=cmask,
+                 max_new_tokens=4)
+    out1 = _run(eng, r1)
+    st = eng.prefix_cache.stats()
+    assert st["inserted_blocks"] > 0          # multimodal prompts now cache
+    r2 = Request(input_ids=ids2, pixel_values=px, crop_mask=cmask,
+                 max_new_tokens=5)
+    out2 = _run(eng, r2)
+    st = eng.prefix_cache.stats()
+    assert st["hits"] == 1
+
+    # matched length must equal the shared identity prefix (block-floored):
+    # identity streams are host-reconstructable, so the test derives the
+    # expected match instead of betting on crop-selection stability
+    _, n1, id_a = eng._embed_request(r1)
+    _, n2, id_b = eng._embed_request(r2)
+    shared = 0
+    for a, b in zip(id_a, id_b):
+        if a != b:
+            break
+        shared += 1
+    blk = eng.prefix_cache.block
+    assert st["matched_tokens"] == min(shared, len(id_b) - 1) // blk * blk
+    # the global image span + separator never depend on the text-guided
+    # selection, so at minimum pre-text + global + sep is shared; locals
+    # match only while turn 2's crop selection agrees with turn 1's (with
+    # this random-weights fixture it diverges partway — exactness above is
+    # the invariant, the match length is whatever the selection allows)
+    assert shared >= 10 + cfg.vision.num_patches + 1
+
+    # identical re-submission: selection is deterministic at inference, so
+    # the whole fused stream matches and the image span is fully reused
+    r1b = Request(input_ids=ids1, pixel_values=px, crop_mask=cmask,
+                  max_new_tokens=4)
+    out1b = _run(eng, r1b)
+    assert out1b == out1
+    st2 = eng.prefix_cache.stats()
+    assert (st2["matched_tokens"] - st["matched_tokens"]
+            == (n1 - 1) // blk * blk)
+
+    # exactness: a cache-free engine emits the same tokens for both turns
+    eng0 = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=256,
+                             prefix_cache_mb=0)
+    assert _run(eng0, Request(input_ids=ids1, pixel_values=px,
+                              crop_mask=cmask, max_new_tokens=4)) == out1
+    assert _run(eng0, Request(input_ids=ids2, pixel_values=px,
+                              crop_mask=cmask, max_new_tokens=5)) == out2
+
+
+def test_multimodal_different_image_no_false_hit(setup):
+    """Same token ids, different image: identity streams diverge at the
+    image span — blocks before it may hit, nothing after may, and outputs
+    stay exact."""
+    cfg, params = setup
+    rng = np.random.default_rng(6)
+    ids, px1, cmask = _mm_prompt(cfg, rng, pre_text=16, post_text=10)
+    px2 = rng.standard_normal(px1.shape).astype(np.float32)
+
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=256,
+                            prefix_block=8)
+    _run(eng, Request(input_ids=ids, pixel_values=px1, crop_mask=cmask,
+                      max_new_tokens=3))
+    out2 = _run(eng, Request(input_ids=ids, pixel_values=px2, crop_mask=cmask,
+                             max_new_tokens=4))
+    st = eng.prefix_cache.stats()
+    # only the 16 pre-image text tokens can match (2 blocks of 8)
+    assert st["matched_tokens"] <= 16
+    eng0 = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=256,
+                             prefix_cache_mb=0)
+    assert _run(eng0, Request(input_ids=ids, pixel_values=px2,
+                              crop_mask=cmask, max_new_tokens=4)) == out2
+
+
+def test_text_and_multimodal_share_text_prefix(setup):
+    """Identity streams widen token ids value-preservingly, so a text-only
+    prompt and the pre-image text span of a multimodal prompt share cache
+    entries — in both directions."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    ids_mm, px, cmask = _mm_prompt(cfg, rng, pre_text=16, post_text=8)
+    text_ids = np.concatenate(
+        [ids_mm[:16], rng.integers(5, cfg.llm.vocab_size, (8,))]).astype(np.int32)
+
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=256,
+                            prefix_block=8)
+    out_t = _run(eng, Request(input_ids=text_ids, max_new_tokens=3))
+    st0 = eng.prefix_cache.stats()
+    _run(eng, Request(input_ids=ids_mm, pixel_values=px, crop_mask=cmask,
+                      max_new_tokens=3))
+    st1 = eng.prefix_cache.stats()
+    # the multimodal admission matched the text prompt's first 2 blocks
+    assert st1["hits"] == st0["hits"] + 1
+    assert st1["matched_tokens"] == st0["matched_tokens"] + 16
+    # exactness of the text run is the oracle-pinned engine behavior; pin the
+    # multimodal-after-text output against a cache-free engine too
+    eng0 = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=256,
+                             prefix_cache_mb=0)
+    assert _run(eng0, Request(input_ids=text_ids, max_new_tokens=3)) == out_t
