@@ -7,7 +7,9 @@ test-fast: native
 	python -m pytest tests/ -q -m "not slow" -n auto --dist loadfile
 
 # <5 min on a 1-core box: templates/preprocess/fusion/generation/speculative/
-# eval/checkpoint/serving/memory-plan correctness (201 tests, ~2.5 min)
+# eval/checkpoint/serving/memory-plan correctness (~234 tests, ~2.5 min).
+# Next tier: pytest -m "not slow" (~495 tests, ~8 min warm on 1 CPU) — heavy
+# compile-bound exactness tests are marked slow and run in `make test` (all).
 SMOKE = tests/test_conversation.py tests/test_anyres.py \
         tests/test_preprocess_parity.py tests/test_data_pipeline.py \
         tests/test_fusion.py tests/test_generate.py tests/test_speculative.py \

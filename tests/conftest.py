@@ -40,4 +40,6 @@ _cache = os.environ.get(
 if _cache:
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.1s: the suite is thousands of small compiles, not a few big ones —
+    # caching the sub-second tail is worth minutes on warm 1-CPU runs.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -145,6 +145,7 @@ def test_slot_reuse(setup):
         assert len(_drain(r)) >= 1
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_multimodal_request(setup):
     cfg, params, eng = setup
     rng = np.random.default_rng(2)
@@ -219,6 +220,7 @@ def test_chunked_admission_matches_single(setup):
         assert got == ref
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_prefix_sharing_matches_full_prompt(setup):
     """register_prefix + suffix-only admission produces exactly the tokens of
     submitting the concatenated prompt (greedy), for suffixes shorter and longer
@@ -276,6 +278,7 @@ def test_prefix_and_plain_requests_interleave(setup):
     assert g1 == ref_p[:len(g1)] and g2 == ref_q[:len(g2)]
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_prefix_with_multimodal_suffix(setup):
     """Shared text prefix + image-bearing suffix matches submitting the full
     multimodal prompt (greedy token identity)."""
@@ -394,6 +397,7 @@ def test_spec_engine_exact_vs_plain(spec_setup, seed):
     assert len(got_spec) >= 1
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_spec_engine_multimodal_draft_is_text_only(spec_setup):
     """Multimodal request through the speculating engine: the text-only draft
     sees pad in place of the image sentinel; output still exactly matches the
@@ -510,6 +514,7 @@ def test_batched_worker_with_draft_http(spec_setup):
     assert run(draft=True) == run(draft=False)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_window_bucketing_exact():
     """Decode windows smaller than the cache pool (tick picks a 256-bucket
     covering max active length) must not change tokens: short prompts in a

@@ -60,6 +60,7 @@ def test_backward_matches_reference(rng, causal):
                                    err_msg=f"d{name}")
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_backward_gqa(rng):
     B, H, KVH, S, D = 1, 4, 2, 128, 64
     q = _rand(rng, B, H, S, D)
@@ -127,6 +128,7 @@ def test_segmented_first_block_fully_masked(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_segmented_backward_matches_reference(rng):
     B, H, KVH, S, D = 1, 4, 2, 256, 64
     q = _rand(rng, B, H, S, D)

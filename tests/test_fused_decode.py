@@ -40,8 +40,11 @@ def _params(rng, cfg, fmt: str):
     return params
 
 
-@pytest.mark.parametrize("fmt", ["dense", "int8", "q4g", "int8_all",
-                                 "q4g_all"])
+# dense/int8_all marked heavy: the production serving formats (int8, q4g,
+# q4g_all) stay in the fast tier; the rest run in the full tier (make test).
+@pytest.mark.parametrize("fmt", [
+    pytest.param("dense", marks=pytest.mark.slow), "int8", "q4g",
+    pytest.param("int8_all", marks=pytest.mark.slow), "q4g_all"])
 def test_fused_decode_matches_scan(rng, fmt):
     cfg = _cfg()
     params = _params(rng, cfg, fmt)
@@ -149,6 +152,7 @@ def test_fused_prefill_chunk_matches_scan(rng, fmt, quant_kv):
                                        atol=5e-3, rtol=5e-3)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_fused_decode_nondivisible_intermediate(rng):
     """Llama intermediates like 5504 = 43*128 are not divisible by the
     preferred 512/1024 chunk — the block picker must fall back to a dividing

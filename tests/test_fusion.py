@@ -66,6 +66,7 @@ def _splice_oracle(cfg, params, batch, img_embeds, img_valid, max_len):
     return np.stack(out_e), np.stack(out_l), np.asarray(out_len)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_splice_matches_oracle(tiny):
     cfg, params = tiny
     batch = _mk_batch(cfg)
@@ -86,6 +87,7 @@ def test_splice_matches_oracle(tiny):
         assert not np.asarray(fused.attn_mask)[b, ref_len[b]:].any()
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_splice_truncation(tiny):
     cfg, params = tiny
     batch = _mk_batch(cfg)

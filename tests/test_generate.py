@@ -113,6 +113,7 @@ def test_sample_token_top_k(rng):
     assert t.shape == (4,)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_moe_greedy_matches_full_forward():
     """Mixtral-family decode: the incremental KV-cache decode loop must emit
     the same greedy tokens as repeated full forwards (the MoE router runs per

@@ -46,6 +46,7 @@ def _prefilled_caches(cfg, params, B=2, S=9, T=64):
     return cf, cq, tok
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_decode_step_quant_close(tiny_llm):
     cfg, params = tiny_llm
     cf, cq, tok = _prefilled_caches(cfg, params)
@@ -61,6 +62,7 @@ def test_decode_step_quant_close(tiny_llm):
     assert jnp.array_equal(lq, lw)  # same content within 32 positions
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_prefill_chunk_quant_close(tiny_llm):
     cfg, params = tiny_llm
     cf, cq, _ = _prefilled_caches(cfg, params)

@@ -52,6 +52,7 @@ def test_forward_with_positions(small):
     np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_decode_matches_prefill(small):
     """Greedy decode via KV cache must match argmax over a full re-forward."""
     cfg, _, params = small
@@ -76,6 +77,7 @@ def test_decode_matches_prefill(small):
         seq = np.concatenate([seq, cur[:, None]], axis=1)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_mixtral_moe_forward(small):
     """Mixtral-style MoE layer parity vs HF MixtralForCausalLM."""
     cfg = LLMConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
@@ -106,6 +108,7 @@ def test_mixtral_moe_forward(small):
     np.testing.assert_allclose(np.asarray(logits), ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_chunked_prefill_matches_full(small):
     """Prefill in 3 chunks == one full forward (logits of the last chunk match)."""
     cfg, _, params = small

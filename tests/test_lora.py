@@ -65,6 +65,7 @@ def test_peft_roundtrip(setup):
                                       np.asarray(state["adapters"][p]["A"]))
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_gradients_flow_through_adapters(setup):
     cfg, params, state = setup
     rng = np.random.default_rng(0)

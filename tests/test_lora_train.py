@@ -106,7 +106,8 @@ def test_lora_step_trains_adapters_only(tiny):
     assert moved > 0
 
 
-@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize(
+    "bits", [8, pytest.param(4, marks=pytest.mark.slow)])  # heavy: compile-bound
 def test_qlora_quantized_base(tiny, bits):
     """QLoRA: int8/int4 frozen base + fp adapters; gradients flow, loss drops."""
     cfg, params = tiny

@@ -36,6 +36,7 @@ def test_selective_scan_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_block_causality(rng):
     p = mamba.init(jax.random.PRNGKey(0), d_model=16)
     x = jnp.asarray(rng.standard_normal((1, 10, 16)).astype(np.float32))
@@ -46,6 +47,7 @@ def test_block_causality(rng):
     assert not np.allclose(np.asarray(y1)[0, 7:], np.asarray(y2)[0, 7:])
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_block_grads(rng):
     p = mamba.init(jax.random.PRNGKey(1), d_model=16)
     x = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))

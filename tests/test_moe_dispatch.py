@@ -56,6 +56,7 @@ def test_empty_expert(rng):
                                atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_moe_layer_sparse_equals_dense(rng):
     """llama._moe takes the sparse path at B*S>=32 and the dense path below; both
     must agree on the same weights and inputs."""

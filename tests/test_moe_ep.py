@@ -26,6 +26,7 @@ def _mk(rng, T, E, K, H, I):
 
 
 @pytest.mark.parametrize("E,K", [(8, 2), (16, 2), (8, 1)])
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_ep_matches_oracle_generous_capacity(rng, E, K):
     T, H, I = 64, 16, 24
     x, w1, w2, w3, topi, topw = _mk(rng, T, E, K, H, I)
@@ -58,6 +59,7 @@ def test_ep_under_jit_with_sharded_operands(rng):
     assert out.sharding.spec == P("model", None)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_ep_tight_capacity_drops_are_bounded(rng):
     """With capacity_factor=1.0 and adversarially imbalanced routing (everything
     to expert 0), most picks drop — output must be a partial (weight-dropped)

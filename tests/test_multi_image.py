@@ -66,6 +66,7 @@ def _oracle(cfg, params, batch, img_embeds, img_valid, max_len):
     return np.stack(out_e), np.stack(out_l), np.asarray(out_len)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_two_images_match_oracle(tiny):
     cfg, params = tiny
     batch = _mk(cfg)
@@ -87,6 +88,7 @@ def test_two_images_match_oracle(tiny):
     np.testing.assert_array_equal(np.asarray(fused.labels), ref_l)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_single_image_matches_n1_path(tiny):
     cfg, params = tiny
     batch = _mk(cfg, B=1, N=1, sent_at=((4,),))
@@ -105,6 +107,7 @@ def test_single_image_matches_n1_path(tiny):
                                   np.asarray(f_single.labels))
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_more_images_than_sentinels(tiny):
     """Extra provided images (no matching sentinel) contribute nothing."""
     cfg, params = tiny

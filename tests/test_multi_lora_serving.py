@@ -82,6 +82,7 @@ def _run(eng, req, ticks=80):
         out.extend(got)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_adapter_slot_matches_merged_model(setup):
     cfg, params = setup
     state = _mk_adapter(cfg, params, seed=1)
@@ -100,6 +101,7 @@ def test_adapter_slot_matches_merged_model(setup):
     assert got == ref[:len(got)] and len(got) >= 3
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_mixed_batch_base_and_two_adapters(setup):
     """Three slots — base, adapter1, adapter2 — decode in the SAME batched
     steps; each must match its own solo reference exactly."""

@@ -102,6 +102,7 @@ def test_state_is_int8_and_small():
     assert 3.5 < b["ratio"] < 4.0     # ~3.9x vs fp32 Adam
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_trainer_integration_adamw8bit():
     """TrainConfig(optim=adamw8bit) trains the real tiny model: loss drops."""
     from slime_tpu.config import SliMEConfig

@@ -75,6 +75,7 @@ def test_packed_loader_streams_full_batches():
 
 
 # ------------------------------------------------------------ model/loss
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_packed_loss_equals_padded_loss(setup):
     """Token-weighted NLL of the packed batch == padded batches' (fp32)."""
     cfg, params = setup
@@ -149,6 +150,7 @@ def na_of(it):
     return int(np.sum(np.asarray(it["labels"])[1:] != IGNORE_INDEX))
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_packed_gradients_flow(setup):
     """One packed train-style grad step is finite and nonzero."""
     cfg, params = setup

@@ -58,6 +58,7 @@ def test_sharded_train_step_runs(tiny_setup, mesh_shape):
         assert float(m2["loss"]) < float(m["loss"]) + 1.0  # sane progression
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_sharded_loss_matches_single_device(tiny_setup):
     cfg, params = tiny_setup
     batch = _batch(cfg)
@@ -106,6 +107,7 @@ def test_learnable_gated_pinning(tiny_setup):
     assert all(v != "frozen" for v in jax.tree_util.tree_leaves(labels1["projector"]["attn"]))
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_remat_matches_no_remat(tiny_setup):
     """jax.checkpoint path produces identical loss/grads (up to fp tolerance)."""
     cfg, params = tiny_setup

@@ -29,7 +29,9 @@ def setup():
     return cfg, params, embeds, ref
 
 
-@pytest.mark.parametrize("n_stages,n_micro", [(4, 8), (8, 8), (2, 4)])
+@pytest.mark.parametrize("n_stages,n_micro", [
+    pytest.param(4, 8, marks=pytest.mark.slow),   # heavy: compile-bound
+    pytest.param(8, 8, marks=pytest.mark.slow), (2, 4)])
 def test_pipeline_matches_forward(setup, n_stages, n_micro):
     cfg, params, embeds, ref = setup
     mesh = _mesh(n_stages)

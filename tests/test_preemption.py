@@ -54,6 +54,7 @@ def test_guard_latches_and_restores_handler():
         signal.signal(signal.SIGTERM, prev)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_sigterm_saves_state_and_resumes(tmp_path):
     cfg = SliMEConfig.tiny()
     params = slime.init(jax.random.PRNGKey(0), cfg)

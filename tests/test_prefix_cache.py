@@ -193,6 +193,7 @@ def _mm_prompt(cfg, rng, pre_text: int, post_text: int):
     return ids, px, cmask
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_multimodal_turn2_hit_exact(setup):
     """The multi-turn chat pattern: turn 2 = turn 1's prompt + more text,
     same image. The fused identity stream must match through the image span
@@ -255,6 +256,7 @@ def test_multimodal_turn2_hit_exact(setup):
                               crop_mask=cmask, max_new_tokens=5)) == out2
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_multimodal_different_image_no_false_hit(setup):
     """Same token ids, different image: identity streams diverge at the
     image span — blocks before it may hit, nothing after may, and outputs
@@ -279,6 +281,7 @@ def test_multimodal_different_image_no_false_hit(setup):
                               crop_mask=cmask, max_new_tokens=4)) == out2
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_text_and_multimodal_share_text_prefix(setup):
     """Identity streams widen token ids value-preservingly, so a text-only
     prompt and the pre-image text span of a multimodal prompt share cache

@@ -167,6 +167,7 @@ def test_to_jax_preserves_quant_scales(rng):
     assert out["llm"]["norm"]["weight"].dtype == jnp.bfloat16  # plain leaves cast
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_quantized_lm_head_matches_fp():
     """The logits path is quant-aware (llama._lm_head): an int8 lm_head must
     produce near-identical logits and the same greedy decode on a tiny model."""

@@ -16,6 +16,7 @@ def _mesh(n=8):
 
 
 @pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_ring_matches_full(rng, causal):
     B, H, S, D = 2, 4, 128, 32
     q = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
@@ -68,6 +69,7 @@ def test_llama_forward_with_ring(rng):
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_ring_gqa_native(rng):
     """GQA kv (KVH < H) rides the ring without repeating to full heads; matches
     the repeated-kv full-attention oracle."""

@@ -37,7 +37,9 @@ def _full_attention(q, k, v, causal):
     return jnp.einsum("bhqk,bhkd->bhqd", p, vf).astype(q.dtype)
 
 
-@pytest.mark.parametrize("n,causal", [(4, True), (4, False), (8, True)])
+@pytest.mark.parametrize("n,causal", [
+    (4, True), (4, False),
+    pytest.param(8, True, marks=pytest.mark.slow)])  # heavy: compile-bound
 def test_rdma_matches_full_attention(rng, n, causal):
     mesh = _mesh(n)
     B, H, KVH, S, D = 1, 4, 2, 8 * n, 16
@@ -51,6 +53,7 @@ def test_rdma_matches_full_attention(rng, n, causal):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_rdma_matches_collective_ring(rng):
     """Same inputs through both implementations: the RDMA kernel and the
     ppermute ring must agree to float tolerance (identical math, different

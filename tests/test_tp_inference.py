@@ -26,6 +26,7 @@ def setup():
     return cfg, params
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_generate_tp_matches_single(setup):
     cfg, params = setup
     rng = np.random.default_rng(0)
@@ -39,6 +40,7 @@ def test_generate_tp_matches_single(setup):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_generate_tp_multimodal(setup):
     cfg, params = setup
     rng = np.random.default_rng(1)

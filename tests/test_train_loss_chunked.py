@@ -59,6 +59,7 @@ def tiny():
     return cfg, params
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_multimodal_loss_chunked_matches_dense(tiny):
     """Chunked (forced) == dense (forced) on the multimodal branch — value and
     grads. 'auto' at tiny vocab resolves to the dense path and must agree."""
@@ -80,6 +81,7 @@ def test_multimodal_loss_chunked_matches_dense(tiny):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_packed_loss_chunked_matches_reference_shift_mask(tiny):
     """Packed branch: the label-folded segment-boundary rule reproduces the
     pre-r4 explicit mask — first token of every segment and padding are never

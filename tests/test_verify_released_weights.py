@@ -34,9 +34,13 @@ def exported(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("released"))
     ckpt.save_checkpoint(d, params, cfg)
     cfg.save(d)
+    # Record the golden here so every test in this module is self-sufficient
+    # (they run verify without --record and need slime_tpu_golden.npz).
+    assert _load_module().main([d, "--record", "--skip-quant"]) == 0
     return d
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_record_then_verify_passes(exported, capsys):
     mod = _load_module()
     assert mod.main([exported, "--record", "--skip-quant"]) == 0
@@ -47,6 +51,7 @@ def test_record_then_verify_passes(exported, capsys):
     assert "[PASS] greedy_generation_2" in out
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_quant_modes_report(exported, capsys):
     """int8/int4 loads run and report top-1 agreement; at tiny width we only
     require the checks to execute and int8 to clear a loose bar."""

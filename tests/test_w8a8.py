@@ -70,6 +70,7 @@ def test_w8a8_linear_leading_dims(rng):
                                np.asarray(ref), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # heavy: compile-bound; runs in the full tier (make test)
 def test_quantized_vit_feature_error_bounded(rng):
     """quantize_tower + the W8A8 path stays within 4% relative feature error
     of the fp32 tower on a small ViT — the CI guard for the vision quant
