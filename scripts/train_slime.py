@@ -72,6 +72,28 @@ def parse_args():
                     help="non-blocking Orbax train-state saves")
     ap.add_argument("--logging-steps", type=int, default=10)
     ap.add_argument("--seed", type=int, default=3407)
+    # DPO (the reference's vestigial --task DPO surface, train.py:133-166,
+    # implemented: train/dpo.py + data/dpo.py)
+    ap.add_argument("--task", default="SFT", choices=["SFT", "DPO"],
+                    help="SFT, or DPO over preference pairs "
+                         "(records with chosen/rejected or "
+                         "output_1/output_2 + preference)")
+    ap.add_argument("--dpo-beta", type=float, default=0.1)
+    ap.add_argument("--dpo-loss-type", default="sigmoid",
+                    choices=["sigmoid", "ipo", "kto_pair"])
+    ap.add_argument("--dpo-use-average", action="store_true",
+                    help="average per-token log-probs instead of sums")
+    ap.add_argument("--dpo-token-weighted", action="store_true",
+                    help="up-weight tokens where chosen/rejected differ "
+                         "(RLHF-V recipe)")
+    ap.add_argument("--dpo-token-weight", type=float, default=1.1)
+    ap.add_argument("--sft-weight", type=float, default=0.0,
+                    help="mix in plain NLL on the chosen rows")
+    ap.add_argument("--dpo-weight", type=float, default=1.0)
+    ap.add_argument("--ref-model-path", default=None,
+                    help="reference-policy checkpoint for full-parameter DPO "
+                         "(default: the starting weights); LoRA-DPO ignores "
+                         "this — the frozen base is the reference")
     # LoRA / QLoRA (reference scripts/llama-lora/*.sh r=128 alpha=256; --bits
     # 8/4 quantizes the frozen LLM base = the bitsandbytes kbit path,
     # train.py:956-972)
@@ -152,13 +174,25 @@ def main():
     tokenizer = AutoTokenizer.from_pretrained(args.model_base or args.model_path)
     tokenizer.model_max_length = args.model_max_length
 
-    ds = SupervisedDataset(args.data_path, tokenizer,
-                           image_folder=args.image_folder,
-                           image_aspect_ratio=args.image_aspect_ratio,
-                           conv_version=args.version,
-                           max_crops=1 + cfg.max_local_crops,
-                           tile=cfg.vision.image_size,
-                           pixel_dtype=args.pixel_dtype)
+    if args.task == "DPO":
+        from slime_tpu.data.dpo import PreferenceDataset
+        ds = PreferenceDataset(args.data_path, tokenizer,
+                               image_folder=args.image_folder,
+                               image_aspect_ratio=args.image_aspect_ratio,
+                               conv_version=args.version,
+                               max_crops=1 + cfg.max_local_crops,
+                               tile=cfg.vision.image_size,
+                               pixel_dtype=args.pixel_dtype,
+                               token_weighted=args.dpo_token_weighted,
+                               token_weight=args.dpo_token_weight)
+    else:
+        ds = SupervisedDataset(args.data_path, tokenizer,
+                               image_folder=args.image_folder,
+                               image_aspect_ratio=args.image_aspect_ratio,
+                               conv_version=args.version,
+                               max_crops=1 + cfg.max_local_crops,
+                               tile=cfg.vision.image_size,
+                               pixel_dtype=args.pixel_dtype)
 
     n_batches = max(len(ds) // args.per_device_batch_size, 1) * args.num_train_epochs
     total_steps = args.max_steps or n_batches
@@ -194,11 +228,27 @@ def main():
         lora_state = lora_lib.init_lora(jax.random.PRNGKey(args.seed + 1),
                                         params, r=args.lora_r,
                                         alpha=args.lora_alpha)
+    dpo_cfg, ref_params = None, None
+    if args.task == "DPO":
+        from slime_tpu.train.dpo import DPOConfig
+        dpo_cfg = DPOConfig(beta=args.dpo_beta, loss_type=args.dpo_loss_type,
+                            use_average=args.dpo_use_average,
+                            token_weighted=args.dpo_token_weighted,
+                            token_weight=args.dpo_token_weight,
+                            sft_weight=args.sft_weight,
+                            dpo_weight=args.dpo_weight)
+        if args.ref_model_path and not args.lora_enable:
+            ref_params = ckpt.to_jax(ckpt.load_pretrained(
+                args.ref_model_path, cfg=cfg))
     trainer = Trainer(params, cfg, tc, rc, mesh=mesh,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                       use_pallas=args.use_pallas_attention or None,
-                      remat=args.remat, lora=lora_state)
+                      remat=args.remat, lora=lora_state, dpo=dpo_cfg,
+                      ref_params=ref_params)
 
+    if args.seq_packing and args.task == "DPO":
+        raise SystemExit("--seq-packing does not compose with --task DPO "
+                         "(pair rows must stay aligned)")
     if args.seq_packing and any(l > 0 for l in ds.modality_lengths):
         raise SystemExit("--seq-packing is text-only (image features splice "
                          "into the embedding sequence; token-aligned "
@@ -209,6 +259,14 @@ def main():
 
         from slime_tpu.data.packing import packed_loader
         for epoch in range(args.num_train_epochs):
+            if args.task == "DPO":
+                from slime_tpu.data.dpo import dpo_loader
+                yield from dpo_loader(
+                    ds, batch_size=global_batch,
+                    seq_len=args.model_max_length,
+                    pad_token_id=tokenizer.pad_token_id or 0,
+                    seed=args.seed + epoch, num_workers=8)
+                continue
             if args.seq_packing:
                 order = list(range(len(ds)))
                 _random.Random(args.seed + epoch).shuffle(order)

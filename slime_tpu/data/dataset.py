@@ -103,29 +103,39 @@ class SupervisedDataset:
                           version=self.conv_version)
         item: Dict = {"input_ids": d["input_ids"][0], "labels": d["labels"][0]}
 
-        if has_image:
-            from PIL import Image
-            img = Image.open(os.path.join(self.image_folder, r["image"])).convert("RGB")
-            if self.image_aspect_ratio in ("anyres", "any_res"):
-                crops, mask, _ = process_anyres_image_host(
-                    img, tile=self.tile, max_crops=self.max_crops,
-                    use_native=self.use_native_preprocess,
-                    normalize=self.pixel_dtype == "float32")
-            else:
-                one = process_pad_image_host(img, tile=self.tile)
-                crops = np.zeros((self.max_crops,) + one.shape, np.float32)
-                crops[0] = one
-                mask = np.zeros((self.max_crops,), bool)
-                mask[0] = True
-            item["pixel_values"] = crops
-            item["crop_mask"] = mask
-        else:
-            # text-only rows still carry zero image slots so batch shapes are uniform
-            t = self.tile
-            item["pixel_values"] = np.zeros((self.max_crops, 3, t, t),
-                                            getattr(np, self.pixel_dtype))
-            item["crop_mask"] = np.zeros((self.max_crops,), bool)
+        pv, mask = image_crops_for_record(
+            r if has_image else None, image_folder=self.image_folder,
+            image_aspect_ratio=self.image_aspect_ratio, tile=self.tile,
+            max_crops=self.max_crops,
+            use_native=self.use_native_preprocess,
+            pixel_dtype=self.pixel_dtype)
+        item["pixel_values"] = pv
+        item["crop_mask"] = mask
         return item
+
+
+def image_crops_for_record(record, *, image_folder: str,
+                           image_aspect_ratio: str, tile: int, max_crops: int,
+                           use_native: bool, pixel_dtype: str):
+    """(pixel_values [max_crops, 3, t, t], crop_mask [max_crops]) for one
+    record; ``record=None`` (text-only) yields zero slots so batch shapes
+    stay uniform. Shared by the SFT dataset and the DPO preference dataset."""
+    if record is None:
+        return (np.zeros((max_crops, 3, tile, tile), getattr(np, pixel_dtype)),
+                np.zeros((max_crops,), bool))
+    from PIL import Image
+    img = Image.open(os.path.join(image_folder, record["image"])).convert("RGB")
+    if image_aspect_ratio in ("anyres", "any_res"):
+        crops, mask, _ = process_anyres_image_host(
+            img, tile=tile, max_crops=max_crops, use_native=use_native,
+            normalize=pixel_dtype == "float32")
+        return crops, mask
+    one = process_pad_image_host(img, tile=tile)
+    crops = np.zeros((max_crops,) + one.shape, np.float32)
+    crops[0] = one
+    mask = np.zeros((max_crops,), bool)
+    mask[0] = True
+    return crops, mask
 
 
 def collate(items: Sequence[Dict], *, pad_token_id: int, seq_len: int) -> Dict[str, np.ndarray]:

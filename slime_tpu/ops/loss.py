@@ -109,6 +109,79 @@ def chunked_cross_entropy(x: jnp.ndarray, lm_head_weight: jnp.ndarray,
     return total, count
 
 
+def _dense_seq_logp(x, head, targets, valid, weights=None):
+    logits = _head_logits(x, head)
+    safe = jnp.where(valid, targets, 0)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    logp = gold - lse
+    if weights is None:
+        w = valid.astype(jnp.float32)
+    else:
+        w = jnp.where(valid, weights, 0.0).astype(jnp.float32)
+    return jnp.sum(logp * w, axis=-1), jnp.sum(w, axis=-1)
+
+
+def chunked_sequence_logp(x: jnp.ndarray, lm_head_weight, labels: jnp.ndarray,
+                          *, chunk: Optional[int] = DEFAULT_LOSS_CHUNK,
+                          ignore_index: int = IGNORE_INDEX, shift: bool = True,
+                          weights: Optional[jnp.ndarray] = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sequence sum of log p(target): ([B] fp32, [B] fp32 weight mass).
+
+    The DPO primitive (train/dpo.py): same chunked scan as
+    chunked_cross_entropy — the vocab projection never materializes
+    [B, S, V] — but accumulating per-ROW log-probabilities instead of a
+    batch scalar. ``weights`` [B, S] (aligned with ``labels``, shifted
+    identically) scales each target token's log-prob — the reference's
+    dpo_token_weighted / dpo_token_weight fields (train.py:152-159;
+    RLHF-V-style up-weighting of the tokens that differ between the
+    chosen and rejected answers). Unweighted, the returned mass is the
+    valid-target count, so logp/mass is the average-per-token variant
+    (dpo_use_average)."""
+    B, S, H = x.shape
+    if shift:
+        targets = jnp.concatenate(
+            [labels[:, 1:], jnp.full((B, 1), ignore_index, labels.dtype)], axis=1)
+        if weights is not None:
+            weights = jnp.concatenate(
+                [weights[:, 1:], jnp.zeros((B, 1), weights.dtype)], axis=1)
+    else:
+        targets = labels
+    valid = targets != ignore_index
+
+    if chunk is None or chunk >= S:
+        return _dense_seq_logp(x, lm_head_weight, targets, valid, weights)
+
+    pad = (-S) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)),
+                          constant_values=ignore_index)
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        if weights is not None:
+            weights = jnp.pad(weights, ((0, 0), (0, pad)))
+    n = x.shape[1] // chunk
+    xs = x.reshape(B, n, chunk, H).swapaxes(0, 1)          # [n, B, C, H]
+    ts = targets.reshape(B, n, chunk).swapaxes(0, 1)
+    vs = valid.reshape(B, n, chunk).swapaxes(0, 1)
+    ws = (weights.reshape(B, n, chunk).swapaxes(0, 1)
+          if weights is not None else jnp.zeros((n,)))
+
+    def body(carry, inp):
+        xc, tc, vc, wc = inp
+        s, c = carry
+        ds, dc = _dense_seq_logp(xc, lm_head_weight, tc, vc,
+                                 wc if weights is not None else None)
+        return (s + ds, c + dc), None
+
+    (logp, mass), _ = jax.lax.scan(
+        jax.checkpoint(body),
+        (jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.float32)),
+        (xs, ts, vs, ws))
+    return logp, mass
+
+
 def chunked_ce_mean(x, lm_head_weight, labels, *,
                     chunk: Optional[int] = DEFAULT_LOSS_CHUNK,
                     ignore_index: int = IGNORE_INDEX, shift: bool = True):

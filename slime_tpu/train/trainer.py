@@ -56,11 +56,18 @@ class RunConfig:
 class Trainer:
     def __init__(self, params, cfg: SliMEConfig, tc: TrainConfig, rc: RunConfig,
                  *, mesh=None, compute_dtype=None, use_pallas=None,
-                 remat: bool = False, lora=None):
+                 remat: bool = False, lora=None, dpo=None, ref_params=None):
         """``lora``: a train.lora.init_lora state enables LoRA mode — only the
         adapters (+ projector/sampler) train; ``params`` may carry a QUANTIZED
         llm subtree (checkpoint load_bits=8/4), giving QLoRA (the reference's
-        bitsandbytes-base + PEFT path, train.py:956-972 + 1036-1052)."""
+        bitsandbytes-base + PEFT path, train.py:956-972 + 1036-1052).
+
+        ``dpo``: a train.dpo.DPOConfig switches the objective to Direct
+        Preference Optimization over stacked pair batches (data/dpo.py) —
+        the reference's vestigial `--task DPO` surface (train.py:133-166).
+        Full-parameter DPO uses ``ref_params`` (default: a frozen copy of the
+        starting params) as the reference policy; LoRA-DPO needs no copy —
+        the frozen base IS the reference."""
         import jax
         import jax.numpy as jnp
 
@@ -70,7 +77,30 @@ class Trainer:
         self.mesh = mesh
         self.compute_dtype = compute_dtype or jnp.bfloat16
         self.lora = lora
-        if lora is not None:
+        self.dpo = dpo
+        if dpo is not None:
+            from .dpo import (make_dpo_train_step, make_lora_dpo_train_step,
+                              shard_ref_params)
+            if lora is not None:
+                self.base, self.state, self.tx = init_lora_train_state(
+                    params, lora, tc, mesh=mesh)
+                self._dpo_step = make_lora_dpo_train_step(
+                    cfg, tc, self.tx, dpo, rank=lora["rank"],
+                    alpha=lora["alpha"], compute_dtype=self.compute_dtype,
+                    use_pallas=use_pallas, remat=remat)
+                self.step_fn = lambda state, batch, rng: self._dpo_step(
+                    state, self.base, batch, rng)
+            else:
+                self.state, self.tx = init_train_state(params, tc, mesh=mesh)
+                self.ref = shard_ref_params(
+                    ref_params if ref_params is not None else params,
+                    mesh=mesh)
+                self._dpo_step = make_dpo_train_step(
+                    cfg, tc, self.tx, dpo, compute_dtype=self.compute_dtype,
+                    use_pallas=use_pallas, remat=remat)
+                self.step_fn = lambda state, batch, rng: self._dpo_step(
+                    state, self.ref, batch, rng)
+        elif lora is not None:
             self.base, self.state, self.tx = init_lora_train_state(
                 params, lora, tc, mesh=mesh)
             self._lora_step = make_lora_train_step(

@@ -113,3 +113,34 @@ def test_train_slime_cli_seq_packing(ckpt_dir, tmp_path):
               "--data-path", str(dj), "--output-dir", str(out),
               "--seq-packing", "--max-steps", "1"], timeout=600)
     assert r.returncode != 0 and "text-only" in (r.stderr + r.stdout)
+
+
+@pytest.mark.slow
+def test_train_slime_cli_dpo(ckpt_dir, img_dir, tmp_path):
+    """--task DPO end-to-end through the CLI: preference pairs (one
+    multimodal) train through the stacked-pair step and save."""
+    data = [{"id": "0", "image": "x.jpg",
+             "conversations": [{"from": "human",
+                                "value": "<image>\nwhat is this ?"}],
+             "chosen": "a cat .", "rejected": "a dog ."},
+            {"id": "1",
+             "conversations": [{"from": "human", "value": "2 + 2 ?"}],
+             "output_1": {"value": "4 ."}, "output_2": {"value": "5 ."},
+             "preference": 1}] * 2
+    dj = tmp_path / "pref.json"
+    dj.write_text(json.dumps(data))
+    out = tmp_path / "out_dpo"
+    r = _run(["scripts/train_slime.py", "--model-path", ckpt_dir,
+              "--data-path", str(dj), "--image-folder", img_dir,
+              "--output-dir", str(out), "--version", "v1",
+              "--task", "DPO", "--dpo-beta", "0.1",
+              "--dpo-token-weighted",
+              "--per-device-batch-size", "2", "--max-steps", "2",
+              "--model-max-length", "128", "--save-steps", "0",
+              "--logging-steps", "1", "--learning-rate", "1e-4"],
+             timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out / "config.json")
+    logged = [json.loads(l.split("[train] ", 1)[1])
+              for l in r.stdout.splitlines() if l.startswith("[train] {")]
+    assert logged and "reward_margin" in logged[-1]
