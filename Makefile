@@ -16,7 +16,8 @@ SMOKE = tests/test_conversation.py tests/test_anyres.py \
         tests/test_eval.py tests/test_benchmarks.py tests/test_load_modes.py \
         tests/test_serve.py tests/test_checkpoint_8b_keys.py \
         tests/test_memory_plan.py tests/test_full_pipeline_golden.py \
-        tests/test_loss.py tests/test_lora_train.py tests/test_tp_inference.py
+        tests/test_loss.py tests/test_lora_train.py tests/test_tp_inference.py \
+        tests/test_dpo.py
 
 test-smoke: native
 	python -m pytest $(SMOKE) -q -m "not slow"
