@@ -138,12 +138,19 @@ def make_lora_optimizer(trainable, tc: TrainConfig):
     this small tree — the frozen (possibly quantized) base carries no Adam
     moments, which is what makes single-chip QLoRA of an 8B fit."""
     def adamw(lr):
-        return optax.chain(
-            optax.clip_by_global_norm(tc.max_grad_norm),
-            optax.adamw(make_schedule(tc, lr), b1=tc.adam_b1, b2=tc.adam_b2,
-                        eps=tc.adam_eps, weight_decay=tc.weight_decay,
-                        mask=_decay_mask(trainable)),
-        )
+        if tc.optim == "adamw8bit":
+            from .opt8 import adamw8bit
+            inner = adamw8bit(make_schedule(tc, lr), b1=tc.adam_b1,
+                              b2=tc.adam_b2, eps=tc.adam_eps,
+                              weight_decay=tc.weight_decay,
+                              mask=_decay_mask(trainable))
+        else:
+            inner = optax.adamw(make_schedule(tc, lr), b1=tc.adam_b1,
+                                b2=tc.adam_b2, eps=tc.adam_eps,
+                                weight_decay=tc.weight_decay,
+                                mask=_decay_mask(trainable))
+        return optax.chain(optax.clip_by_global_norm(tc.max_grad_norm),
+                           inner)
 
     labels = jax.tree_util.tree_map_with_path(
         lambda path, leaf: ("proj" if _path_str(path).startswith("extras/")

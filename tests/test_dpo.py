@@ -310,3 +310,29 @@ def test_preference_dataset_and_loader(tmp_path):
             (b["labels"][2] != IGNORE_INDEX).argmax())
     np.testing.assert_array_equal(b["input_ids"][0, :n],
                                   b["input_ids"][2, :n])
+
+
+@pytest.mark.slow  # heavy: 8-device-mesh compile of the DPO step
+def test_dpo_sharded_mesh(tiny):
+    """Full-parameter DPO under a (data=2, fsdp=4) mesh: policy state, frozen
+    reference tree, and the stacked pair batch all shard; initial loss is
+    log 2 and two steps keep separating the pair."""
+    from slime_tpu.parallel import mesh as mesh_lib
+
+    cfg, params = tiny
+    mesh = mesh_lib.make_mesh(2, 4, 1)
+    tc = TrainConfig(learning_rate=5e-3, total_steps=10,
+                     lr_schedule="constant", warmup_ratio=0.0)
+    state, tx = init_train_state(params, tc, mesh=mesh)
+    ref = dpo.shard_ref_params(params, mesh=mesh)
+    step = dpo.make_dpo_train_step(cfg, tc, tx, dpo.DPOConfig(),
+                                   compute_dtype=jnp.float32)
+    # 2B rows must divide data*fsdp=8 -> B=4 pairs
+    batch = mesh_lib.shard_batch(mesh, jax.tree_util.tree_map(
+        np.asarray, _pair_batch(cfg, B=4)))
+    state, m = step(state, ref, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m["loss"]), np.log(2.0), rtol=1e-4)
+    for i in range(4):
+        state, m = step(state, ref, batch, jax.random.PRNGKey(i + 1))
+    assert float(m["loss"]) < np.log(2.0)
+    assert float(m["reward_margin"]) > 0
