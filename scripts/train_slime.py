@@ -237,7 +237,16 @@ def main():
                             token_weight=args.dpo_token_weight,
                             sft_weight=args.sft_weight,
                             dpo_weight=args.dpo_weight)
-        if args.ref_model_path and not args.lora_enable:
+        if args.ref_model_path and args.lora_enable:
+            # LoRA-DPO's reference policy is the frozen base by construction
+            # (adapters off == base); honoring a DIFFERENT ref checkpoint would
+            # need a second resident model — refuse instead of silently
+            # changing the objective
+            raise SystemExit("--ref-model-path is incompatible with "
+                             "--lora-enable: LoRA-DPO uses the frozen base as "
+                             "the reference policy (drop --ref-model-path, or "
+                             "run full-parameter DPO)")
+        if args.ref_model_path:
             ref_params = ckpt.to_jax(ckpt.load_pretrained(
                 args.ref_model_path, cfg=cfg))
     trainer = Trainer(params, cfg, tc, rc, mesh=mesh,

@@ -50,7 +50,14 @@ def normalize_record(r: Dict) -> Tuple[List[Dict], str, str]:
         chosen, rejected = _answer_text(r["chosen"]), _answer_text(r["rejected"])
     elif "output_1" in r and "output_2" in r:
         o1, o2 = _answer_text(r["output_1"]), _answer_text(r["output_2"])
-        pref = int(r.get("preference", 1))
+        if "preference" not in r:
+            raise ValueError(
+                "output_1/output_2 record needs an explicit 'preference' key")
+        pref = int(r["preference"])
+        if pref not in (1, 2):
+            # LLaVA-RLHF uses 1/2; anything else (0, ties, malformed) has no
+            # defined orientation — refuse rather than train on it
+            raise ValueError(f"preference must be 1 or 2, got {pref!r}")
         chosen, rejected = (o1, o2) if pref == 1 else (o2, o1)
     else:
         raise ValueError(
@@ -168,6 +175,17 @@ def collate_dpo(items: Sequence[Dict], *, pad_token_id: int,
             ids[row, :n] = src_ids[:n]
             labels[row, :n] = src_lab[:n]
             mask[row, :n] = True
+            # truncation that removes ALL of one side's target tokens feeds a
+            # logp over zero mass into the DPO loss — a silently distorted
+            # gradient for the whole pair; surface it
+            if (np.asarray(src_lab[:n]) != IGNORE_INDEX).sum() == 0 and \
+                    (np.asarray(src_lab) != IGNORE_INDEX).sum() > 0:
+                import warnings
+                warnings.warn(
+                    f"collate_dpo: seq_len={seq_len} truncated away every "
+                    f"target token of the {side} row of pair {b}; the pair "
+                    f"contributes a distorted gradient — raise seq_len or "
+                    f"filter long records", stacklevel=2)
     batch = {
         "input_ids": ids,
         "labels": labels,
@@ -201,15 +219,15 @@ def dpo_loader(dataset: PreferenceDataset, *, batch_size: int, seq_len: int,
 
     if num_workers > 0:
         from concurrent.futures import ThreadPoolExecutor
-        ex = ThreadPoolExecutor(num_workers)
-        for s in range(0, len(order) - (batch_size - 1 if drop_last else 0),
-                       batch_size):
-            chunk = order[s:s + batch_size]
-            if drop_last and len(chunk) < batch_size:
-                break
-            items = list(ex.map(get, chunk))
-            yield collate_dpo(items, pad_token_id=pad_token_id,
-                              seq_len=seq_len)
+        with ThreadPoolExecutor(num_workers) as ex:
+            for s in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                           batch_size):
+                chunk = order[s:s + batch_size]
+                if drop_last and len(chunk) < batch_size:
+                    break
+                items = list(ex.map(get, chunk))
+                yield collate_dpo(items, pad_token_id=pad_token_id,
+                                  seq_len=seq_len)
     else:
         for s in range(0, len(order), batch_size):
             chunk = order[s:s + batch_size]

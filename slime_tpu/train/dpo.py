@@ -159,17 +159,24 @@ def pair_logps(params, cfg: SliMEConfig, batch: Dict, *,
                                  weights=weights)
 
 
-def _dpo_metrics(losses, chosen_rewards, rejected_rewards, pc, pr, n_chosen):
+def _dpo_metrics(losses, chosen_rewards, rejected_rewards, pc, pr, n_chosen,
+                 weighted: bool = False):
     margin = chosen_rewards - rejected_rewards
-    return {
+    m = {
         "reward_margin": jnp.mean(margin),
         "reward_accuracy": jnp.mean((margin > 0).astype(jnp.float32)),
         "chosen_reward": jnp.mean(chosen_rewards),
         "rejected_reward": jnp.mean(rejected_rewards),
         "policy_chosen_logp": jnp.mean(pc),
         "policy_rejected_logp": jnp.mean(pr),
-        "n_target_tokens": n_chosen.astype(jnp.int32),
     }
+    if weighted:
+        # with dpo_token_weighted the mass is the sum of difflib weights, not a
+        # token count — name it what it is so tokens accounting stays honest
+        m["target_weight_mass"] = n_chosen
+    else:
+        m["n_target_tokens"] = n_chosen.astype(jnp.int32)
+    return m
 
 
 def _dpo_objective(logp, mass, ref_logp, ref_mass, dc: DPOConfig):
@@ -193,7 +200,7 @@ def _dpo_objective(logp, mass, ref_logp, ref_mass, dc: DPOConfig):
         loss = loss + dc.sft_weight * sft
     n_chosen = jnp.sum(mass[:B])
     return loss, _dpo_metrics(losses, chosen_rewards, rejected_rewards,
-                              pc, pr, n_chosen)
+                              pc, pr, n_chosen, weighted=dc.token_weighted)
 
 
 def make_dpo_train_step(cfg: SliMEConfig, tc: TrainConfig, tx, dc: DPOConfig,

@@ -26,18 +26,20 @@ from .optim import TrainConfig, make_optimizer
 def make_train_step(cfg: SliMEConfig, tc: TrainConfig, tx,
                     use_pallas: Optional[bool] = None,
                     compute_dtype=jnp.bfloat16, remat: bool = False,
-                    scan_layers: bool = False, loss_chunk="auto"):
+                    scan_layers: bool = False, loss_chunk="auto", mesh=None):
     """Returns step(state, batch, rng) -> (state, metrics); jitted, state donated.
 
     The loss is chunked over the sequence (ops.loss) so the step never
     materializes [B, S, V] logits; loss_chunk="auto" chunks only at real vocab
-    widths (see slime.loss_fn)."""
+    widths (see slime.loss_fn). Pass ``mesh`` when training sharded: fusion
+    activations get canonical batch shardings (constrain_batch_act) so the SPMD
+    partitioner never falls back to replicate-and-repartition."""
 
     def loss(params, batch, rng):
         return slime.loss_fn(params, cfg, batch, training=True, rng=rng,
                              use_pallas=use_pallas, compute_dtype=compute_dtype,
                              remat=remat, scan_layers=scan_layers,
-                             loss_chunk=loss_chunk)
+                             loss_chunk=loss_chunk, mesh=mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
@@ -57,7 +59,8 @@ def make_lora_train_step(cfg: SliMEConfig, tc: TrainConfig, tx, *,
                          rank: int, alpha: int,
                          use_pallas: Optional[bool] = None,
                          compute_dtype=jnp.bfloat16, remat: bool = False,
-                         scan_layers: bool = False, loss_chunk="auto"):
+                         scan_layers: bool = False, loss_chunk="auto",
+                         mesh=None):
     """LoRA/QLoRA step: only the adapter factors (+ projector/sampler extras)
     are trained; the base — bf16 or QUANTIZED int8/int4 — is a frozen input.
 
@@ -79,7 +82,7 @@ def make_lora_train_step(cfg: SliMEConfig, tc: TrainConfig, tx, *,
         return slime.loss_fn(params, cfg, batch, training=True, rng=rng,
                              use_pallas=use_pallas, compute_dtype=compute_dtype,
                              remat=remat, scan_layers=scan_layers,
-                             loss_chunk=loss_chunk)
+                             loss_chunk=loss_chunk, mesh=mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, base_params, batch, rng):

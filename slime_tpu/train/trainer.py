@@ -106,14 +106,22 @@ class Trainer:
             self._lora_step = make_lora_train_step(
                 cfg, tc, self.tx, rank=lora["rank"], alpha=lora["alpha"],
                 compute_dtype=self.compute_dtype, use_pallas=use_pallas,
-                remat=remat)
+                remat=remat, mesh=mesh)
             self.step_fn = lambda state, batch, rng: self._lora_step(
                 state, self.base, batch, rng)
         else:
             self.state, self.tx = init_train_state(params, tc, mesh=mesh)
             self.step_fn = make_train_step(cfg, tc, self.tx,
                                            compute_dtype=self.compute_dtype,
-                                           use_pallas=use_pallas, remat=remat)
+                                           use_pallas=use_pallas, remat=remat,
+                                           mesh=mesh)
+        if tc.gradient_accumulation_steps > 1:
+            # fail fast if MultiSteps' fp32 accumulator provably can't fit
+            # next to the state just initialized (VERDICT r4 #9); the LoRA
+            # path passes trivially — only the adapter tree is accumulated
+            from ..parallel.memory_plan import check_grad_accum_fit
+            check_grad_accum_fit(self.state["params"],
+                                 tc.gradient_accumulation_steps, mesh=mesh)
         resume = rc.resume_from or state_ckpt.latest_checkpoint(rc.output_dir)
         if resume:
             self.state = state_ckpt.restore_train_state(resume, target=self.state)
@@ -185,8 +193,9 @@ class Trainer:
                 dt = time.perf_counter() - last_log
                 rec = {"step": step, "loss": float(m["loss"]),
                        "grad_norm": float(m["grad_norm"]),
-                       "tokens_per_sec": tokens_since / max(dt, 1e-9),
-                       "target_tokens": int(m["n_target_tokens"])}
+                       "tokens_per_sec": tokens_since / max(dt, 1e-9)}
+                if "n_target_tokens" in m:
+                    rec["target_tokens"] = int(m["n_target_tokens"])
                 if pf is not None:
                     rec["host_stall_frac"] = pf.stall_s / max(
                         time.perf_counter() - t_loop0, 1e-9)

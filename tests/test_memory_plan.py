@@ -37,6 +37,51 @@ def test_70b_full_finetune_fits_v5e_128():
     assert abs(p.params / 2 ** 30 - expect_gb) / expect_gb < 0.15
 
 
+def test_grad_accum_accounted():
+    """gradient_accumulation_steps > 1 adds optax.MultiSteps' persistent fp32
+    accumulator to the plan (VERDICT r4 #9): one fp32 copy of every param,
+    sharded like grads — ~30 GiB unsharded at 8B, NOT amortized by the
+    window length."""
+    cfg = LLMConfig.llama3_8b()
+    base = mp.plan(cfg, batch=8, seq=2048)
+    acc = mp.plan(cfg, batch=8, seq=2048, grad_accum_steps=4)
+    assert base.grad_accum == 0 and "grad_accum" not in base.per_category_gb
+    # fp32 accumulator = 2x the bf16 param bytes, exactly
+    assert acc.grad_accum == 2 * base.params
+    assert acc.total == base.total + acc.grad_accum
+    # window length does not change the accumulator (one tree, any N)
+    assert mp.plan(cfg, batch=8, seq=2048,
+                   grad_accum_steps=16).grad_accum == acc.grad_accum
+    # sharding divides it like grads
+    sh = mp.plan(cfg, n_fsdp=8, batch=8, seq=2048, grad_accum_steps=4)
+    assert sh.grad_accum < acc.grad_accum / 4
+
+    # plan_mm threads it through and adds the vision-state accumulator
+    from slime_tpu.config import SliMEConfig
+    mm = mp.plan_mm(SliMEConfig.slime_8b(), batch=8, n_fsdp=8,
+                    grad_accum_steps=2)
+    assert mm.grad_accum > sh.grad_accum
+
+
+def test_grad_accum_misfit_raises():
+    """check_grad_accum_fit (called by Trainer.__init__ when accumulation is
+    on) raises a clear error when the accumulator provably can't fit."""
+    import jax.numpy as jnp
+    tree = {"w": jnp.zeros((1024, 1024), jnp.bfloat16)}
+    one_mb = 2 ** 20
+    with pytest.raises(ValueError, match="grad accumulator"):
+        mp.check_grad_accum_fit(tree, 4, hbm_bytes=2 * one_mb, used_bytes=0)
+    # fits -> returns the per-device accumulator bytes (fp32, param count)
+    assert mp.check_grad_accum_fit(
+        tree, 4, hbm_bytes=2 ** 30, used_bytes=0) == 1024 * 1024 * 4
+    # steps<=1: no accumulator, no check
+    assert mp.check_grad_accum_fit(tree, 1, hbm_bytes=1) == 0
+    # used_bytes eats the headroom
+    with pytest.raises(ValueError):
+        mp.check_grad_accum_fit(tree, 2, hbm_bytes=8 * one_mb,
+                                used_bytes=4 * one_mb)
+
+
 def test_more_chips_never_more_bytes():
     cfg = LLMConfig.llama3_70b()
     totals = [mp.plan(cfg, n_fsdp=f, n_model=4, n_pp=4, batch=32).total
