@@ -9,11 +9,16 @@ metrics. Two scenarios:
   prefix:     same, but every prompt shares a long system prefix -> the
               automatic prefix cache (serve/prefix_cache.py) should collapse
               admission prefill to the suffix after the first request
+  load:       open-loop Poisson arrivals at each rate in SLIME_SRV_RATES
+              (req/s), mixed prompt lengths (128/512/1024 at 25/50/25%);
+              reports TTFT p50/p95, aggregate generated tok/s, mean/peak
+              slot occupancy and admission-queue depth per rate
 
 Env: SLIME_SRV_REQUESTS (16), SLIME_SRV_PROMPT (512 = suffix tokens),
 SLIME_SRV_PREFIX (1024 = shared prefix tokens, prefix scenario),
 SLIME_SRV_NEW (64 tokens per request), SLIME_SRV_SLOTS (8),
-SLIME_SRV_ONLY (comma list of throughput,prefix). One JSON line each.
+SLIME_SRV_RATES ("0.5,1,2,4" req/s, load scenario),
+SLIME_SRV_ONLY (comma list of throughput,prefix,load). One JSON line each.
 CPU smoke: SLIME_SRV_TINY=1 SLIME_PLATFORM=cpu (JAX_PLATFORMS is ignored
 on this image — slime_tpu/__init__.py handles SLIME_PLATFORM).
 
@@ -91,6 +96,41 @@ def run_scenario(eng, Request, rng, *, n_req, prompt_len, new_tokens,
     return toks, dt
 
 
+def run_load(eng, Request, rng, *, rate, n_req, new_tokens, vocab):
+    """Open-loop arrivals at `rate` req/s; mixed prompt lengths.
+
+    Returns (generated_tokens, wall_s, ttft_list, occupancy_samples,
+    queue_depth_samples). Occupancy/queue are sampled once per tick —
+    tick cadence IS the engine's scheduling quantum, so the sample
+    stream is the load the scheduler actually saw.
+    """
+    lens = rng.choice([128, 512, 1024], size=n_req, p=[0.25, 0.5, 0.25])
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, n_req))
+    reqs = [Request(input_ids=rng.integers(5, vocab, (int(L),)).astype(np.int32),
+                    max_new_tokens=new_tokens) for L in lens]
+    n_metrics0 = len(eng._metrics)
+    occ, qd = [], []
+    t0 = time.monotonic()
+    i = 0
+    while True:
+        now = time.monotonic() - t0
+        while i < n_req and arrivals[i] <= now:
+            eng.submit(reqs[i])
+            i += 1
+        n = eng.tick()
+        occ.append(sum(s is not None for s in eng.slots))
+        qd.append(eng.pending.qsize())
+        if n == 0 and eng.pending.empty() and eng._admission is None:
+            if i >= n_req:
+                break
+            # idle until the next arrival
+            time.sleep(max(0.0, arrivals[i] - (time.monotonic() - t0)))
+    toks = _drain_all(reqs)
+    dt = time.monotonic() - t0
+    ttft = [m[0] for m in list(eng._metrics)[n_metrics0:]]
+    return toks, dt, ttft, occ, qd
+
+
 def main():
     import jax
 
@@ -134,6 +174,39 @@ def main():
             f"+ {new_tokens} new, {slots} slots)",
             "ttft_p50_s": m.get("ttft_p50_s"), "ttft_p95_s": m.get("ttft_p95_s"),
             "wall_s": round(dt, 2)}), flush=True)
+        eng.stop()
+        del eng
+
+    if not only or "load" in only:
+        rates = [float(r) for r in
+                 os.environ.get("SLIME_SRV_RATES", "0.5,1,2,4").split(",")]
+        eng = BatchDecodeEngine(params, cfg, max_slots=slots,
+                                cache_len=2048, compute_dtype=jax.numpy.bfloat16)
+        # warm: compile prefill chunks + decode buckets for all three lengths
+        wt, wd, *_ = run_load(eng, Request, rng, rate=100.0, n_req=6,
+                              new_tokens=8, vocab=vocab)
+        print(f"load warm: {wt} tok {wd:.1f}s", file=sys.stderr, flush=True)
+        for rate in rates:
+            toks, dt, ttft, occ, qd = run_load(
+                eng, Request, rng, rate=rate, n_req=n_req,
+                new_tokens=new_tokens, vocab=vocab)
+            ttft = np.sort(np.asarray(ttft)) if ttft else np.zeros(1)
+            pct = lambda p: float(ttft[min(len(ttft) - 1,
+                                           int(p * (len(ttft) - 1)))])
+            print(json.dumps({
+                "metric": "serving_engine_8b_load",
+                "rate_req_s": rate,
+                "value": round(toks / dt, 1),
+                "unit": f"aggregate generated tok/s ({n_req} Poisson arrivals,"
+                        f" mixed 128/512/1024 prompts + {new_tokens} new,"
+                        f" {slots} slots)",
+                "ttft_p50_s": round(pct(0.50), 3),
+                "ttft_p95_s": round(pct(0.95), 3),
+                "occupancy_mean": round(float(np.mean(occ)), 2),
+                "occupancy_peak": int(np.max(occ)),
+                "queue_depth_mean": round(float(np.mean(qd)), 2),
+                "queue_depth_peak": int(np.max(qd)),
+                "wall_s": round(dt, 2)}), flush=True)
         eng.stop()
         del eng
 

@@ -114,6 +114,59 @@ def test_harness_end_to_end(tmp_path):
     assert all("text" in r and "question_id" in r for r in rows)
 
 
+@pytest.mark.slow
+def test_harness_batched_matches_bs1(tmp_path):
+    """Fidelity pin: batched greedy output must be token-identical to bs=1.
+
+    The reference's scores are produced by bs=1 greedy decoding
+    (llava/eval/model_vqa_loader.py:75-79, docs/Evaluation.md:3); our harness
+    pads questions into fixed-shape batches and rounds sequence length to
+    64-multiples (harness.py:124-135). This test crosses a 64-token bucket
+    boundary (short + long prompts in one batch) AND exercises padded rows
+    (5 questions, batch_size=4 -> final batch 1 real + 3 pad), asserting the
+    decoded text per question is identical between batch_size=4 and
+    batch_size=1. If a model/backend combination ever flips a greedy near-tie
+    across tilings, score-reporting runs should pass --batch-size 1
+    (docs/Evaluation.md, 'Protocol fidelity')."""
+    import jax
+    from PIL import Image
+
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.models import slime
+    from .toy_tokenizer import ToyTokenizer
+
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    tok = ToyTokenizer()
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):
+        Image.new("RGB", (300 + 60 * i, 240), (40 * i, 10, 200)).save(
+            img_dir / f"im{i}.jpg")
+    long_q = " ".join(f"word{j}" for j in range(70))  # crosses the 64 bucket
+    questions = [
+        {"question_id": 0, "image": "im0.jpg", "text": "what color ?"},
+        {"question_id": 1, "image": "im1.jpg", "text": long_q},
+        {"question_id": 2, "image": "im2.jpg", "text": "short ?"},
+        {"question_id": 3, "image": "im3.jpg", "text": long_q + " extra"},
+        {"question_id": 4, "image": "im4.jpg", "text": "is it red ?"},
+    ]
+
+    outs = {}
+    for bs in (4, 1):
+        f = harness.run_eval(params, cfg, tok, questions,
+                             image_folder=str(img_dir),
+                             answers_file=str(tmp_path / f"ans_bs{bs}.jsonl"),
+                             conv_mode="v1", batch_size=bs, max_new_tokens=6,
+                             seq_len=256, compute_dtype=np.float32,
+                             progress=False)
+        outs[bs] = {r["question_id"]: r["text"]
+                    for r in map(json.loads, open(f))}
+    assert outs[4] == outs[1], (
+        f"batched eval diverged from bs=1 protocol: {outs[4]} vs {outs[1]}")
+
+
 def test_merge_chunks(tmp_path):
     files = []
     for i in range(3):
