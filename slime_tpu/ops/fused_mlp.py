@@ -40,11 +40,30 @@ TPU-native form is one VMEM-resident fused stream.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _unpack_nibbles(pg, dtype, *, shift: bool):
+    """One packed lane block [n, group] -> (lo, hi) signed values in ``dtype``.
+
+    ``shift``: sign-extend via (p << 28) >> 28 / (p << 24) >> 28 — 7 VPU ops
+    per packed byte vs the xor-sub form's 10 (widen + and/xor/sub x2 + shr +
+    2 casts). Both are int32-formulated; int8/int16 unpacks crash Mosaic
+    (STATUS r2). Identical values by construction (two's-complement nibble).
+    """
+    p = pg.astype(jnp.int32)
+    if shift:
+        lo = ((p << 28) >> 28).astype(dtype)
+        hi = ((p << 24) >> 28).astype(dtype)
+    else:
+        lo = (((p & 0xF) ^ 8) - 8).astype(dtype)
+        hi = ((((p >> 4) & 0xF) ^ 8) - 8).astype(dtype)
+    return lo, hi
 
 
 def _unpack_q4g(pblk, dtype, group: int):
@@ -53,6 +72,7 @@ def _unpack_q4g(pblk, dtype, group: int):
     Packed lane block b holds group 2b in its low nibbles and group 2b+1 in
     its high nibbles; output keeps that order: [g0 | g1 | g2 | ...].
     int32 is the only nibble-unpack formulation Mosaic compiles (STATUS r2).
+    Kept for tests/ad-hoc use; the hot kernels go through ``_q4g_contract``.
     """
     p = pblk.astype(jnp.int32)
     lo = (((p & 0xF) ^ 8) - 8).astype(dtype)
@@ -65,13 +85,61 @@ def _unpack_q4g(pblk, dtype, group: int):
     return jnp.concatenate(cols, axis=-1)
 
 
+def q4g_variant() -> str:
+    """Active q4g contraction variant (trace-time; see ``_q4g_contract``).
+
+    Values: "whole" (r4 shipped: unpack the full weight block, slice after),
+    "lane" (slice the packed block per 128-lane block, unpack just the slice
+    — quant_matmul_q4g's structure), with an optional "_shift" suffix for the
+    shift-based sign extension. Swept on chip in scripts/bench_q4g_sweep.py;
+    the default is the measured winner.
+    """
+    return os.environ.get("SLIME_Q4G_VARIANT", "lane_shift")
+
+
+def _q4g_contract(h, pblk, scale_of, group: int, dt, variant: str):
+    """h [B, K] · dequant(packed [n, K/2]).T -> [B, n] fp32.
+
+    Per-group MXU dots with the group scale applied on each partial sum
+    (q4g scales vary along the contraction, so they cannot commute past one
+    big dot). ``scale_of(g)`` returns group ``g``'s [n] per-row scale vector
+    (callers orient their scale storage differently — see fused_mlp down-proj
+    vs gate/up). ``variant`` picks the unpack structure (q4g_variant())."""
+    shift = variant.endswith("shift")
+    if variant.startswith("whole"):
+        w = _unpack_q4g(pblk, dt, group)
+        acc = None
+        for g_i in range(2 * (pblk.shape[-1] // group)):
+            hg = h[:, g_i * group:(g_i + 1) * group]
+            wg = w[:, g_i * group:(g_i + 1) * group]
+            y = jax.lax.dot_general(hg, wg, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = (y * scale_of(g_i)[None, :] if acc is None
+                   else acc + y * scale_of(g_i)[None, :])
+        return acc
+    acc = None
+    for b in range(pblk.shape[-1] // group):
+        lo, hi = _unpack_nibbles(pblk[:, b * group:(b + 1) * group], dt,
+                                 shift=shift)
+        for j, w in ((0, lo), (1, hi)):
+            g_i = 2 * b + j
+            hg = h[:, g_i * group:(g_i + 1) * group]
+            y = jax.lax.dot_general(hg, w, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            y = y * scale_of(g_i)[None, :]
+            acc = y if acc is None else acc + y
+    return acc
+
+
 def _kernel(l_ref, x_ref, nw_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
-            o_ref, h_ref, acc_ref, *, eps: float, fmt: str, group: int):
+            o_ref, h_ref, acc_ref, *, eps: float, fmt: str, group: int,
+            variant: str):
     """Grid step c: one intermediate chunk of the whole SwiGLU block.
 
     fmt: "bf16" (scale refs are dummies), "int8" (per-row scales, applied on
     the [B, bi] results / at flush — they commute past the dot), or "q4g"
-    (group-128 scales along the contraction; per-group partial dots).
+    (group-128 scales along the contraction; per-group partial dots via
+    ``_q4g_contract`` in the ``variant`` structure).
     """
     c = pl.program_id(0)
     dt = h_ref.dtype
@@ -89,32 +157,16 @@ def _kernel(l_ref, x_ref, nw_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
     if fmt == "q4g":
         # gate/up contract over H with per-group scales: each 128-lane group
         # gets its own MXU dot; scales land on the [B, bi] partial sums.
-        def gu(p_ref, s_ref):
-            w = _unpack_q4g(p_ref[0], dt, group)          # [bi, H] grouped
-            s = s_ref[0]                                  # [bi, H/group]
-            acc = None
-            for g_i in range(s.shape[-1]):
-                hg = h[:, g_i * group:(g_i + 1) * group]
-                wg = w[:, g_i * group:(g_i + 1) * group]
-                y = jax.lax.dot_general(hg, wg, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                y = y * s[:, g_i][None, :]
-                acc = y if acc is None else acc + y
-            return acc
-        g = gu(g_ref, gs_ref)
-        u = gu(u_ref, us_ref)
+        gs, us = gs_ref[0], us_ref[0]                     # [bi, H/group]
+        g = _q4g_contract(h, g_ref[0], lambda i: gs[:, i], group, dt, variant)
+        u = _q4g_contract(h, u_ref[0], lambda i: us[:, i], group, dt, variant)
         a = (jax.nn.silu(g) * u).astype(dt)               # [B, bi]
-        # down contracts over THIS chunk of I: bi/group groups, each its own
-        # dot, scaled per (group, out_row) — scales arrive transposed
-        # [bi/group, H] so each row is a ready lane vector.
-        wd = _unpack_q4g(d_ref[0], dt, group)             # [H, bi] grouped
+        # down contracts over THIS chunk of I: bi/group groups, scaled per
+        # (group, out_row) — scales arrive transposed [bi/group, H] so each
+        # row is a ready lane vector.
         sd = ds_ref[0]                                    # [bi/group, H]
-        for g_i in range(sd.shape[0]):
-            ag = a[:, g_i * group:(g_i + 1) * group]
-            wg = wd[:, g_i * group:(g_i + 1) * group]
-            y = jax.lax.dot_general(ag, wg, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            acc_ref[...] += y * sd[g_i][None, :]
+        acc_ref[...] += _q4g_contract(a, d_ref[0], lambda i: sd[i], group,
+                                      dt, variant)
     else:
         wg, wu, wd = g_ref[0].astype(dt), u_ref[0].astype(dt), d_ref[0].astype(dt)
         g = jax.lax.dot_general(h, wg, (((1,), (1,)), ((), ())),
@@ -160,8 +212,13 @@ def prepare_fused_layers(layers: dict) -> dict:
     return layers
 
 
-# preferred intermediate chunk per weight format (VMEM-sized for 8B width)
+# preferred intermediate chunk per weight format (VMEM-sized for 8B width);
+# q4g overridable at trace time for the on-chip sweep (bench_q4g_sweep.py)
 _PREFERRED_BLOCK = {"bf16": 512, "int8": 1024, "q4g": 2048}
+
+
+def _q4g_block() -> int:
+    return int(os.environ.get("SLIME_Q4G_BLOCK", "0")) or _PREFERRED_BLOCK["q4g"]
 
 
 def auto_block_ok(layers) -> bool:
@@ -176,7 +233,7 @@ def auto_block_ok(layers) -> bool:
     fmt = _fmt_of(gw)
     gq = gw if fmt == "bf16" else gw.get("q4g", gw.get("q"))
     I = gq.shape[1]
-    want = _PREFERRED_BLOCK[fmt]
+    want = _q4g_block() if fmt == "q4g" else _PREFERRED_BLOCK[fmt]
     return _block_divisor(I, want) >= min(I, want) // 2
 
 
@@ -246,7 +303,7 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
             # tests / ad-hoc callers: transpose in-graph (prepare_fused_layers
             # does this once, outside jit, for the production path)
             ds = jnp.swapaxes(ds, -1, -2)
-        bi = _block_divisor(I, block_inter or 2048, step=2 * group)
+        bi = _block_divisor(I, block_inter or _q4g_block(), step=2 * group)
         # down chunks slice the PACKED in-dim: each 128-lane packed block
         # carries two groups, so chunks must cover whole packed blocks
         assert bi % (2 * group) == 0, (bi, group)
@@ -278,7 +335,8 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps, fmt=fmt, group=group),
+        functools.partial(_kernel, eps=eps, fmt=fmt, group=group,
+                          variant=q4g_variant()),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
         compiler_params=pltpu.CompilerParams(

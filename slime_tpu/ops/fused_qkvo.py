@@ -32,28 +32,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _unpack_q4g, _fmt_of
+from .fused_mlp import _q4g_contract, _fmt_of, q4g_variant
 
 
-def _proj_chunk(h, w_ref, s_ref, *, fmt: str, group: int, dt):
+def _proj_chunk(h, w_ref, s_ref, *, fmt: str, group: int, dt, variant: str):
     """h [B, K] @ dequant(W_chunk [bo, K]).T -> [B, bo] fp32 (scales applied).
 
     int8 per-row scales commute past the dot (applied on the result); q4g
     scales vary along the contraction, so each 128-lane group gets its own
-    MXU dot with its scale on the partial sum.
+    MXU dot with its scale on the partial sum (``_q4g_contract``, unpack
+    structure per ``variant``).
     """
     if fmt == "q4g":
-        w = _unpack_q4g(w_ref[0], dt, group)              # [bo, K] grouped
         s = s_ref[0]                                      # [bo, K/group]
-        acc = None
-        for g_i in range(s.shape[-1]):
-            hg = h[:, g_i * group:(g_i + 1) * group]
-            wg = w[:, g_i * group:(g_i + 1) * group]
-            y = jax.lax.dot_general(hg, wg, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            y = y * s[:, g_i][None, :]
-            acc = y if acc is None else acc + y
-        return acc
+        return _q4g_contract(h, w_ref[0], lambda i: s[:, i], group, dt,
+                             variant)
     y = jax.lax.dot_general(h, w_ref[0].astype(dt), (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     if fmt == "int8":
@@ -63,7 +56,8 @@ def _proj_chunk(h, w_ref, s_ref, *, fmt: str, group: int, dt):
 
 def _qkv_kernel(l_ref, x_ref, nw_ref, wq_ref, sq_ref, wk_ref, sk_ref,
                 wv_ref, sv_ref, q_ref, k_ref, v_ref, h_ref,
-                *, eps: float, fmt: str, group: int, cq: int, ck: int):
+                *, eps: float, fmt: str, group: int, cq: int, ck: int,
+                variant: str):
     c = pl.program_id(0)
     dt = h_ref.dtype
 
@@ -79,23 +73,24 @@ def _qkv_kernel(l_ref, x_ref, nw_ref, wq_ref, sq_ref, wk_ref, sk_ref,
     @pl.when(c < cq)
     def _q():
         q_ref[...] = _proj_chunk(h, wq_ref, sq_ref, fmt=fmt, group=group,
-                                 dt=dt).astype(q_ref.dtype)
+                                 dt=dt, variant=variant).astype(q_ref.dtype)
 
     @pl.when((c >= cq) & (c < cq + ck))
     def _k():
         k_ref[...] = _proj_chunk(h, wk_ref, sk_ref, fmt=fmt, group=group,
-                                 dt=dt).astype(k_ref.dtype)
+                                 dt=dt, variant=variant).astype(k_ref.dtype)
 
     @pl.when(c >= cq + ck)
     def _v():
         v_ref[...] = _proj_chunk(h, wv_ref, sv_ref, fmt=fmt, group=group,
-                                 dt=dt).astype(v_ref.dtype)
+                                 dt=dt, variant=variant).astype(v_ref.dtype)
 
 
 def _o_kernel(l_ref, a_ref, x_ref, wo_ref, so_ref, o_ref,
-              *, fmt: str, group: int):
+              *, fmt: str, group: int, variant: str):
     a = a_ref[...]
-    y = _proj_chunk(a, wo_ref, so_ref, fmt=fmt, group=group, dt=a.dtype)
+    y = _proj_chunk(a, wo_ref, so_ref, fmt=fmt, group=group, dt=a.dtype,
+                    variant=variant)
     o_ref[...] = (x_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
@@ -184,7 +179,7 @@ def fused_qkv_decode(x, layers, layer_idx, *, eps: float = 1e-5,
     )
     return pl.pallas_call(
         functools.partial(_qkv_kernel, eps=eps, fmt=fmt, group=group,
-                          cq=cq, ck=ck),
+                          cq=cq, ck=ck, variant=q4g_variant()),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, NQ), x.dtype),
                    jax.ShapeDtypeStruct((B, NKV), x.dtype),
@@ -223,7 +218,8 @@ def fused_o_residual(attn, x, layers, layer_idx, *, block_out: int = 0,
         scratch_shapes=[],
     )
     return pl.pallas_call(
-        functools.partial(_o_kernel, fmt=fmt, group=group),
+        functools.partial(_o_kernel, fmt=fmt, group=group,
+                          variant=q4g_variant()),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
         compiler_params=pltpu.CompilerParams(
