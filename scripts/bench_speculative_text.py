@@ -23,6 +23,12 @@ ACCEPTANCE on natural text; combined with the measured 8B round time
 acceptance a with K=4 implies (1 + 4a) tokens / 21 ms at 8B — e.g. the
 measured a=0.75 -> ~190 tok/s vs 80 plain int8, ~2.4x.
 
+--mid (VERDICT r4 #8) scales the pair to ~310M target / ~28M draft and
+decodes in bf16: at 620 MB of target weights per step, bs=1 decode IS
+weight-streaming-bound on v5e, so the device-loop spec-vs-plain ratio is the
+honest mid-scale speedup (and the engine A/B gives the deployable number,
+tunnel dispatch included).
+
 Prints one JSON line per measurement; recorded in STATUS.md.
 """
 import argparse
@@ -148,6 +154,12 @@ def main():
     ap.add_argument("--engine", action="store_true",
                     help="also measure the distilled pair END-TO-END through "
                          "BatchDecodeEngine (spec-on vs spec-off)")
+    ap.add_argument("--mid", action="store_true",
+                    help="mid-scale pair (VERDICT r4 #8): ~310M target / "
+                         "~28M draft, the smallest regime where bs=1 decode "
+                         "is genuinely weight-streaming-bound on v5e "
+                         "(~620 MB bf16 target weights/step) rather than "
+                         "dispatch/overhead-bound like the 28M toy")
     args = ap.parse_args()
 
     print("harvesting corpus...", file=sys.stderr, flush=True)
@@ -159,12 +171,28 @@ def main():
     n_test = 20_000
     train_ids, test_ids = ids_flat[:-n_test], ids_flat[-n_test:]
 
-    tcfg = LLMConfig(vocab_size=args.vocab, hidden_size=512,
-                     intermediate_size=1408, num_layers=8, num_heads=8,
-                     num_kv_heads=4, head_dim=64, max_position_embeddings=1024)
-    dcfg = LLMConfig(vocab_size=args.vocab, hidden_size=160,
-                     intermediate_size=448, num_layers=2, num_heads=4,
-                     num_kv_heads=2, head_dim=40, max_position_embeddings=1024)
+    if args.mid:
+        # ~310M target (24L/1024H) — 620 MB bf16, so one decode step must
+        # stream ~0.6 GB: weight-bound at v5e HBM rates. Draft = the toy
+        # run's TARGET config (28M), keeping the ~11x size ratio of a
+        # production pair (8B/0.6B).
+        tcfg = LLMConfig(vocab_size=args.vocab, hidden_size=1024,
+                         intermediate_size=2816, num_layers=24, num_heads=16,
+                         num_kv_heads=8, head_dim=64,
+                         max_position_embeddings=1024)
+        dcfg = LLMConfig(vocab_size=args.vocab, hidden_size=512,
+                         intermediate_size=1408, num_layers=8, num_heads=8,
+                         num_kv_heads=4, head_dim=64,
+                         max_position_embeddings=1024)
+    else:
+        tcfg = LLMConfig(vocab_size=args.vocab, hidden_size=512,
+                         intermediate_size=1408, num_layers=8, num_heads=8,
+                         num_kv_heads=4, head_dim=64,
+                         max_position_embeddings=1024)
+        dcfg = LLMConfig(vocab_size=args.vocab, hidden_size=160,
+                         intermediate_size=448, num_layers=2, num_heads=4,
+                         num_kv_heads=2, head_dim=40,
+                         max_position_embeddings=1024)
 
     def cached_train(cfg_llm, *, steps, lr, seed, label):
         cache = f"/tmp/spectext_{label}_{steps}.npy"
@@ -178,10 +206,19 @@ def main():
                 allow_pickle=True)
         return p
 
-    tparams = cached_train(tcfg, steps=args.steps, lr=6e-4, seed=0,
-                           label="target")
-    dparams = cached_train(dcfg, steps=args.steps, lr=1e-3, seed=1,
-                           label="draft")
+    tag = "mid_" if args.mid else ""
+    tparams = cached_train(tcfg, steps=args.steps,
+                           lr=4e-4 if args.mid else 6e-4, seed=0,
+                           label=f"{tag}target")
+    dparams = cached_train(dcfg, steps=args.steps,
+                           lr=6e-4 if args.mid else 1e-3, seed=1,
+                           label=f"{tag}draft")
+    n_t = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tparams))
+    n_d = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(dparams))
+    pair_desc = (f"{tcfg.num_layers}L/{tcfg.hidden_size}H target "
+                 f"({n_t / 1e6:.0f}M) vs {dcfg.num_layers}L/"
+                 f"{dcfg.hidden_size}H draft ({n_d / 1e6:.0f}M)")
+    print(f"  pair: {pair_desc}", file=sys.stderr, flush=True)
 
     import dataclasses
     t_wrap = dataclasses.replace(SliMEConfig.tiny(), llm=tcfg)
@@ -190,13 +227,24 @@ def main():
     rng = np.random.default_rng(9)
     K, NEW = args.k, args.max_new
 
+    # decode in the deployment dtype: bf16 at mid scale (the weight stream
+    # IS the regime under test — fp32 would double it), fp32 for the toy
+    # (training dtype; matches the r3 recorded numbers)
+    cdt = jnp.bfloat16 if args.mid else jnp.float32
+    if args.mid:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t)
+        tparams, dparams = cast(tparams), cast(dparams)
+
     # plain jitted decode of the same target (the baseline speculative must
     # beat), compiled ONCE for all prompts
     from slime_tpu.serve.speculative import _prefill_jit
 
     def _body(carry, _):
         cache, tok = carry
-        lg, cache = llama.decode_step(tparams, cache, tok[None], tcfg)
+        lg, cache = llama.decode_step(tparams, cache, tok[None], tcfg,
+                                      compute_dtype=cdt)
         nxt = jnp.argmax(lg[0], -1).astype(jnp.int32)
         return (cache, nxt), nxt
 
@@ -207,14 +255,14 @@ def main():
 
     def plain_decode(prompt):
         tok0, cache = _prefill_jit(tparams, prompt, tcfg,
-                                   prompt.shape[1] + NEW + 2, jnp.float32)
+                                   prompt.shape[1] + NEW + 2, cdt)
         return plain_loop(cache, tok0)
 
     # warm both paths (compiles excluded from every prompt's timing)
     warm = jnp.asarray(test_ids[:64][None], jnp.int32)
     speculative_generate_device({"llm": tparams}, t_wrap, {"llm": dparams},
                                 d_wrap, warm, K=K, max_new_tokens=NEW,
-                                eos_id=-1)
+                                eos_id=-1, compute_dtype=cdt)
     int(plain_decode(warm)[-1])
 
     rates, spec_ts, plain_ts, exact_n = [], [], [], 0
@@ -225,7 +273,7 @@ def main():
         t0 = time.perf_counter()
         toks, rate = speculative_generate_device(
             {"llm": tparams}, t_wrap, {"llm": dparams}, d_wrap, prompt,
-            K=K, max_new_tokens=NEW, eos_id=-1)
+            K=K, max_new_tokens=NEW, eos_id=-1, compute_dtype=cdt)
         spec_dt = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -250,11 +298,12 @@ def main():
 
     assert float(np.mean(rates)) > 0.3, "draft never learned the language"
     print(json.dumps({
-        "metric": "speculative_acceptance_natural_text",
+        "metric": "speculative_acceptance_natural_text"
+                  + ("_mid" if args.mid else ""),
         "value": round(float(np.mean(rates)), 4),
         "unit": (f"accepted/proposed, K={K}, English corpus "
                  f"({len(text) / 1e6:.1f} MB, vocab {args.vocab}), "
-                 f"8L/512H target vs 2L/160H draft, held-out prompts"),
+                 f"{pair_desc}, held-out prompts"),
         "spec_tok_s_median": round(float(np.median(spec_ts)), 1),
         "plain_tok_s_median": round(float(np.median(plain_ts)), 1),
         "speedup": round(float(np.median(spec_ts) / np.median(plain_ts)), 3),
@@ -300,24 +349,28 @@ def main():
             return toks, time.perf_counter() - t0
 
         eng_plain = BatchDecodeEngine({"llm": tparams}, t_wrap, max_slots=2,
-                                      cache_len=512, prefix_cache_mb=0)
+                                      cache_len=512, prefix_cache_mb=0,
+                                      compute_dtype=cdt)
         run_prompts(eng_plain, n=1)          # warm/compile
         n_p, dt_p = run_prompts(eng_plain)
         eng_spec = BatchDecodeEngine({"llm": tparams}, t_wrap, max_slots=2,
                                      cache_len=512, prefix_cache_mb=0,
+                                     compute_dtype=cdt,
                                      draft_params={"llm": dparams},
                                      draft_cfg=d_wrap, spec_k=K)
         run_prompts(eng_spec, n=1)
         n_s, dt_s = run_prompts(eng_spec)
         print(json.dumps({
-            "metric": "speculative_engine_e2e_toy",
+            "metric": "speculative_engine_e2e"
+                      + ("_mid" if args.mid else "_toy"),
             "value": round(n_s / dt_s, 1),
             "unit": (f"tok/s through BatchDecodeEngine, distilled pair "
-                     f"(8L/512H target + 2L/160H draft, acceptance "
+                     f"({pair_desc}, acceptance "
                      f"{float(np.mean(rates)):.3f}); plain engine "
-                     f"{n_p / dt_p:.1f} tok/s — the engine is dispatch-bound "
-                     f"at toy scale so the multi-round fold wins end-to-end; "
-                     f"8B-regime rounds: bench_spec_engine_8b.py"),
+                     f"{n_p / dt_p:.1f} tok/s — the engine folds spec "
+                     f"rounds into one dispatch, plain pays ~one tunnel "
+                     f"RTT/token; device-loop numbers above isolate the "
+                     f"weight-streaming regime from dispatch"),
             "plain_engine_tok_s": round(n_p / dt_p, 1),
             "spec_over_plain": round((n_s / dt_s) / (n_p / dt_p), 3),
         }))

@@ -233,7 +233,13 @@ def auto_block_ok(layers) -> bool:
     fmt = _fmt_of(gw)
     gq = gw if fmt == "bf16" else gw.get("q4g", gw.get("q"))
     I = gq.shape[1]
-    want = _q4g_block() if fmt == "q4g" else _PREFERRED_BLOCK[fmt]
+    if fmt == "q4g":
+        # mirror fused_mlp_decode's q4g chunking: legal chunks are multiples
+        # of 8*group (scale-block tiling), else a single full-I chunk whose
+        # VMEM footprint only works for dims near the preferred block
+        want = _q4g_block()
+        return _block_divisor(I, want, step=1024) >= min(I, want) // 2
+    want = _PREFERRED_BLOCK[fmt]
     return _block_divisor(I, want) >= min(I, want) // 2
 
 
@@ -303,7 +309,10 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
             # tests / ad-hoc callers: transpose in-graph (prepare_fused_layers
             # does this once, outside jit, for the production path)
             ds = jnp.swapaxes(ds, -1, -2)
-        bi = _block_divisor(I, block_inter or _q4g_block(), step=2 * group)
+        # the transposed down-scale block is [1, bi/group, H]: Pallas needs
+        # its second-to-last dim divisible by 8 (or == I/group), so legal
+        # chunks are multiples of 8*group (1024 at group=128)
+        bi = _block_divisor(I, block_inter or _q4g_block(), step=8 * group)
         # down chunks slice the PACKED in-dim: each 128-lane packed block
         # carries two groups, so chunks must cover whole packed blocks
         assert bi % (2 * group) == 0, (bi, group)
