@@ -35,6 +35,9 @@ def main():
 
     tiny = os.environ.get("SLIME_PROBE_TINY") == "1"   # CPU interpret smoke
     L, I, H = (2, 512, 256) if tiny else (32, 14336, 4096)
+    shp = os.environ.get("SLIME_PROBE_SHAPE")
+    if shp:   # "L,I,H" — H is the UNPACKED minor dim (stored as H/2 packed)
+        L, I, H = (int(x) for x in shp.split(","))
     group = 128
     bi = 256 if tiny else int(os.environ.get("SLIME_PROBE_BLOCK", "1024"))
     rng = np.random.default_rng(0)
@@ -108,11 +111,16 @@ def main():
         # cannot CSE the identical pallas_calls.
         N = 2 if tiny else 16
 
-        def body(i, acc):
-            xi = h * (1.0 + 1e-9 * i.astype(jnp.float32))
-            return acc + f(xi, packed)[0, 0]
+        def sweep(x, p):
+            # close over the jit ARGUMENTS, not the host arrays — a closed-
+            # over device array becomes a baked-in jaxpr constant (0.94 GB
+            # through the constant folder)
+            def body(i, acc):
+                xi = x * (1.0 + 1e-9 * i.astype(jnp.float32))
+                return acc + f(xi, p)[0, 0]
+            return jax.lax.fori_loop(0, N, body, 0.0)
 
-        jf = jax.jit(lambda x, p: jax.lax.fori_loop(0, N, body, 0.0))
+        jf = jax.jit(sweep)
         t0 = time.perf_counter()
         float(jf(h, packed))
         print(f"  {mode}: compile+run {time.perf_counter() - t0:.1f}s",

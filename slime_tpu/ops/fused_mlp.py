@@ -85,13 +85,37 @@ def _unpack_q4g(pblk, dtype, group: int):
     return jnp.concatenate(cols, axis=-1)
 
 
+def _q4g_deq_into(ref, pblk, scale_of, group: int, dt):
+    """Dequantize a packed q4g block into a VMEM scratch ref, scales folded.
+
+    ``ref[:, g*group:(g+1)*group] = nibble(g) * scale_of(g)[:, None]`` for
+    every group g — after this, ONE plain MXU dot over the full contraction
+    replaces the per-group partial-sum dots (variant "deq"). The product
+    nibble*scale rounds to ``dt`` (bf16): ≤2^-9 relative, half a ulp of the
+    4-bit quantization step itself (1/15), i.e. far below quantization noise
+    — see the variant-parity test's tolerances.
+    """
+    for b in range(pblk.shape[-1] // group):
+        lo, hi = _unpack_nibbles(pblk[:, b * group:(b + 1) * group], dt,
+                                 shift=True)
+        for j, w in ((0, lo), (1, hi)):
+            g_i = 2 * b + j
+            s = scale_of(g_i).astype(dt)[:, None]
+            ref[:, g_i * group:(g_i + 1) * group] = w * s
+
+
 def q4g_variant() -> str:
     """Active q4g contraction variant (trace-time; see ``_q4g_contract``).
 
     Values: "whole" (r4 shipped: unpack the full weight block, slice after),
     "lane" (slice the packed block per 128-lane block, unpack just the slice
     — quant_matmul_q4g's structure), with an optional "_shift" suffix for the
-    shift-based sign extension. Swept on chip in scripts/bench_q4g_sweep.py;
+    shift-based sign extension; "bias" (two-dot linear unpack: the nibble
+    shifts move into the MXU via dot linearity — see ``_q4g_contract``);
+    "deq" (dequant-to-VMEM-scratch with scales folded, ONE full-contraction
+    dot per matmul — see ``_q4g_deq_into``); "fake" (BENCH-ONLY, wrong
+    values: no unpack at all, measures the no-unpack ceiling of the
+    group-dot structure). Swept on chip in scripts/bench_q4g_sweep.py;
     the default is the measured winner.
     """
     return os.environ.get("SLIME_Q4G_VARIANT", "lane_shift")
@@ -106,6 +130,60 @@ def _q4g_contract(h, pblk, scale_of, group: int, dt, variant: str):
     (callers orient their scale storage differently — see fused_mlp down-proj
     vs gate/up). ``variant`` picks the unpack structure (q4g_variant())."""
     shift = variant.endswith("shift")
+    if variant == "bias":
+        # Two-dot linear unpack: per packed 128-lane block, bias the low
+        # nibble (u = (p & 0xF) ^ 8 = n_lo + 8, an identity of two's
+        # complement) and keep the byte itself (p' = p ^ 8 = 16*n_hi + u).
+        # Then with ONE stacked dot d_u = [h_lo; h_hi] @ u.T and one dot
+        # d_p = h_hi @ p'.T:
+        #     y_lo = (d_u[0] - 8*sum(h_lo)) * s_lo
+        #     y_hi = (d_p - d_u[1]) * s_hi / 16
+        # Same two weight-streaming dots as lane/_shift but the VPU unpack
+        # drops from 7 int32 ops/byte (4 shifts + widen + 2 casts) to 5
+        # (widen, xor, and, 2 casts) — the shifts move into the MXU via
+        # linearity. fp note: d_p - d_u[1] = 16*(h_hi @ n_hi.T) EXACTLY in
+        # fp32 when |h| < ~2^116 (both dots accumulate fp32; products are
+        # exact bf16*int products), so this is not a numerics trade.
+        acc = None
+        B = h.shape[0]
+        for b in range(pblk.shape[-1] // group):
+            p = pblk[:, b * group:(b + 1) * group].astype(jnp.int32) ^ 8
+            u = (p & 0xF).astype(dt)
+            pv = p.astype(dt)
+            h2 = jnp.concatenate(
+                [h[:, (2 * b) * group:(2 * b + 1) * group],
+                 h[:, (2 * b + 1) * group:(2 * b + 2) * group]], axis=0)
+            du = jax.lax.dot_general(h2, u, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                h2[B:], pv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sig = jnp.sum(h[:, (2 * b) * group:(2 * b + 1) * group]
+                          .astype(jnp.float32), axis=-1, keepdims=True)
+            y_lo = (du[:B] - 8.0 * sig) * scale_of(2 * b)[None, :]
+            y_hi = (dp - du[B:]) * (scale_of(2 * b + 1)[None, :]
+                                    * (1.0 / 16.0))
+            y = y_lo + y_hi
+            acc = y if acc is None else acc + y
+        return acc
+    if variant == "fake":
+        # BENCH-ONLY (wrong values): feeds the packed bytes straight to the
+        # group dots — same DMA traffic, same dot/scale count, NO nibble
+        # unpack. The tok/s gap between this and lane_shift measures exactly
+        # what the VPU unpack costs in the full pipeline (the no-unpack
+        # ceiling of this kernel structure). Never selected by production
+        # code; only bench_q4g_sweep.py sets SLIME_Q4G_VARIANT=fake.
+        acc = None
+        for b in range(pblk.shape[-1] // group):
+            w = pblk[:, b * group:(b + 1) * group].astype(dt)
+            for j in (0, 1):
+                g_i = 2 * b + j
+                hg = h[:, g_i * group:(g_i + 1) * group]
+                y = jax.lax.dot_general(hg, w, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                y = y * scale_of(g_i)[None, :]
+                acc = y if acc is None else acc + y
+        return acc
     if variant.startswith("whole"):
         w = _unpack_q4g(pblk, dt, group)
         acc = None
@@ -132,8 +210,8 @@ def _q4g_contract(h, pblk, scale_of, group: int, dt, variant: str):
 
 
 def _kernel(l_ref, x_ref, nw_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
-            o_ref, h_ref, acc_ref, *, eps: float, fmt: str, group: int,
-            variant: str):
+            o_ref, h_ref, acc_ref, *deq_scratch, eps: float, fmt: str,
+            group: int, variant: str):
     """Grid step c: one intermediate chunk of the whole SwiGLU block.
 
     fmt: "bf16" (scale refs are dummies), "int8" (per-row scales, applied on
@@ -154,7 +232,28 @@ def _kernel(l_ref, x_ref, nw_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
 
     h = h_ref[...]
 
-    if fmt == "q4g":
+    if fmt == "q4g" and variant == "deq":
+        # dequant-to-scratch: fold scales into bf16 weights in VMEM, then
+        # ONE full-contraction MXU dot per matmul. The fake-variant A/B
+        # (bench_q4g_sweep, r5) showed the per-group-dot structure — not the
+        # VPU unpack — is what pins q4g at ~300 GB/s effective while int8's
+        # one-dot-per-block form rides the DMA at ~590: 96 short dots per
+        # grid step cost ~2x the step's DMA time at half the bytes.
+        ws_gu, ws_d = deq_scratch                         # [bi, H], [H, bi]
+        gs, us = gs_ref[0], us_ref[0]                     # [bi, H/group]
+        _q4g_deq_into(ws_gu, g_ref[0], lambda i: gs[:, i], group, dt)
+        g = jax.lax.dot_general(h, ws_gu[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        _q4g_deq_into(ws_gu, u_ref[0], lambda i: us[:, i], group, dt)
+        u = jax.lax.dot_general(h, ws_gu[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        a = (jax.nn.silu(g) * u).astype(dt)               # [B, bi]
+        sd = ds_ref[0]                                    # [bi/group, H]
+        _q4g_deq_into(ws_d, d_ref[0], lambda i: sd[i], group, dt)
+        acc_ref[...] += jax.lax.dot_general(
+            a, ws_d[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    elif fmt == "q4g":
         # gate/up contract over H with per-group scales: each 128-lane group
         # gets its own MXU dot; scales land on the [B, bi] partial sums.
         gs, us = gs_ref[0], us_ref[0]                     # [bi, H/group]
@@ -214,7 +313,10 @@ def prepare_fused_layers(layers: dict) -> dict:
 
 # preferred intermediate chunk per weight format (VMEM-sized for 8B width);
 # q4g overridable at trace time for the on-chip sweep (bench_q4g_sweep.py)
-_PREFERRED_BLOCK = {"bf16": 512, "int8": 1024, "q4g": 2048}
+# q4g: 1024 beat 2048 on chip for every variant (75.4 vs 69.9 tok/s at 8B
+# with lane_shift — scripts/bench_q4g_sweep.py, r5); smaller chunks double-
+# buffer better against the unpack+dot pipeline.
+_PREFERRED_BLOCK = {"bf16": 512, "int8": 1024, "q4g": 1024}
 
 
 def _q4g_block() -> int:
@@ -341,7 +443,9 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
         scratch_shapes=[
             pltpu.VMEM((B, H), x.dtype),        # h = rms_norm(x)
             pltpu.VMEM((B, H), jnp.float32),    # down-proj accumulator
-        ],
+        ] + ([pltpu.VMEM((bi, H), x.dtype),     # deq: gate/up weight scratch
+              pltpu.VMEM((H, bi), x.dtype)]     # deq: down weight scratch
+             if fmt == "q4g" and q4g_variant() == "deq" else []),
     )
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, fmt=fmt, group=group,

@@ -32,19 +32,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _q4g_contract, _fmt_of, q4g_variant
+from .fused_mlp import _q4g_contract, _q4g_deq_into, _fmt_of, q4g_variant
 
 
-def _proj_chunk(h, w_ref, s_ref, *, fmt: str, group: int, dt, variant: str):
+def _proj_chunk(h, w_ref, s_ref, *, fmt: str, group: int, dt, variant: str,
+                scratch=None):
     """h [B, K] @ dequant(W_chunk [bo, K]).T -> [B, bo] fp32 (scales applied).
 
     int8 per-row scales commute past the dot (applied on the result); q4g
     scales vary along the contraction, so each 128-lane group gets its own
     MXU dot with its scale on the partial sum (``_q4g_contract``, unpack
-    structure per ``variant``).
+    structure per ``variant``) — except variant "deq", which dequantizes the
+    chunk into ``scratch`` (scales folded) and runs ONE full-K dot.
     """
     if fmt == "q4g":
         s = s_ref[0]                                      # [bo, K/group]
+        if variant == "deq":
+            _q4g_deq_into(scratch, w_ref[0], lambda i: s[:, i], group, dt)
+            return jax.lax.dot_general(
+                h, scratch[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return _q4g_contract(h, w_ref[0], lambda i: s[:, i], group, dt,
                              variant)
     y = jax.lax.dot_general(h, w_ref[0].astype(dt), (((1,), (1,)), ((), ())),
@@ -55,11 +62,12 @@ def _proj_chunk(h, w_ref, s_ref, *, fmt: str, group: int, dt, variant: str):
 
 
 def _qkv_kernel(l_ref, x_ref, nw_ref, wq_ref, sq_ref, wk_ref, sk_ref,
-                wv_ref, sv_ref, q_ref, k_ref, v_ref, h_ref,
-                *, eps: float, fmt: str, group: int, cq: int, ck: int,
+                wv_ref, sv_ref, q_ref, k_ref, v_ref, h_ref, *deq_scratch,
+                eps: float, fmt: str, group: int, cq: int, ck: int,
                 variant: str):
     c = pl.program_id(0)
     dt = h_ref.dtype
+    ws = deq_scratch[0] if deq_scratch else None
 
     @pl.when(c == 0)
     def _prologue():
@@ -73,24 +81,28 @@ def _qkv_kernel(l_ref, x_ref, nw_ref, wq_ref, sq_ref, wk_ref, sk_ref,
     @pl.when(c < cq)
     def _q():
         q_ref[...] = _proj_chunk(h, wq_ref, sq_ref, fmt=fmt, group=group,
-                                 dt=dt, variant=variant).astype(q_ref.dtype)
+                                 dt=dt, variant=variant,
+                                 scratch=ws).astype(q_ref.dtype)
 
     @pl.when((c >= cq) & (c < cq + ck))
     def _k():
         k_ref[...] = _proj_chunk(h, wk_ref, sk_ref, fmt=fmt, group=group,
-                                 dt=dt, variant=variant).astype(k_ref.dtype)
+                                 dt=dt, variant=variant,
+                                 scratch=ws).astype(k_ref.dtype)
 
     @pl.when(c >= cq + ck)
     def _v():
         v_ref[...] = _proj_chunk(h, wv_ref, sv_ref, fmt=fmt, group=group,
-                                 dt=dt, variant=variant).astype(v_ref.dtype)
+                                 dt=dt, variant=variant,
+                                 scratch=ws).astype(v_ref.dtype)
 
 
-def _o_kernel(l_ref, a_ref, x_ref, wo_ref, so_ref, o_ref,
-              *, fmt: str, group: int, variant: str):
+def _o_kernel(l_ref, a_ref, x_ref, wo_ref, so_ref, o_ref, *deq_scratch,
+              fmt: str, group: int, variant: str):
     a = a_ref[...]
     y = _proj_chunk(a, wo_ref, so_ref, fmt=fmt, group=group, dt=a.dtype,
-                    variant=variant)
+                    variant=variant,
+                    scratch=deq_scratch[0] if deq_scratch else None)
     o_ref[...] = (x_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
@@ -175,7 +187,9 @@ def fused_qkv_decode(x, layers, layer_idx, *, eps: float = 1e-5,
             pl.BlockSpec((B, bo), lambda c, l: (0, ik(c))),
             pl.BlockSpec((B, bo), lambda c, l: (0, iv(c))),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((B, H), x.dtype)]
+        + ([pltpu.VMEM((bo, H), x.dtype)]     # deq weight scratch
+           if fmt == "q4g" and q4g_variant() == "deq" else []),
     )
     return pl.pallas_call(
         functools.partial(_qkv_kernel, eps=eps, fmt=fmt, group=group,
@@ -215,7 +229,8 @@ def fused_o_residual(attn, x, layers, layer_idx, *, block_out: int = 0,
             w_spec(ic), s_spec(ic),
         ],
         out_specs=pl.BlockSpec((B, bo), lambda c, l: (0, c)),
-        scratch_shapes=[],
+        scratch_shapes=([pltpu.VMEM((bo, NQ), x.dtype)]   # deq weight scratch
+                        if fmt == "q4g" and q4g_variant() == "deq" else []),
     )
     return pl.pallas_call(
         functools.partial(_o_kernel, fmt=fmt, group=group,

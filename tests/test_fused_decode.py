@@ -193,3 +193,32 @@ def test_fused_decode_nondivisible_intermediate(rng):
         np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                    atol=2e-4, rtol=2e-4)
         tok = jnp.argmax(la, -1).astype(jnp.int32)
+
+
+def test_q4g_variant_parity(rng, monkeypatch):
+    """Every production q4g unpack variant computes the same decode step.
+
+    The variants restructure the nibble unpack (whole-block, per-lane slice,
+    shift vs xor-sub sign extension, two-dot linear "bias" — see
+    ops/fused_mlp._q4g_contract); they must agree numerically on the same
+    packed weights. "fake" is bench-only (wrong values) and excluded.
+    """
+    cfg = _cfg()
+    params = _params(rng, cfg, "q4g_all")
+    cache0 = llama.init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    tok = jnp.asarray([7], jnp.int32)
+    outs = {}
+    for variant in ("lane_shift", "lane", "whole", "whole_shift", "bias",
+                    "deq"):
+        monkeypatch.setenv("SLIME_Q4G_VARIANT", variant)
+        cache = dict(cache0)
+        logits, _ = llama.decode_step(params, cache, tok, cfg, fused=True)
+        outs[variant] = np.asarray(logits)
+    ref = outs["lane_shift"]
+    for variant, got in outs.items():
+        # deq folds scales into bf16 scratch weights (<=2^-9 relative per
+        # weight, far below the 4-bit quantization step); the others only
+        # reorder exact fp32 partial sums
+        tol = 5e-3 if variant == "deq" else 2e-4
+        np.testing.assert_allclose(got, ref, atol=tol, rtol=tol,
+                                   err_msg=variant)
