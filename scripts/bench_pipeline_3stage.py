@@ -85,7 +85,7 @@ def stage_cmd(ckpt_dir, dj, img_dir, out, *, steps, bs, seq, extra):
             "--image-folder", img_dir, "--output-dir", out,
             "--version", "plain", "--per-device-batch-size", str(bs),
             "--model-max-length", str(seq), "--max-steps", str(steps),
-            "--save-steps", "0", "--logging-steps", "5",
+            "--save-steps", "0", "--logging-steps", str(min(5, max(1, steps // 2))),
             "--learning-rate", "1e-3", "--mm-projector-lr", "1e-3",
             "--tune-mm-mlp-adapter"] + extra
 
