@@ -239,13 +239,15 @@ def _kernel(l_ref, x_ref, nw_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
         # VPU unpack — is what pins q4g at ~300 GB/s effective while int8's
         # one-dot-per-block form rides the DMA at ~590: 96 short dots per
         # grid step cost ~2x the step's DMA time at half the bytes.
-        ws_gu, ws_d = deq_scratch                         # [bi, H], [H, bi]
+        # separate gate/up scratches so Mosaic can overlap up's VPU unpack
+        # with gate's MXU dot (one shared scratch would serialize them)
+        ws_g, ws_u, ws_d = deq_scratch          # [bi, H] x2, [H, bi]
         gs, us = gs_ref[0], us_ref[0]                     # [bi, H/group]
-        _q4g_deq_into(ws_gu, g_ref[0], lambda i: gs[:, i], group, dt)
-        g = jax.lax.dot_general(h, ws_gu[...], (((1,), (1,)), ((), ())),
+        _q4g_deq_into(ws_g, g_ref[0], lambda i: gs[:, i], group, dt)
+        _q4g_deq_into(ws_u, u_ref[0], lambda i: us[:, i], group, dt)
+        g = jax.lax.dot_general(h, ws_g[...], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        _q4g_deq_into(ws_gu, u_ref[0], lambda i: us[:, i], group, dt)
-        u = jax.lax.dot_general(h, ws_gu[...], (((1,), (1,)), ((), ())),
+        u = jax.lax.dot_general(h, ws_u[...], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         a = (jax.nn.silu(g) * u).astype(dt)               # [B, bi]
         sd = ds_ref[0]                                    # [bi/group, H]
@@ -443,7 +445,8 @@ def fused_mlp_decode(x, layers, layer_idx, *, eps: float = 1e-5,
         scratch_shapes=[
             pltpu.VMEM((B, H), x.dtype),        # h = rms_norm(x)
             pltpu.VMEM((B, H), jnp.float32),    # down-proj accumulator
-        ] + ([pltpu.VMEM((bi, H), x.dtype),     # deq: gate/up weight scratch
+        ] + ([pltpu.VMEM((bi, H), x.dtype),     # deq: gate weight scratch
+              pltpu.VMEM((bi, H), x.dtype),     # deq: up weight scratch
               pltpu.VMEM((H, bi), x.dtype)]     # deq: down weight scratch
              if fmt == "q4g" and q4g_variant() == "deq" else []),
     )

@@ -74,6 +74,78 @@ class _Slot:
         self.t_first = time.monotonic()   # first token just sampled (TTFT end)
 
 
+
+def _insert(cache, k, v, slot, length, token):
+    # k/v [L, S, KVH, hd] float; quantized on the way in when the
+    # pool is int8 (admission prefill always computes float KV)
+    import jax
+
+    cache = dict(cache)
+    if llama.cache_quantized(cache):
+        kq, ks = llama.quantize_kv(k)
+        vq, vs = llama.quantize_kv(v)
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], kq[:, None], (0, slot, 0, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], vq[:, None], (0, slot, 0, 0, 0))
+        cache["k_scale"] = jax.lax.dynamic_update_slice(
+            cache["k_scale"], ks[:, None], (0, slot, 0, 0))
+        cache["v_scale"] = jax.lax.dynamic_update_slice(
+            cache["v_scale"], vs[:, None], (0, slot, 0, 0))
+    else:
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k[:, None].astype(cache["k"].dtype),
+            (0, slot, 0, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v[:, None].astype(cache["v"].dtype),
+            (0, slot, 0, 0, 0))
+    cache["length"] = cache["length"].at[slot].set(length)
+    return cache
+
+
+def _seed_block(cache1, kblk, vblk, off):
+    # write one cached prefix block into the batch-1 admission cache
+    # at dynamic offset ``off``; block size is static, so ONE
+    # compiled variant serves every hit depth
+    import jax
+
+    cache1 = dict(cache1)
+    cache1["k"] = jax.lax.dynamic_update_slice(
+        cache1["k"], kblk[:, None].astype(cache1["k"].dtype),
+        (0, 0, off, 0, 0))
+    cache1["v"] = jax.lax.dynamic_update_slice(
+        cache1["v"], vblk[:, None].astype(cache1["v"].dtype),
+        (0, 0, off, 0, 0))
+    return cache1
+
+
+def _slice_block(arr, off, *, blk):
+    # [L, S, KVH, hd] -> one [L, blk, KVH, hd] block copy (the source
+    # is the donated admission cache; the copy outlives it)
+    import jax
+
+    return jax.lax.dynamic_slice_in_dim(arr, off, blk, axis=1)
+
+
+_HELPER_JITS: dict = {}
+
+
+def _lazy_jit(name, fn, **jit_kw):
+    """Module-level jit shared across engine instances, created on first call
+    (jax stays a lazy import for this module)."""
+    def call(*args, **kwargs):
+        if name not in _HELPER_JITS:
+            import jax
+            _HELPER_JITS[name] = jax.jit(fn, **jit_kw)
+        return _HELPER_JITS[name](*args, **kwargs)
+    return call
+
+
+_insert_jit = _lazy_jit("insert", _insert, donate_argnums=(0,))
+_seed_block_jit = _lazy_jit("seed_block", _seed_block, donate_argnums=(0,))
+_slice_block_jit = _lazy_jit("slice_block", _slice_block,
+                             static_argnames=("blk",))
+
 class BatchDecodeEngine:
     def __init__(self, params, cfg: SliMEConfig, *, max_slots: int = 8,
                  cache_len: int = 2048, compute_dtype=None, seed: int = 0,
@@ -232,54 +304,12 @@ class BatchDecodeEngine:
 
         self._prefill_chunk = jax.jit(_prefill_chunk, donate_argnums=(1,))
 
-        def _insert(cache, k, v, slot, length, token):
-            # k/v [L, S, KVH, hd] float; quantized on the way in when the
-            # pool is int8 (admission prefill always computes float KV)
-            cache = dict(cache)
-            if llama.cache_quantized(cache):
-                kq, ks = llama.quantize_kv(k)
-                vq, vs = llama.quantize_kv(v)
-                cache["k"] = jax.lax.dynamic_update_slice(
-                    cache["k"], kq[:, None], (0, slot, 0, 0, 0))
-                cache["v"] = jax.lax.dynamic_update_slice(
-                    cache["v"], vq[:, None], (0, slot, 0, 0, 0))
-                cache["k_scale"] = jax.lax.dynamic_update_slice(
-                    cache["k_scale"], ks[:, None], (0, slot, 0, 0))
-                cache["v_scale"] = jax.lax.dynamic_update_slice(
-                    cache["v_scale"], vs[:, None], (0, slot, 0, 0))
-            else:
-                cache["k"] = jax.lax.dynamic_update_slice(
-                    cache["k"], k[:, None].astype(cache["k"].dtype),
-                    (0, slot, 0, 0, 0))
-                cache["v"] = jax.lax.dynamic_update_slice(
-                    cache["v"], v[:, None].astype(cache["v"].dtype),
-                    (0, slot, 0, 0, 0))
-            cache["length"] = cache["length"].at[slot].set(length)
-            return cache
-
-        self._insert = jax.jit(_insert, donate_argnums=(0,))
-
-        def _seed_block(cache1, kblk, vblk, off):
-            # write one cached prefix block into the batch-1 admission cache
-            # at dynamic offset ``off``; block size is static, so ONE
-            # compiled variant serves every hit depth
-            cache1 = dict(cache1)
-            cache1["k"] = jax.lax.dynamic_update_slice(
-                cache1["k"], kblk[:, None].astype(cache1["k"].dtype),
-                (0, 0, off, 0, 0))
-            cache1["v"] = jax.lax.dynamic_update_slice(
-                cache1["v"], vblk[:, None].astype(cache1["v"].dtype),
-                (0, 0, off, 0, 0))
-            return cache1
-
-        self._seed_block = jax.jit(_seed_block, donate_argnums=(0,))
-
-        def _slice_block(arr, off, *, blk):
-            # [L, S, KVH, hd] -> one [L, blk, KVH, hd] block copy (the source
-            # is the donated admission cache; the copy outlives it)
-            return jax.lax.dynamic_slice_in_dim(arr, off, blk, axis=1)
-
-        self._slice_block = jax.jit(_slice_block, static_argnames=("blk",))
+        # cache-manipulation helpers are instance-free: module-level jits so
+        # every engine in the process (A/B benches build several) shares the
+        # compiled executables instead of re-tracing per instance
+        self._insert = _insert_jit
+        self._seed_block = _seed_block_jit
+        self._slice_block = _slice_block_jit
 
         B_slots = max_slots
 
