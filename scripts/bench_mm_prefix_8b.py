@@ -107,9 +107,22 @@ def main():
         5, cfg.llm.vocab_size, (extra,)).astype(np.int32)])
     turns = [ids1, ids2, ids3]
 
-    def run(prefix_cache_mb):
-        eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=cache_len,
-                                prefix_cache_mb=prefix_cache_mb)
+    # ONE engine for everything: the engine's jitted graphs are per-instance,
+    # so a fresh engine per configuration would re-trace (and reload from the
+    # persistent compile cache — seconds per 8B graph) inside every measured
+    # TTFT. The prefix cache is a plain attribute the admission path checks
+    # per request; toggling it on the same engine gives a pure-admission A/B.
+    from slime_tpu.serve.prefix_cache import PrefixCache
+
+    pc_mb = 64 if tiny else 1024
+    eng = BatchDecodeEngine(params, cfg, max_slots=2, cache_len=cache_len,
+                            prefix_cache_mb=pc_mb)
+    pc_block = eng.prefix_cache.block
+
+    def run(with_cache):
+        eng.prefix_cache = (PrefixCache(block=pc_block,
+                                        budget_bytes=pc_mb << 20)
+                            if with_cache else None)
         ttfts, outs = [], []
         for ids in turns:
             req = Request(input_ids=ids, pixel_values=px, crop_mask=cmask,
@@ -141,17 +154,17 @@ def main():
     from slime_tpu.utils import enable_compilation_cache
     enable_compilation_cache()   # SLIME_COMPILE_CACHE=<dir> to reuse compiles
 
-    # warm pass: compile every turn shape for both configurations so the
-    # measured TTFTs are pure admission work, not XLA compiles (each turn has
-    # a distinct prefill length). Both engine configs hit the same compiled
-    # shapes; a second warm for cache-off only differs in host-side seeding.
+    # warm pass on the SAME engine: compile every turn shape for both
+    # configurations (cache-on covers the seed + suffix-prefill graphs,
+    # cache-off the full-prefill graphs); each measured run then starts from
+    # a FRESH PrefixCache so its turn-1 is a true cold turn.
     print("warm run (compiles)...", file=sys.stderr, flush=True)
-    run(prefix_cache_mb=64 if tiny else 1024)
-    run(prefix_cache_mb=0)
+    run(True)
+    run(False)
     print("cached run...", file=sys.stderr, flush=True)
-    ttft_c, outs_c, stats = run(prefix_cache_mb=64 if tiny else 1024)
+    ttft_c, outs_c, stats = run(True)
     print("cache-off run...", file=sys.stderr, flush=True)
-    ttft_0, outs_0, _ = run(prefix_cache_mb=0)
+    ttft_0, outs_0, _ = run(False)
     assert outs_c == outs_0, "prefix cache changed tokens — exactness violated"
     result = {
         "metric": "mm_prefix_turn2_ttft",
