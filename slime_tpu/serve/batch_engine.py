@@ -141,10 +141,33 @@ def _lazy_jit(name, fn, **jit_kw):
     return call
 
 
-_insert_jit = _lazy_jit("insert", _insert, donate_argnums=(0,))
-_seed_block_jit = _lazy_jit("seed_block", _seed_block, donate_argnums=(0,))
-_slice_block_jit = _lazy_jit("slice_block", _slice_block,
-                             static_argnames=("blk",))
+_insert_jit_raw = _lazy_jit("insert", _insert, donate_argnums=(0,))
+_seed_block_jit_raw = _lazy_jit("seed_block", _seed_block, donate_argnums=(0,))
+_slice_block_jit_raw = _lazy_jit("slice_block", _slice_block,
+                                 static_argnames=("blk",))
+
+
+def _i32(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x, jnp.int32)
+
+
+# Scalar args (slot / length / offset) MUST reach the jits as device scalars:
+# a Python int is a jit compile-time CONSTANT, so every distinct slot index,
+# prompt length, and block offset re-traced and re-compiled the cache-donating
+# graph — at 8B that was a minutes-long compile inside a live request the
+# first time each of the 8 slots was used (measured: serving TTFT p95 1160 s
+# on the first on-chip load test).
+def _insert_jit(cache, k, v, slot, length, token):
+    return _insert_jit_raw(cache, k, v, _i32(slot), _i32(length), token)
+
+
+def _seed_block_jit(cache1, kblk, vblk, off):
+    return _seed_block_jit_raw(cache1, kblk, vblk, _i32(off))
+
+
+def _slice_block_jit(arr, off, *, blk):
+    return _slice_block_jit_raw(arr, _i32(off), blk=blk)
 
 class BatchDecodeEngine:
     def __init__(self, params, cfg: SliMEConfig, *, max_slots: int = 8,
@@ -1096,6 +1119,16 @@ class BatchDecodeEngine:
         if slot_idx is None:
             self.pending.put(req)
             return
+        # pad to a power-of-two bucket: raw lengths would compile a fresh
+        # prefill + insert graph per distinct prompt length (same bucketing
+        # as the chunked path above). Padded positions are causal-masked by
+        # construction (they only attend backward) and land in cache slots
+        # beyond ``length``, which decode never reads.
+        import jax.numpy as jnp
+        Cb = min(max(8, 1 << (length - 1).bit_length()), self.cache_len)
+        if embeds.shape[1] < Cb:
+            embeds = jnp.pad(embeds,
+                             ((0, 0), (0, Cb - embeds.shape[1]), (0, 0)))
         logits, k, v = self._prefill(self._prefill_params(req), embeds, None)
         first, gs = self._first_token(req, np.asarray(logits)[length - 1])
         self._cache_prompt_blocks(req, k, v, length, cache_key)

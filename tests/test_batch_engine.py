@@ -731,3 +731,44 @@ def test_overlapped_decode_exact():
     got1, got2 = _drain(r1), _drain(r2)
     assert got1 == ref1 and len(got1) == 40
     assert got2 == ref2 and len(got2) == 24
+
+
+def test_no_per_slot_or_per_length_retrace():
+    """Slot index / length / block offset reach the shared cache-helper jits
+    as device scalars, and whole-admission prefill pads to pow2 buckets — a
+    Python int scalar or raw length is a compile-time constant, which
+    re-compiled the cache-donating insert graph per slot and per prompt
+    length (measured on chip: serving TTFT p95 of 1160 s while slots 2-7
+    each compiled mid-request)."""
+    import jax
+    import numpy as np
+
+    from slime_tpu.config import SliMEConfig
+    from slime_tpu.models import slime
+    from slime_tpu.serve import batch_engine as be
+    from slime_tpu.serve.batch_engine import BatchDecodeEngine, Request
+
+    cfg = SliMEConfig.tiny()
+    params = slime.init(jax.random.PRNGKey(0), cfg)
+    eng = BatchDecodeEngine(params, cfg, max_slots=4, cache_len=128,
+                            prefix_cache_mb=0)
+
+    def drain(reqs):
+        for r in reqs:
+            while True:
+                eng.tick()
+                if r.out_queue.get() is None:
+                    break
+
+    def submit(length):
+        r = Request(input_ids=np.arange(5, 5 + length, dtype=np.int32),
+                    max_new_tokens=2)
+        eng.submit(r)
+        return r
+
+    drain([submit(12)])               # compile the 16-bucket insert once
+    before = be._HELPER_JITS["insert"]._cache_size()
+    # same bucket, submitted CONCURRENTLY so they occupy four different slots
+    drain([submit(length) for length in (12, 11, 10, 9)])
+    after = be._HELPER_JITS["insert"]._cache_size()
+    assert after == before, (before, after)
