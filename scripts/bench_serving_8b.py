@@ -219,26 +219,33 @@ def main():
         pre = rng.integers(5, vocab, (prefix_len,)).astype(np.int32)
         sfx_len = max(prompt_len // 4, 64)
 
+        # ONE engine for both passes (per-instance jits would reload every
+        # 8B graph inside the measured wall time); the prefix cache is a
+        # plain attribute the admission path checks per request.
+        from slime_tpu.serve.prefix_cache import PrefixCache
+
+        eng = BatchDecodeEngine(params, cfg, max_slots=slots,
+                                cache_len=2048,
+                                compute_dtype=jax.numpy.bfloat16,
+                                prefix_cache_mb=2048)
+        pc_block = eng.prefix_cache.block
+
         def prefix_pass(pc_mb):
-            eng = BatchDecodeEngine(params, cfg, max_slots=slots,
-                                    cache_len=2048,
-                                    compute_dtype=jax.numpy.bfloat16,
-                                    prefix_cache_mb=pc_mb)
-            # warm compiles with one short request (not prefix-shaped)
-            run_scenario(eng, Request, rng, n_req=1, prompt_len=sfx_len,
-                         new_tokens=4, vocab=vocab)
+            eng.prefix_cache = (PrefixCache(block=pc_block,
+                                            budget_bytes=pc_mb << 20)
+                                if pc_mb else None)
             toks, dt = run_scenario(eng, Request, rng, n_req=n_req,
                                     prompt_len=sfx_len,
                                     new_tokens=new_tokens,
                                     prefix_ids=pre, vocab=vocab)
-            m = eng.metrics_summary()
-            st = eng.prefix_cache_stats()
-            eng.stop()
-            del eng
-            return dt, m, st
+            return dt, eng.metrics_summary(), eng.prefix_cache_stats()
 
+        # warm compiles: one full prefix-shaped pass of each configuration
+        prefix_pass(2048)
+        prefix_pass(0)
         cold, _, _ = prefix_pass(0)          # cache disabled: full prefills
         warm, m, st = prefix_pass(2048)      # req 1 populates, 2..N hit
+        eng.stop()
         print(json.dumps({
             "metric": "serving_engine_8b_prefix_cache_speedup",
             "value": round(cold / warm, 2),
