@@ -496,6 +496,9 @@ class BatchDecodeEngine:
                 self.d_cache = mesh_lib.shard_kv_cache(mesh, self.d_cache)
 
             def _draft_prefill(dparams, ids):
+                # ids are bucket-padded; padded positions are causal-masked
+                # by construction and never read back (the draft cache length
+                # is set to the true length by _d_insert)
                 S = ids.shape[1]
                 embeds = llama.embed(dparams["llm"], ids).astype(self.compute_dtype)
                 _, kvs = llama.forward(
@@ -1522,10 +1525,18 @@ class BatchDecodeEngine:
                 if ctx.size == 0 or \
                         ctx.size + s.budget + K + 2 >= self.cache_len:
                     return False             # no room for lookahead
+                # pad to a pow2 bucket + device-scalar slot/length: a raw
+                # ctx length or Python int would retrace the draft prefill /
+                # cache-donating insert per request (see _insert_jit note)
+                Cb = min(1 << max(3, (int(ctx.size) - 1).bit_length()),
+                         int(self.d_cache["k"].shape[2]))
+                ids_p = np.zeros((1, Cb), np.int32)
+                ids_p[0, :ctx.size] = ctx
                 k, v = self._draft_prefill(self.draft_params,
-                                           jnp.asarray(ctx[None], jnp.int32))
-                self.d_cache = self._d_insert(self.d_cache, k, v, i,
-                                              int(ctx.size))
+                                           jnp.asarray(ids_p, jnp.int32))
+                self.d_cache = self._d_insert(
+                    self.d_cache, k, v, jnp.asarray(i, jnp.int32),
+                    jnp.asarray(int(ctx.size), jnp.int32))
                 s.draft = {"len": int(ctx.size)}
 
         d_lens = np.zeros((B,), np.int32)
