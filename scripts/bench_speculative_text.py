@@ -220,6 +220,16 @@ def main():
                  f"{dcfg.hidden_size}H draft ({n_d / 1e6:.0f}M)")
     print(f"  pair: {pair_desc}", file=sys.stderr, flush=True)
 
+    # stack the layer lists: decode graphs then lax.scan over layers instead
+    # of unrolling them — at 24L/1024H the unrolled speculative while-loop
+    # HLO exceeded the tunnel's remote-compile request limit (HTTP 413)
+    def stacked(p):
+        q = dict(p)
+        q["layers"] = llama.stack_layers(p["layers"])
+        return q
+
+    tparams, dparams = stacked(tparams), stacked(dparams)
+
     import dataclasses
     t_wrap = dataclasses.replace(SliMEConfig.tiny(), llm=tcfg)
     d_wrap = dataclasses.replace(SliMEConfig.tiny(), llm=dcfg)
