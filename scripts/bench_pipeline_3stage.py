@@ -30,7 +30,12 @@ sys.path.insert(0, REPO)
 
 
 def make_small_ckpt(path: str) -> None:
-    """~170M SliME: 8-layer/1024-wide LLM + 8-layer/512-wide ViT."""
+    """~170M SliME: 8-layer/1024-wide LLM + 8-layer/512-wide ViT.
+
+    Init + save pinned to the host CPU backend: on the tunnel device this
+    is a pointless 760 MB device->host pull (measured: >25 min) for params
+    that exist only to be written to disk.
+    """
     import jax
 
     from slime_tpu import checkpoint as ckpt
@@ -49,10 +54,11 @@ def make_small_ckpt(path: str) -> None:
         tokenizer_model_max_length=1024,
         seperator=7, bos_token_id=1, eos_token_id=2,
     )
-    params = slime.init(jax.random.PRNGKey(0), cfg)
-    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    print(f"model: {n / 1e6:.1f}M params", file=sys.stderr, flush=True)
-    ckpt.save_checkpoint(path, params, cfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = slime.init(jax.random.PRNGKey(0), cfg)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        print(f"model: {n / 1e6:.1f}M params", file=sys.stderr, flush=True)
+        ckpt.save_checkpoint(path, params, cfg)
     make_hf_tokenizer_dir(path)
 
 
