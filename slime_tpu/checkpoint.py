@@ -629,12 +629,19 @@ def to_jax(params, dtype=None):
 
     from .ops.quantization import is_quantized
 
+    import numpy as np
+
     def conv(x, *, keep_fp32=False):
-        a = jnp.asarray(x)
+        # cast on HOST, then upload: an eager device-side astype compiles a
+        # tiny kernel per distinct leaf shape — on a remote-compiled backend
+        # that is a compile round-trip per tensor (~250 for an unstacked
+        # checkpoint, measured as a minutes-long load stall through the
+        # tunnel). numpy handles bf16 via ml_dtypes.
+        x = np.asarray(x)
         if (dtype is not None and not keep_fp32
-                and a.dtype in (jnp.float32, jnp.float64, jnp.float16)):
-            a = a.astype(dtype)
-        return a
+                and x.dtype in (np.float32, np.float64, np.float16)):
+            x = x.astype(jnp.dtype(dtype))
+        return jnp.asarray(x)
 
     def walk(node):
         if is_quantized(node):

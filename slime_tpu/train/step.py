@@ -119,7 +119,11 @@ def init_lora_train_state(base_params, lora_state, tc: TrainConfig, mesh=None,
         base = jax.tree_util.tree_map(jnp.asarray, base)
         trainable = jax.tree_util.tree_map(jnp.array, trainable)
     tx, _ = make_lora_optimizer(trainable, tc)
-    opt_state = tx.init(trainable)
+    # ONE jitted graph for the whole optimizer init: eagerly, tx.init issues
+    # a zeros/copy op per leaf, and on a remote-compiled backend every
+    # unique leaf shape is its own compile round-trip (measured: a 190M
+    # model's train-state init took tens of minutes through the tunnel)
+    opt_state = jax.jit(tx.init)(trainable)
     state = {"params": trainable, "opt_state": opt_state,
              "step": jnp.zeros((), jnp.int32)}
     return base, state, tx
@@ -130,11 +134,21 @@ def init_train_state(params, tc: TrainConfig, mesh=None):
     first so optimizer moments inherit the sharded layout."""
     if mesh is not None:
         params = mesh_lib.shard_params(mesh, params)
+        tx, _ = make_optimizer(params, tc)
+        # one compile instead of an eager zeros op per leaf (see the LoRA
+        # variant above); jit output follows the inputs' shardings
+        opt_state = jax.jit(tx.init)(params)
     else:
-        # copy so the caller's buffers survive the train step's donation
-        params = jax.tree_util.tree_map(jnp.array, params)
-    tx, _ = make_optimizer(params, tc)
-    opt_state = tx.init(params)
+        tx, _ = make_optimizer(params, tc)
+
+        @jax.jit
+        def _mk(p):
+            # the copy keeps the caller's buffers alive across the train
+            # step's donation; inside jit the whole init is ONE compile
+            p = jax.tree_util.tree_map(jnp.array, p)
+            return p, tx.init(p)
+
+        params, opt_state = _mk(params)
     state = {"params": params, "opt_state": opt_state,
              "step": jnp.zeros((), jnp.int32)}
     return state, tx
