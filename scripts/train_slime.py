@@ -157,6 +157,18 @@ def main():
             from slime_tpu.ops.quantization import quantize_params
             params["llm"]["layers"] = quantize_params(
                 params["llm"]["layers"], args.bits)
+    # stack the LLM layer list: llama.forward lax.scans over stacked
+    # storage, so the train step compiles ONE layer body instead of
+    # unrolling every decoder block into the fwd+bwd graph (unrolled, the
+    # remote compile of a 190M 3-stage run took >25 min per stage; stacked
+    # matches bench_train_8b's measured configuration). MoE layers keep the
+    # list layout (per-expert subtrees are not uniformly stackable).
+    if (not args.lora_enable and cfg.llm.num_experts == 0
+            and isinstance(params["llm"].get("layers"), list)):
+        from slime_tpu.models import llama as llama_mod
+        params["llm"]["layers"] = llama_mod.stack_layers(
+            params["llm"]["layers"])
+
     # staged adapter warm-starts (reference initialize_vision_modules,
     # llava_arch.py:107-119)
     for pre, key, conv in (

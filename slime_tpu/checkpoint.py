@@ -491,7 +491,11 @@ def export_llama(p: Dict, cfg: LLMConfig, prefix: str = "model.") -> Dict[str, n
     out: Dict[str, np.ndarray] = {}
     out[f"{prefix}embed_tokens.weight"] = np.asarray(p["embed_tokens"])
     out[f"{prefix}norm.weight"] = np.asarray(p["norm"]["weight"])
-    for i, lp in enumerate(p["layers"]):
+    layers = p["layers"]
+    if isinstance(layers, dict):   # stacked [L, ...] storage (scan path)
+        from .models import llama as _llama
+        layers = _llama.unstack_layers(layers, cfg.num_layers)
+    for i, lp in enumerate(layers):
         b = f"{prefix}layers.{i}"
         out[f"{b}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"]["weight"])
         out[f"{b}.post_attention_layernorm.weight"] = np.asarray(
