@@ -252,21 +252,25 @@ def main():
     from slime_tpu.serve.speculative import _prefill_jit
 
     def _body(carry, _):
-        cache, tok = carry
-        lg, cache = llama.decode_step(tparams, cache, tok[None], tcfg,
+        params, cache, tok = carry
+        lg, cache = llama.decode_step(params, cache, tok[None], tcfg,
                                       compute_dtype=cdt)
         nxt = jnp.argmax(lg[0], -1).astype(jnp.int32)
-        return (cache, nxt), nxt
+        return (params, cache, nxt), nxt
 
+    # params travel as a jit ARGUMENT: closed over, they bake into the jaxpr
+    # as constants — 568 MB of bf16 weights in the HLO proto at mid scale,
+    # over the remote-compile request limit (HTTP 413)
     @jax.jit
-    def plain_loop(cache, tok0):
-        (_, _), out = jax.lax.scan(_body, (cache, tok0), None, length=NEW)
+    def plain_loop(params, cache, tok0):
+        (_, _, _), out = jax.lax.scan(_body, (params, cache, tok0), None,
+                                      length=NEW)
         return out
 
     def plain_decode(prompt):
         tok0, cache = _prefill_jit(tparams, prompt, tcfg,
                                    prompt.shape[1] + NEW + 2, cdt)
-        return plain_loop(cache, tok0)
+        return plain_loop(tparams, cache, tok0)
 
     # warm both paths (compiles excluded from every prompt's timing)
     warm = jnp.asarray(test_ids[:64][None], jnp.int32)

@@ -100,7 +100,9 @@ def _q4g_deq_into(ref, pblk, scale_of, group: int, dt):
                                  shift=True)
         for j, w in ((0, lo), (1, hi)):
             g_i = 2 * b + j
-            s = scale_of(g_i).astype(dt)[:, None]
+            # minor-dim insertion must happen on the fp32 vector: Mosaic only
+            # supports non-no-op minor-dim insertion for 32-bit types
+            s = scale_of(g_i)[:, None].astype(dt)
             ref[:, g_i * group:(g_i + 1) * group] = w * s
 
 
