@@ -1095,7 +1095,7 @@ class BatchDecodeEngine:
         # position of the last real token inside the final (variable-size) chunk
         last_in_chunk = a["length"] - 1 - a["last_off"]
         first, gs = self._first_token(
-            a["req"], np.asarray(a["last_logits"])[0, last_in_chunk])
+            a["req"], np.asarray(a["last_logits"][0, last_in_chunk]))
         k = a["cache1"]["k"][:, 0]
         v = a["cache1"]["v"][:, 0]
         self._cache_prompt_blocks(a["req"], k, v, a["base"] + a["length"],
@@ -1133,7 +1133,11 @@ class BatchDecodeEngine:
             embeds = jnp.pad(embeds,
                              ((0, 0), (0, Cb - embeds.shape[1]), (0, 0)))
         logits, k, v = self._prefill(self._prefill_params(req), embeds, None)
-        first, gs = self._first_token(req, np.asarray(logits)[length - 1])
+        # slice on DEVICE, then pull: np.asarray(logits) would transfer the
+        # whole [bucket, V] prefill logits (~263 MB at V=128k) to read one
+        # row — measured as the dominant cost of every admission through the
+        # tunnel, and a real transfer tax on any hardware
+        first, gs = self._first_token(req, np.asarray(logits[length - 1]))
         self._cache_prompt_blocks(req, k, v, length, cache_key)
         self.cache = self._insert(self.cache, k, v, slot_idx, length,
                                   self.jnp.asarray(first))
