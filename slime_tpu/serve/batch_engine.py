@@ -283,6 +283,7 @@ class BatchDecodeEngine:
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.prefixes = {}             # prefix_id -> {"k","v","length"} shared KV
+        self._prepare_mm = None   # lazy jit of the mm embed path
         # automatic radix-style prefix cache (serve/prefix_cache.py)
         self.prefix_cache = None
         if prefix_cache_mb > 0:
@@ -951,23 +952,45 @@ class BatchDecodeEngine:
             if pre is not None and pre["text_only"]:
                 base = pre["length"]
                 ids = np.concatenate([pre["ids"][None], ids], axis=1)
-            attn = np.ones_like(ids, bool)
-            fused, img_valid = slime.prepare_multimodal(
-                self.params, self.cfg, jnp.asarray(ids), jnp.asarray(attn),
-                jnp.asarray(req.pixel_values[None]), jnp.asarray(req.crop_mask[None]),
-                training=False, compute_dtype=self.compute_dtype,
-                max_len=base + self.cache_len - req.max_new_tokens - 1,
-                return_img_valid=True)
-            # one packed device pull: [length, img_valid...]
-            packed = np.asarray(jnp.concatenate(
-                [fused.lengths.astype(jnp.int32),
-                 img_valid[0].astype(jnp.int32)]))
+            # pad ids to a pow2 bucket and run the WHOLE vision+fusion
+            # pipeline as one jit: called eagerly, prepare_multimodal issues
+            # hundreds of per-op dispatches — on a remote backend ~25 ms
+            # each, measured as ~5 s of every multimodal admission's TTFT.
+            # Padded positions carry attention_mask=False, which the fusion
+            # already excludes (it is built for padded batches), so the
+            # fused length and content are unchanged.
+            Cb = 1 << max(4, (ids.shape[1] - 1).bit_length())
+            ids_p = np.zeros((1, Cb), np.int32)
+            ids_p[:, :ids.shape[1]] = ids
+            attn = np.zeros((1, Cb), bool)
+            attn[:, :ids.shape[1]] = True
+            max_len = base + self.cache_len - req.max_new_tokens - 1
+            if self._prepare_mm is None:
+                import functools
+                import jax
+
+                def _prep(params, ids_d, attn_d, px, cm, *, max_len):
+                    fused, iv = slime.prepare_multimodal(
+                        params, self.cfg, ids_d, attn_d, px, cm,
+                        training=False, compute_dtype=self.compute_dtype,
+                        max_len=max_len, return_img_valid=True)
+                    packed = jnp.concatenate(
+                        [fused.lengths.astype(jnp.int32),
+                         iv[0].astype(jnp.int32)])
+                    return fused.embeds, packed
+
+                self._prepare_mm = jax.jit(_prep, static_argnames=("max_len",))
+            embeds_d, packed_d = self._prepare_mm(
+                self.params, jnp.asarray(ids_p), jnp.asarray(attn),
+                jnp.asarray(req.pixel_values[None]),
+                jnp.asarray(req.crop_mask[None]), max_len=max_len)
+            packed = np.asarray(packed_d)
             length = int(packed[0])
             ident = None
             if req.prefix_id is None:
                 ident = self._fused_identity(
                     ids[0], packed[1:].astype(bool), req)[:length]
-            return fused.embeds[:, base:], length - base, ident
+            return embeds_d[:, base:], length - base, ident
         attn = np.ones_like(ids, bool)
         embeds = llama.embed(self.params["llm"],
                              jnp.asarray(ids)).astype(self.compute_dtype)
