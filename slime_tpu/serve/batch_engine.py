@@ -119,6 +119,27 @@ def _seed_block(cache1, kblk, vblk, off):
     return cache1
 
 
+def _seed_run(cache1, kblks, vblks, off):
+    # write a CONTIGUOUS run of cached prefix blocks in one compiled call:
+    # seeding block-by-block costs one tunnel dispatch per 64 tokens
+    # (~25-30 ms each on a remote backend — a 1.5k-token hit paid ~24
+    # round-trips, measured to cancel the entire prefill saving). The
+    # blocks concat along the seq axis inside the jit and land with one
+    # dynamic_update_slice; compile variants are bounded by calling this
+    # only at power-of-two run lengths (see the admission loop).
+    import jax
+    import jax.numpy as jnp
+
+    cache1 = dict(cache1)
+    kcat = jnp.concatenate([b[:, None] for b in kblks], axis=2)
+    vcat = jnp.concatenate([b[:, None] for b in vblks], axis=2)
+    cache1["k"] = jax.lax.dynamic_update_slice(
+        cache1["k"], kcat.astype(cache1["k"].dtype), (0, 0, off, 0, 0))
+    cache1["v"] = jax.lax.dynamic_update_slice(
+        cache1["v"], vcat.astype(cache1["v"].dtype), (0, 0, off, 0, 0))
+    return cache1
+
+
 def _slice_block(arr, off, *, blk):
     # [L, S, KVH, hd] -> one [L, blk, KVH, hd] block copy (the source
     # is the donated admission cache; the copy outlives it)
@@ -164,6 +185,13 @@ def _insert_jit(cache, k, v, slot, length, token):
 
 def _seed_block_jit(cache1, kblk, vblk, off):
     return _seed_block_jit_raw(cache1, kblk, vblk, _i32(off))
+
+
+def _seed_run_jit(cache1, kblks, vblks, off):
+    # one lazy jit per run length (pow2 only -> <= log2(max_blocks) variants)
+    n = len(kblks)
+    fn = _lazy_jit(f"seed_run{n}", _seed_run, donate_argnums=(0,))
+    return fn(cache1, tuple(kblks), tuple(vblks), _i32(off))
 
 
 def _slice_block_jit(arr, off, *, blk):
@@ -1067,9 +1095,22 @@ class BatchDecodeEngine:
                 blk = self.prefix_cache.block
                 cache1 = llama.init_kv_cache(self.cfg.llm, 1, self.cache_len,
                                              dtype=self.compute_dtype)
-                for i, e in enumerate(auto_hit):
-                    cache1 = self._seed_block(cache1, e["value"]["k"],
-                                              e["value"]["v"], i * blk)
+                # seed in greedy power-of-two runs (matched blocks are one
+                # contiguous chain from position 0): one dispatch per run
+                # instead of one per block — per-block seeding paid a tunnel
+                # round-trip per 64 tokens, which cancelled the prefill win
+                i = 0
+                while i < len(auto_hit):
+                    n = 1 << ((len(auto_hit) - i).bit_length() - 1)
+                    run = auto_hit[i:i + n]
+                    if n == 1:
+                        cache1 = self._seed_block(cache1, run[0]["value"]["k"],
+                                                  run[0]["value"]["v"], i * blk)
+                    else:
+                        cache1 = _seed_run_jit(
+                            cache1, [e["value"]["k"] for e in run],
+                            [e["value"]["v"] for e in run], i * blk)
+                    i += n
                 cache1["length"] = jnp.full((1,), base, jnp.int32)
                 embeds = embeds[:, base:]
                 length -= base
