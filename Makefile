@@ -8,10 +8,10 @@ test-fast: native
 
 # Smoke tier (test-smoke): templates/preprocess/fusion/generation/speculative/
 # eval/checkpoint/serving/memory-plan correctness (~245 tests, ~3.5 min warm
-# on a 1-core box). Next tier: pytest -m "not slow" (507 tests, ~12 min warm
+# on a 1-core box). Next tier: pytest -m "not slow" (509 tests, ~12 min warm
 # on 1 CPU — measured r5; the suite is compile-dominated, multi-core boxes use
 # test-fast) — heavy compile-bound exactness tests are marked slow and run in
-# `make test` (609 collected).
+# `make test` (611 collected).
 SMOKE = tests/test_conversation.py tests/test_anyres.py \
         tests/test_preprocess_parity.py tests/test_data_pipeline.py \
         tests/test_fusion.py tests/test_generate.py tests/test_speculative.py \
